@@ -1,0 +1,163 @@
+"""Pure-Python, single-threaded oracle for every engine operator.
+
+This is the correctness anchor (SURVEY.md §5): it re-implements the
+reference semantics (TopologyProducer.java, decomposed in SURVEY.md §2.3
+as V1-V12) row-at-a-time with zero Ray/Arrow machinery, so the distributed
+engine can be compared against it exactly. Check order:
+
+1. tidy           — "Adamm"→"Adam" BEFORE everything, applied to every row
+   (mapValues precedes validate, java:134-135, 148-151)
+2. envelope gate  — tool == ""  → pass-through VALID (≙ non-DATA_MSG
+   messages keep valid=true, TopologyProducer.java:169-172)
+3. source identity — role "intruder" → source-mismatch (java:190-191)
+4. source exists  — SRC_<role> ∉ entities → source-missing (java:194-199)
+5. target exists  — conv_id ∉ entities → target-missing (java:201-202)
+6. attr exists    — tool ∉ rules → attr-unknown (java:208-209)
+7. attr allowed   — role ∉ allowed_roles[tool] → attr-not-allowed (java:204-206)
+   (6 and 7 are swapped vs the reference's flow so the two causes stay
+   distinguishable; row-level validity is identical either way.)
+8. side output    — tool==TOOL_LNK_PERSON and text=="[]" → side=True,
+   validity untouched (java:212-227)
+9. value check    — kind abn/luhn checksum (java:228-231) else regex OR-any
+   anchored full match, first success wins (java:233-251)
+10. exception     — any per-row error → invalid "exception" (java:275-277)
+11. blacklist kill switch — enable_blacklist=False flips invalid rows back
+    to valid (pass-through mode, java:283-287)
+
+Entity checks (4, 5) are skipped when ``entities`` is None (the
+events-bridge profile has no entity dictionary).
+"""
+
+from __future__ import annotations
+
+from . import rules as R
+from .functions.checksums import abn_valid, luhn_valid
+from .functions.text import tidy_scalar
+
+
+def validate_row(role: str, text: str, tool: str, conv_id: str,
+                 compiled: dict, entity_codes: set[str] | None,
+                 enable_blacklist: bool = True) -> tuple[bool, str, bool, str]:
+    """→ (valid, reject_reason, side, tidied_text)."""
+    try:
+        # tidy runs BEFORE the gate — the reference's mapValues applies to every
+        # message, gated or not (TopologyProducer.java:134 precedes :135).
+        text = tidy_scalar(text) if text is not None else ""
+        if tool is None or tool == "":
+            return True, "", False, text
+        side = False
+        valid, reason = True, ""
+        if role == "intruder":
+            valid, reason = False, R.R_SOURCE_MISMATCH
+        elif entity_codes is not None and f"SRC_{role}" not in entity_codes:
+            valid, reason = False, R.R_SOURCE_MISSING
+        elif entity_codes is not None and conv_id not in entity_codes:
+            valid, reason = False, R.R_TARGET_MISSING
+        elif tool not in compiled:
+            valid, reason = False, R.R_ATTR_UNKNOWN
+        elif role not in compiled[tool]["allowed"]:
+            valid, reason = False, R.R_ATTR_NOT_ALLOWED
+        else:
+            # side output fires only after source/target/allowed/attribute
+            # checks all pass — it is nested inside them in the reference
+            # (TopologyProducer.java:210-227) — and regardless of the value
+            # check's outcome, which runs after.
+            ent = compiled[tool]
+            side = tool == R.SIDE_OUTPUT_TOOL and text == R.SIDE_OUTPUT_VALUE
+            if ent["kind"] == "abn":
+                if not abn_valid(text):
+                    valid, reason = False, R.R_CHECKSUM_FAIL
+            elif ent["kind"] == "luhn":
+                if not luhn_valid(text):
+                    valid, reason = False, R.R_CHECKSUM_FAIL
+            else:
+                if not any(rx.fullmatch(text) for rx, _ in ent["checks"]):
+                    valid, reason = False, R.R_REGEX_FAIL
+        if not valid and not enable_blacklist:
+            valid = True  # kill switch: pass-through, reason retained for observability
+        return valid, reason, side, text
+    except Exception:
+        return (not enable_blacklist), R.R_EXCEPTION, False, text
+
+
+def validate_table(rows: list[dict], rules=None, entity_codes: set[str] | None = None,
+                   enable_blacklist: bool = True) -> list[dict]:
+    """Oracle over a list of row dicts → rows + (valid, reject_reason, side)."""
+    compiled = R.compile_rules(rules)
+    out = []
+    for row in rows:
+        valid, reason, side, text = validate_row(
+            row["role"], row["text"], row["tool"], row["conv_id"],
+            compiled, entity_codes, enable_blacklist)
+        out.append({**row, "text": text, "valid": valid,
+                    "reject_reason": reason, "side": side})
+    return out
+
+
+def dedup_rows(rows: list[dict]) -> list[dict]:
+    """Keep the FIRST arrival of each (conv_id, turn_idx) — arrival order =
+    input order (the fragment-sorted simulated stream)."""
+    seen: set[tuple] = set()
+    out = []
+    for row in rows:
+        key = (row["conv_id"], row["turn_idx"])
+        if key not in seen:
+            seen.add(key)
+            out.append(row)
+    return out
+
+
+def sessionize_rows(rows: list[dict], gap_us: int = 30 * 60 * 1_000_000) -> list[dict]:
+    """Session windows per conv_id: sort by (ts, turn_idx), split on ts-gap >
+    gap_us → (conv_id, session_id, start_ts, end_ts, n_turns)."""
+    by_conv: dict[str, list[dict]] = {}
+    for row in rows:
+        by_conv.setdefault(row["conv_id"], []).append(row)
+    out = []
+    for conv in sorted(by_conv):
+        turns = sorted(by_conv[conv], key=lambda r: (r["ts"], r["turn_idx"]))
+        sid, start, prev, n = 0, turns[0]["ts"], turns[0]["ts"], 0
+        for t in turns:
+            if t["ts"] - prev > gap_us:
+                out.append({"conv_id": conv, "session_id": sid, "start_ts": start,
+                            "end_ts": prev, "n_turns": n})
+                sid, start, n = sid + 1, t["ts"], 0
+            n += 1
+            prev = t["ts"]
+        out.append({"conv_id": conv, "session_id": sid, "start_ts": start,
+                    "end_ts": prev, "n_turns": n})
+    return out
+
+
+def window_counts_rows(rows: list[dict], width_us: int = 3600 * 1_000_000,
+                       slide_us: int | None = None) -> list[dict]:
+    """Tumbling (or sliding, if slide_us) counts of valid vs rejected per
+    (window_id, role, tool). window_id = floor(ts / slide) step index such
+    that the row falls in [wid*slide, wid*slide + width)."""
+    slide = slide_us or width_us
+    n_per = width_us // slide
+    acc: dict[tuple, list[int]] = {}
+    for row in rows:
+        last = row["ts"] // slide
+        for wid in range(max(0, last - n_per + 1), last + 1):
+            key = (wid, row["role"], row["tool"])
+            cell = acc.setdefault(key, [0, 0])
+            cell[0 if row["valid"] else 1] += 1
+    return [{"window_id": k[0], "role": k[1], "tool": k[2],
+             "n_valid": v[0], "n_rejected": v[1]}
+            for k, v in sorted(acc.items())]
+
+
+def late_rows(rows: list[dict], lateness_us: int = 5 * 60 * 1_000_000) -> list[dict]:
+    """Watermark late-flagging per conv: a row is late if its ts is older
+    than (conv's running max ts at arrival) - lateness. Arrival order =
+    input order."""
+    max_ts: dict[str, int] = {}
+    out = []
+    for row in rows:
+        wm = max_ts.get(row["conv_id"])
+        is_late = wm is not None and row["ts"] < wm - lateness_us
+        out.append({**row, "late": is_late})
+        if wm is None or row["ts"] > wm:
+            max_ts[row["conv_id"]] = row["ts"]
+    return out

@@ -1,0 +1,76 @@
+"""The flagship pipeline: the reference topology, Ray-Data-first.
+
+≙ buildTopology() (TopologyProducer.java:126-140):
+    stream("data") → peek → filter(null) → mapValues(tidy) →
+    filter(validate) → peek → to("valid_data")   [+ blacklists/webdata side]
+
+Here::
+
+    read_parquet(turns) → map_batches(drop_null+tidy)            [stateless tasks]
+    → map_batches(Validator, actor pool, zero-copy Arrow)        [stateful]
+    → split valid / rejected / side                              [vectorized filters]
+
+The Dataset stays lazy; the streaming executor pipelines and applies
+backpressure. Nothing materializes the full input.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..rules import DEFAULT_RULES
+from ..stages.validator import Validator, split_streams
+
+
+def _drop_null_text(batch: pa.Table) -> pa.Table:
+    # ≙ the null filter (TopologyProducer.java:133)
+    return batch.filter(pc.is_valid(batch["text"]))
+
+
+def validated_stream(turns: rd.Dataset, rules=None, entity_codes=None,
+                     enable_blacklist: bool = True,
+                     concurrency=(2, 8), batch_size: int = 32768) -> rd.Dataset:
+    """turns → validated stream with (valid, reject_reason, side) appended.
+
+    The rules/entities dictionaries are broadcast once with ``ray.put`` and
+    re-read per ACTOR (not per batch) in ``Validator.__init__``.
+    """
+    rules = DEFAULT_RULES if rules is None else rules
+    kwargs = {"rules_ref": ray.put(rules), "enable_blacklist": enable_blacklist}
+    if entity_codes is not None:
+        kwargs["entities_ref"] = ray.put(sorted(set(entity_codes)))
+    return turns.map_batches(
+        _drop_null_text, batch_format="pyarrow",
+    ).map_batches(
+        Validator,
+        fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def run_flagship(turns_path: str, entities_path: str | None = None,
+                 out_dir: str | None = None, enable_blacklist: bool = True,
+                 concurrency=(2, 8)):
+    """read → validate → split; optionally write the three sinks.
+
+    Returns (valid, rejected, side) Datasets (lazy if out_dir is None).
+    """
+    turns = rd.read_parquet(turns_path)
+    entity_codes = None
+    if entities_path is not None:
+        import pyarrow.parquet as pq
+        entity_codes = pq.read_table(entities_path, columns=["code"])["code"].to_pylist()
+    ds = validated_stream(turns, entity_codes=entity_codes,
+                          enable_blacklist=enable_blacklist, concurrency=concurrency)
+    valid, rejected, side = split_streams(ds)
+    if out_dir is not None:
+        valid.write_parquet(f"{out_dir}/valid")
+        rejected.write_parquet(f"{out_dir}/rejected")
+        side.write_parquet(f"{out_dir}/side")
+    return valid, rejected, side

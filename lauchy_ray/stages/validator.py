@@ -1,0 +1,174 @@
+"""The validation stage — a stateful actor-pool `map_batches` callable.
+
+≙ the reference's `validate` predicate (TopologyProducer.java:135,
+159-294) plus its external dictionary lookups (java:196-208), rebuilt
+Ray-Data-first:
+
+- The rule dictionary and entity set are loaded ONCE per actor in
+  ``__init__`` (broadcast via ``ray.put`` object refs), replacing the
+  reference's per-record Infinispan/MySQL RPCs (its acknowledged
+  bottleneck) and its per-record ``Pattern.compile`` (TODO at java:237).
+- ``__call__`` is fully vectorized over zero-copy Arrow batches:
+  `pc.is_in` hash-set membership for the entity / tool / role checks,
+  `pc.match_substring_regex` (RE2, anchored) for the regex OR-any path
+  with first-match early exit, numpy digit-matrix kernels for the
+  ABN/Luhn checksums. No Python-per-row loop.
+- Rather than filtering (the reference returns a Boolean from the
+  predicate), the stage APPENDS ``valid`` / ``reject_reason`` / ``side``
+  columns; the caller splits valid / rejected / side streams with cheap
+  vectorized filters. This keeps the stage single-pass and lets the
+  rejected branch carry its reason (≙ blacklist routing V12 + the
+  webdata side output V7) without re-computing anything.
+
+First-failure-wins reason cascade, in oracle.py's documented check order.
+Usage::
+
+    ds.map_batches(Validator, fn_constructor_kwargs=dict(rules_ref=...),
+                   batch_format="pyarrow", concurrency=(2, 8), num_cpus=1)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import rules as R
+from ..functions.checksums import abn_valid_np, luhn_valid_np
+from ..functions.text import TIDY_FROM, TIDY_TO
+
+
+class Validator:
+    def __init__(self, rules_ref=None, entities_ref=None, enable_blacklist: bool = True,
+                 rules: list | None = None, entity_codes: list[str] | None = None,
+                 apply_tidy: bool = True):
+        """State setup, once per actor.
+
+        rules_ref / entities_ref: ``ray.put`` object refs (preferred — one
+        object-store copy per node); rules / entity_codes: direct values
+        (tests, driver-side use).
+        """
+        import ray
+
+        if rules_ref is not None:
+            rules = ray.get(rules_ref)
+        if entities_ref is not None:
+            entity_codes = ray.get(entities_ref)
+        self.compiled = R.compile_rules(rules)
+        self.enable_blacklist = enable_blacklist
+        self.apply_tidy = apply_tidy
+        self.known_tools = pa.array(sorted(self.compiled), type=pa.string())
+        # tool → pa.array of allowed roles (for pc.is_in per tool-group)
+        self.allowed = {t: pa.array(sorted(e["allowed"]), type=pa.string())
+                        for t, e in self.compiled.items()}
+        # anchored RE2 patterns, compiled metadata once per actor (java:237 TODO fixed)
+        self.regexes = {t: [("^(?:" + rx.pattern + ")$", msg) for rx, msg in e["checks"]]
+                        for t, e in self.compiled.items()}
+        self.entity_set = (pa.array(sorted(set(entity_codes)), type=pa.string())
+                          if entity_codes is not None else None)
+        self.rows_seen = 0  # ≙ the reference's peek counters (java:132,136)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        self.rows_seen += n
+        if n == 0:
+            return _append(batch, np.zeros(0, bool), np.array([], object), np.zeros(0, bool))
+
+        text = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        if self.apply_tidy:
+            text = pc.replace_substring(text, TIDY_FROM, TIDY_TO)
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+        tool = batch["tool"]
+        role = batch["role"]
+
+        ok = np.ones(n, dtype=bool)            # still-valid mask
+        reason = np.full(n, "", dtype=object)  # first failure wins
+        gate = _np(pc.or_kleene(pc.equal(tool, ""), pc.is_null(tool)))  # pass-through
+
+        def fail(mask: np.ndarray, code: str) -> None:
+            new = mask & ok & ~gate
+            reason[new] = code
+            ok[new] = False
+
+        fail(_np(pc.equal(role, "intruder")), R.R_SOURCE_MISMATCH)
+        if self.entity_set is not None:
+            src = pc.binary_join_element_wise(pa.scalar("SRC_"), role, "")
+            fail(~_np(pc.is_in(src, value_set=self.entity_set)), R.R_SOURCE_MISSING)
+            fail(~_np(pc.is_in(batch["conv_id"], value_set=self.entity_set)),
+                 R.R_TARGET_MISSING)
+        fail(~_np(pc.is_in(tool, value_set=self.known_tools)), R.R_ATTR_UNKNOWN)
+
+        # per-tool checks: role allowance, then checksum/regex value check.
+        # Loop is over DISTINCT tools in the batch (a handful), not rows.
+        tool_np = np.asarray(tool.to_numpy(zero_copy_only=False), dtype=object)
+        side = np.zeros(n, dtype=bool)
+        for t in np.unique(tool_np[ok & ~gate]):
+            ent = self.compiled.get(t)
+            if ent is None:
+                continue
+            sel = (tool_np == t) & ok & ~gate
+            idx = np.flatnonzero(sel)
+            sub_role = role.take(pa.array(idx))
+            bad_role = ~_np(pc.is_in(sub_role, value_set=self.allowed[t]))
+            reason[idx[bad_role]] = R.R_ATTR_NOT_ALLOWED
+            ok[idx[bad_role]] = False
+            idx = idx[~bad_role]
+            if len(idx) == 0:
+                continue
+            sub_text = text.take(pa.array(idx))
+            if t == R.SIDE_OUTPUT_TOOL:
+                side[idx] = _np(pc.equal(sub_text, R.SIDE_OUTPUT_VALUE))
+            if ent["kind"] == "abn":
+                bad = ~abn_valid_np(sub_text.to_numpy(zero_copy_only=False))
+                code = R.R_CHECKSUM_FAIL
+            elif ent["kind"] == "luhn":
+                bad = ~luhn_valid_np(sub_text.to_numpy(zero_copy_only=False))
+                code = R.R_CHECKSUM_FAIL
+            else:
+                # OR-any with first-match early exit (java:233-251): evaluate
+                # rule k only on rows not yet matched by rules < k.
+                matched = np.zeros(len(idx), dtype=bool)
+                for pattern, _msg in self.regexes[t]:
+                    rem = np.flatnonzero(~matched)
+                    if len(rem) == 0:
+                        break
+                    hits = _np(pc.match_substring_regex(
+                        sub_text.take(pa.array(rem)), pattern))
+                    matched[rem[hits]] = True
+                bad = ~matched
+                code = R.R_REGEX_FAIL
+            reason[idx[bad]] = code
+            ok[idx[bad]] = False
+
+        if not self.enable_blacklist:
+            ok[:] = True  # kill switch: pass-through (java:283-287); reasons retained
+
+        out = batch.set_column(batch.schema.get_field_index("text"), "text", text)
+        return _append(out, ok, reason, side)
+
+
+def _np(arr) -> np.ndarray:
+    """Arrow boolean array/chunked → numpy bool (nulls → False)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return np.asarray(pc.fill_null(arr, False).to_numpy(zero_copy_only=False), dtype=bool)
+
+
+def _append(batch: pa.Table, ok, reason, side) -> pa.Table:
+    return (batch
+            .append_column("valid", pa.array(ok, type=pa.bool_()))
+            .append_column("reject_reason", pa.array(reason, type=pa.string()))
+            .append_column("side", pa.array(side, type=pa.bool_())))
+
+
+def split_streams(ds, blacklist_key: str = "conv_id"):
+    """valid / rejected / side Datasets from a validated stream
+    (≙ topics valid_data / blacklists / webdata, TopologyProducer.java:137,
+    InternalProducer.java:11-19). Cheap vectorized filters; Ray Data fuses
+    them with downstream stages."""
+    valid = ds.map_batches(lambda t: t.filter(t["valid"]), batch_format="pyarrow")
+    rejected = ds.map_batches(lambda t: t.filter(pc.invert(t["valid"])),
+                              batch_format="pyarrow")
+    side = ds.map_batches(lambda t: t.filter(t["side"]), batch_format="pyarrow")
+    return valid, rejected, side
