@@ -129,6 +129,7 @@ def generate_turns(n_turns: int = 500, n_convs: int = 24, seed: int = 42,
     texts: list[str] = []
     tools: list[str] = []
     tss: list[int] = []
+    walls: list[int] = []  # emission wall-clock — defines ARRIVAL order
 
     for ci, size in enumerate(sizes):
         conv = f"CONV_{ci:06d}"
@@ -169,12 +170,17 @@ def generate_turns(n_turns: int = 500, n_convs: int = 24, seed: int = 42,
             texts.append(str(text))
             tools.append(str(tool))
             tss.append(int(emit_ts))
+            # arrival ≈ emission wall clock (the conv's running max, jittered a
+            # little so convs interleave and arrival order ≠ turn order locally);
+            # a LATE turn arrives "now" but carries its old event ts.
+            walls.append(int(max_ts) + int(rng.integers(0, 30)) * 1_000_000)
 
     n = len(conv_ids)
-    # ~1% exact duplicates (dedup exercise), then a global arrival shuffle
+    # ~1% exact duplicates (retransmissions: same row re-arrives a bit later)
     dup_idx = rng.choice(n, size=max(1, int(n * p_dup)), replace=False)
-    order = rng.permutation(n + len(dup_idx))
-    idx = np.concatenate([np.arange(n), dup_idx])[order]
+    dup_walls = [walls[i] + int(rng.integers(1, 300)) * 1_000_000 for i in dup_idx]
+    all_walls = np.array(walls + dup_walls, dtype=np.int64)
+    idx = np.concatenate([np.arange(n), dup_idx])[np.argsort(all_walls, kind="stable")]
 
     take = lambda xs: [xs[i] for i in idx]  # noqa: E731
     return pa.table({

@@ -1,0 +1,46 @@
+"""Micro-batch stream source over sorted Parquet fragments.
+
+≙ the reference's Kafka source (TopologyProducer.java:131): a Kafka
+partition's offset order becomes (fragment ordinal, row offset) over
+fragment files sorted by name — the FIXTURES.md determinism contract.
+``arrival_idx`` is a global arrival sequence number (fragment << 32 | row)
+used by dedup keep-first and watermark tracking; it reproduces Kafka's
+per-partition FIFO without relying on Ray block ordering (which shuffles
+may destroy).
+
+One read task per fragment ⇒ read parallelism scales with the fragment
+count (the multi-node story: fragments are the unit of work + resume).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+
+def list_fragments(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    return sorted(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def read_stream(path: str, columns: list[str] | None = None,
+                arrival: bool = True) -> rd.Dataset:
+    """Dataset over sorted fragments with an ``arrival_idx`` column."""
+    files = list_fragments(path)
+    if not arrival:
+        return rd.read_parquet(files, columns=columns)
+    items = [{"path": p, "ordinal": i} for i, p in enumerate(files)]
+
+    def load(batch: dict) -> pa.Table:
+        # batch_size=1 ⇒ exactly one fragment per task
+        path, ordinal = batch["path"][0], int(batch["ordinal"][0])
+        table = pq.read_table(path, columns=columns)
+        arrival_idx = pa.array((ordinal << 32) + i for i in range(table.num_rows))
+        return table.append_column("arrival_idx", arrival_idx.cast(pa.int64()))
+
+    return rd.from_items(items).map_batches(load, batch_size=1, batch_format="numpy")

@@ -1,0 +1,44 @@
+"""Session windows per conversation (north_star: session windows keyed on
+conv_id with ts-gap close).
+
+`groupby("conv_id").map_groups(...)`: hash-shuffle on conv_id, then a
+vectorized per-group pass — sort by (ts, turn_idx), break a session where
+the gap to the previous turn exceeds ``gap``. Matches oracle.sessionize_rows.
+
+Skew note (SURVEY.md §7.4): a conversation's turns must fit one group —
+state per group is O(turns-in-conv), never O(total rows). Hot conversations
+serialize their own group only; other groups proceed in parallel. For
+degenerate single-conv inputs, pre-split by ts-range would bound the group
+(documented limit, not implemented).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+DEFAULT_GAP_US = 30 * 60 * 1_000_000
+
+
+def _sessionize_group(group: pd.DataFrame, gap_us: int) -> pd.DataFrame:
+    g = group.sort_values(["ts", "turn_idx"], kind="stable")
+    ts = g["ts"].astype("int64").to_numpy()
+    # new session where the gap to the previous turn exceeds gap_us
+    breaks = np.zeros(len(ts), dtype=np.int64)
+    breaks[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+    sid = np.cumsum(breaks)
+    out = pd.DataFrame({"conv_id": g["conv_id"].to_numpy(), "session_id": sid, "ts": ts})
+    agg = out.groupby("session_id", sort=True).agg(
+        conv_id=("conv_id", "first"), start_ts=("ts", "min"),
+        end_ts=("ts", "max"), n_turns=("ts", "size")).reset_index()
+    agg["session_id"] = agg["session_id"].astype("int32")
+    for col in ("start_ts", "end_ts"):
+        agg[col] = pd.to_datetime(agg[col], unit="us")
+    return agg[["conv_id", "session_id", "start_ts", "end_ts", "n_turns"]]
+
+
+def sessionize(ds: rd.Dataset, gap_us: int = DEFAULT_GAP_US) -> rd.Dataset:
+    """turns → (conv_id, session_id, start_ts, end_ts, n_turns)."""
+    return ds.groupby("conv_id").map_groups(
+        lambda g: _sessionize_group(g, gap_us), batch_format="pandas")

@@ -1,0 +1,63 @@
+"""Watermark-driven late-turn handling (north_star; SURVEY.md §2.6/§7.3-7).
+
+Semantics (matches oracle.late_rows): a turn is LATE iff its event time is
+more than ``lateness`` behind its conversation's running-max event time *at
+arrival* — arrival order being the deterministic (fragment, row) sequence
+from sources.stream.read_stream (≙ Kafka per-partition offset order).
+
+Distributed shape: the running max only involves rows of the SAME conv_id,
+so hash-shuffling by conv_id and scanning each group in arrival order is
+exactly equivalent to the reference's per-partition watermark tracker —
+and deterministic under any Ray scheduling. State per group is O(1)
+(a running max), never O(total rows).
+
+``late_split`` routes late rows to their own sink (out/late/) per policy;
+``watermark_of`` reports the global low-watermark = min over conv maxima −
+lateness (what a streaming emission gate would compare window ends to).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+DEFAULT_LATENESS_US = 5 * 60 * 1_000_000
+
+
+def _flag_group(group: pd.DataFrame, lateness_us: int) -> pd.DataFrame:
+    g = group.sort_values("arrival_idx", kind="stable").copy()
+    ts = g["ts"].astype("int64").to_numpy()
+    # running max of ts over prior arrivals (exclusive of the current row)
+    prev_max = np.empty(len(ts), dtype=np.int64)
+    prev_max[0] = np.iinfo(np.int64).min // 2  # no prior arrival → never late
+    if len(ts) > 1:
+        np.maximum.accumulate(ts[:-1], out=prev_max[1:])
+    g["late"] = ts < prev_max - lateness_us
+    return g
+
+
+def flag_late(ds: rd.Dataset, lateness_us: int = DEFAULT_LATENESS_US) -> rd.Dataset:
+    """turns (with arrival_idx) → turns + late:bool."""
+    return ds.groupby("conv_id").map_groups(
+        lambda g: _flag_group(g, lateness_us), batch_format="pandas")
+
+
+def late_split(ds: rd.Dataset, lateness_us: int = DEFAULT_LATENESS_US):
+    flagged = flag_late(ds, lateness_us)
+    on_time = flagged.map_batches(lambda df: df[~df["late"]], batch_format="pandas")
+    late = flagged.map_batches(lambda df: df[df["late"]], batch_format="pandas")
+    return on_time, late
+
+
+def watermark_of(ds: rd.Dataset, lateness_us: int = DEFAULT_LATENESS_US) -> int:
+    """Global low-watermark (epoch-us): min over conv running-max − lateness.
+    Small aggregate — safe to materialize."""
+    import pyarrow as pa
+    from ray.data.aggregate import Max
+    conv_max = ds.groupby("conv_id").aggregate(Max("ts", alias_name="max_ts"))
+    mins = conv_max.min("max_ts")
+    ts = mins if not hasattr(mins, "timestamp") else int(mins.timestamp() * 1e6)
+    if isinstance(ts, pa.TimestampScalar):
+        ts = ts.cast(pa.int64()).as_py()
+    return int(ts) - lateness_us

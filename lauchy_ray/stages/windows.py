@@ -1,0 +1,62 @@
+"""Tumbling / sliding windowed counts of valid vs rejected per (role, tool)
+(north_star; SURVEY.md §2.6).
+
+At-scale shape: window-id assignment + PARTIAL aggregation happen inside
+`map_batches` (vectorized `pyarrow` group_by per batch — one output row per
+distinct (window, role, tool) per batch), so the all-to-all `groupby`
+shuffle only moves pre-aggregated partials, not raw turns. This is the
+combiner pattern the guide mandates and also neutralizes hot-window /
+hot-conv skew (a hot key collapses to one partial row per batch — no
+explicit salting needed because the partial key already excludes conv_id).
+
+Sliding windows replicate each row to width/slide window ids BEFORE the
+partial aggregation (replication happens on the small grouped output, not
+the raw stream).
+
+window_id is an integer step index: row ∈ window w ⇔
+w*slide ≤ ts < w*slide + width, i.e. w ∈ [ts//slide - width/slide + 1,
+ts//slide]. window_start_us = w * slide.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+HOUR_US = 3600 * 1_000_000
+
+
+def _partial_counts(batch: pa.Table, width_us: int, slide_us: int) -> pa.Table:
+    ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    n_per = width_us // slide_us
+    last = ts // slide_us
+    # replicate each row to its n_per windows (n_per == 1 for tumbling)
+    reps = np.repeat(np.arange(len(ts)), n_per)
+    wids = np.repeat(last, n_per) - np.tile(np.arange(n_per - 1, -1, -1), len(ts))
+    keep = wids >= 0
+    valid = batch["valid"].to_numpy(zero_copy_only=False)[reps[keep]]
+    part = pa.table({
+        "window_id": pa.array(wids[keep], pa.int64()),
+        "role": batch["role"].take(pa.array(reps[keep])),
+        "tool": batch["tool"].take(pa.array(reps[keep])),
+        "n_valid": pa.array(valid.astype(np.int64)),
+        "n_rejected": pa.array((~valid).astype(np.int64)),
+    })
+    return pa.TableGroupBy(part, ["window_id", "role", "tool"]).aggregate(
+        [("n_valid", "sum"), ("n_rejected", "sum")]).rename_columns(
+        ["window_id", "role", "tool", "n_valid", "n_rejected"])
+
+
+def window_counts(validated: rd.Dataset, width_us: int = HOUR_US,
+                  slide_us: int | None = None) -> rd.Dataset:
+    """validated turns → (window_id, role, tool, n_valid, n_rejected)."""
+    slide_us = slide_us or width_us
+    assert width_us % slide_us == 0, "width must be a multiple of slide"
+    partials = validated.map_batches(
+        lambda t: _partial_counts(t, width_us, slide_us), batch_format="pyarrow")
+    return partials.groupby(["window_id", "role", "tool"]).aggregate(
+        Sum("n_valid", alias_name="n_valid"),
+        Sum("n_rejected", alias_name="n_rejected"))

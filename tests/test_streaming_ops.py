@@ -1,0 +1,123 @@
+"""Streaming operators vs the pure-Python oracle: dedup, sessionization,
+tumbling/sliding window counts, watermark late-flagging (SURVEY.md §5.2/5.5)."""
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from lauchy_ray import oracle
+from lauchy_ray.pipelines.validate import validated_stream
+from lauchy_ray.sources.stream import read_stream
+from lauchy_ray.stages.dedup import dedup_exact
+from lauchy_ray.stages.sessionize import sessionize
+from lauchy_ray.stages.watermark import flag_late, late_split, watermark_of
+from lauchy_ray.stages.windows import window_counts
+
+GAP_US = 30 * 60 * 1_000_000
+HOUR_US = 3600 * 1_000_000
+
+
+@pytest.fixture(scope="module")
+def oracle_rows(fixture_dir):
+    """Fixture rows in arrival order (fragment-sorted), ts as epoch-us."""
+    turns = pq.ParquetDataset(fixture_dir["turns"]).read()
+    turns = turns.set_column(turns.schema.get_field_index("ts"), "ts",
+                             turns["ts"].cast(pa.int64()))
+    return turns.to_pylist()
+
+
+@pytest.fixture(scope="module")
+def entity_codes(fixture_dir):
+    return set(pq.read_table(fixture_dir["entities"])["code"].to_pylist())
+
+
+@pytest.fixture(scope="module")
+def validated_oracle(oracle_rows, entity_codes):
+    return oracle.validate_table(oracle_rows, entity_codes=entity_codes)
+
+
+def test_read_stream_arrival_order(fixture_dir, oracle_rows):
+    ds = read_stream(fixture_dir["turns"])
+    df = ds.to_pandas().sort_values("arrival_idx").reset_index(drop=True)
+    assert len(df) == len(oracle_rows)
+    # arrival order reproduces the fragment-sorted row order exactly
+    assert df["conv_id"].tolist() == [r["conv_id"] for r in oracle_rows]
+    assert df["turn_idx"].tolist() == [r["turn_idx"] for r in oracle_rows]
+    assert df["arrival_idx"].is_unique
+
+
+def test_dedup_exact(fixture_dir, oracle_rows):
+    expected = oracle.dedup_rows(oracle_rows)
+    got = dedup_exact(read_stream(fixture_dir["turns"])).to_pandas()
+    assert len(got) == len(expected)
+    key = lambda df: sorted(zip(df["conv_id"], df["turn_idx"]))  # noqa: E731
+    assert key(got) == sorted((r["conv_id"], r["turn_idx"]) for r in expected)
+    # idempotent: dedup of deduped stream is a no-op
+    assert dedup_exact(rd.from_pandas(got)).count() == len(expected)
+
+
+def test_sessionize(fixture_dir, oracle_rows):
+    expected = pd.DataFrame(oracle.sessionize_rows(oracle_rows, GAP_US))
+    got = sessionize(read_stream(fixture_dir["turns"], arrival=False), GAP_US).to_pandas()
+    got["start_ts"] = got["start_ts"].astype("int64") // 1000  # ns → us
+    got["end_ts"] = got["end_ts"].astype("int64") // 1000
+    key = ["conv_id", "session_id"]
+    got = got.sort_values(key).reset_index(drop=True)
+    expected = expected.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[expected.columns], expected, check_dtype=False)
+    assert got["session_id"].max() > 0  # fixture really splits sessions
+
+
+@pytest.mark.parametrize("slide_div", [1, 4])
+def test_window_counts(fixture_dir, validated_oracle, entity_codes, slide_div):
+    slide = HOUR_US // slide_div
+    expected = pd.DataFrame(
+        oracle.window_counts_rows(validated_oracle, HOUR_US, slide))
+    vds = validated_stream(rd.read_parquet(fixture_dir["turns"]),
+                           entity_codes=entity_codes)
+    got = window_counts(vds, HOUR_US, slide).to_pandas()
+    key = ["window_id", "role", "tool"]
+    got = got.sort_values(key).reset_index(drop=True)
+    expected = expected.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[expected.columns], expected, check_dtype=False)
+
+
+def test_flag_late(fixture_dir, oracle_rows):
+    lateness = 5 * 60 * 1_000_000
+    expected = oracle.late_rows(oracle_rows, lateness)
+    got = flag_late(read_stream(fixture_dir["turns"]), lateness).to_pandas()
+    # align on per-conv arrival rank (robust to exact-duplicate rows)
+    got = got.sort_values(["conv_id", "arrival_idx"]).reset_index(drop=True)
+    got["rank"] = got.groupby("conv_id").cumcount()
+    exp_df = pd.DataFrame(expected)
+    exp_df["rank"] = exp_df.groupby("conv_id").cumcount()
+    merged = got.merge(exp_df[["conv_id", "rank", "late"]].rename(
+        columns={"late": "late_exp"}), on=["conv_id", "rank"])
+    assert len(merged) == len(got)
+    assert (merged["late"] == merged["late_exp"]).all()
+    assert merged["late_exp"].sum() > 0  # fixture exercises the late path
+
+
+def test_late_split_and_watermark(fixture_dir):
+    on_time, late = late_split(read_stream(fixture_dir["turns"]))
+    total = read_stream(fixture_dir["turns"]).count()
+    n_on, n_late = on_time.count(), late.count()
+    assert n_on + n_late == total and n_late > 0
+    wm = watermark_of(read_stream(fixture_dir["turns"]))
+    assert isinstance(wm, int) and wm > 1_700_000_000_000_000
+
+
+def test_parallelism_invariance(small_fixture_dir):
+    """Same input at different block counts ⇒ identical result row sets
+    (SURVEY.md §5.3 — catches ordering/exactly-once bugs)."""
+    results = []
+    for nblocks in (2, 16):
+        ds = rd.read_parquet(small_fixture_dir["turns"],
+                             override_num_blocks=nblocks)
+        vds = validated_stream(ds, concurrency=(1, 4))
+        counts = window_counts(vds).to_pandas().sort_values(
+            ["window_id", "role", "tool"]).reset_index(drop=True)
+        results.append(counts)
+    pd.testing.assert_frame_equal(results[0], results[1])
