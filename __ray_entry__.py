@@ -1,44 +1,168 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the lauchy_ray engine (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray itself, then calls entry() (smoke, sf0.001),
+runs each queries()[name](sf_dir) at sf=0.01 and compares against
+oracle_sql()[name] via DuckDB (row-count + schema + order-insensitive
+value-hash). No ray.init/shutdown anywhere in this module or the library.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The transcript-engine queries run over the canonical events→turns bridge
+(lauchy_ray/events_bridge.py): both the Ray implementation and the SQL
+derive the SAME turns table from the pre-registered ``events`` view, so
+the validation / windowing / sessionization / dedup / watermark operators
+are fully SQL-checkable.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lauchy_ray.events_bridge import validated_cte, turns_cte  # noqa: E402
+from lauchy_ray.pipelines import queries as Q  # noqa: E402
+from lauchy_ray.rules import rules_sql_cte  # noqa: E402
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: derive turns from events, validate
+    against the rule dictionary, return the routed stream."""
+    return Q.q_validate_route("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # transcript engine (events→turns bridge)
+        "turns_derive": Q.q_turns_derive,
+        "validate_route": Q.q_validate_route,
+        "reject_summary": Q.q_reject_summary,
+        "window_tumbling": Q.q_window_tumbling,
+        "window_sliding": Q.q_window_sliding,
+        "sessionize": Q.q_sessionize,
+        "dedup_turns": Q.q_dedup_turns,
+        "late_flags": Q.q_late_flags,
+        "rules_join": Q.q_rules_join,
+        # relational operators
+        "q1_pricing": Q.q_q1_pricing,
+        "orders_by_nation": Q.q_orders_by_nation,
+        "topk_orders": Q.q_topk_orders,
+        "events_by_type": Q.q_events_by_type,
+        # documents / embeddings
+        "doc_stats": Q.q_doc_stats,
+        "dedup_docs": Q.q_dedup_docs,
+        "ann_topk": Q.q_ann_topk,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_V = validated_cte()  # shared WITH-body: turns + rules + validated_full
+_T = turns_cte()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "turns_derive": f"WITH {_T} SELECT * FROM turns",
+        "validate_route": f"WITH {_V} SELECT * FROM validated_full",
+        "reject_summary": f"""WITH {_V}
+            SELECT reject_reason, count(*) AS n
+            FROM validated_full GROUP BY reject_reason""",
+        "window_tumbling": f"""WITH {_V}
+            SELECT epoch_us(ts) // 3600000000 AS window_id, role, tool,
+                   CAST(count(*) FILTER (WHERE valid) AS BIGINT) AS n_valid,
+                   CAST(count(*) FILTER (WHERE NOT valid) AS BIGINT) AS n_rejected
+            FROM validated_full
+            GROUP BY 1, 2, 3""",
+        "window_sliding": f"""WITH {_V}
+            SELECT (epoch_us(ts) // 900000000) - k AS window_id, role, tool,
+                   CAST(count(*) FILTER (WHERE valid) AS BIGINT) AS n_valid,
+                   CAST(count(*) FILTER (WHERE NOT valid) AS BIGINT) AS n_rejected
+            FROM validated_full
+            CROSS JOIN (SELECT unnest(range(4)) AS k)
+            WHERE (epoch_us(ts) // 900000000) - k >= 0
+            GROUP BY 1, 2, 3""",
+        "sessionize": f"""WITH {_T},
+            deltas AS (
+              SELECT conv_id, turn_idx, ts,
+                     lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev_ts
+              FROM turns),
+            marks AS (
+              SELECT conv_id, turn_idx, ts,
+                     CASE WHEN prev_ts IS NULL
+                          OR epoch_us(ts) - epoch_us(prev_ts) > {Q.GAP_US}
+                          THEN 1 ELSE 0 END AS brk
+              FROM deltas),
+            tagged AS (
+              SELECT conv_id, ts,
+                     CAST(sum(brk) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                          AS INTEGER) AS session_id
+              FROM marks)
+            SELECT conv_id, session_id,
+                   min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+                   count(*) AS n_turns
+            FROM tagged GROUP BY conv_id, session_id""",
+        "dedup_turns": f"""WITH {_T},
+            doubled AS (
+              SELECT * FROM turns
+              UNION ALL SELECT * FROM turns WHERE arrival_idx % 101 = 0)
+            SELECT DISTINCT * FROM doubled""",
+        "late_flags": f"""WITH {_T}
+            SELECT conv_id, turn_idx, ts,
+                   COALESCE(epoch_us(ts) <
+                     max(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY arrival_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     - {Q.LATENESS_US}, false) AS late
+            FROM turns""",
+        "rules_join": f"""WITH {_T},
+            {rules_sql_cte()},
+            tool_meta AS (
+              SELECT tool, any_value(kind) AS kind, any_value(dtt_code) AS dtt_code
+              FROM rules GROUP BY tool)
+            SELECT t.conv_id, t.turn_idx, t.tool,
+                   COALESCE(m.kind, '') AS kind,
+                   COALESCE(m.dtt_code, '') AS dtt_code
+            FROM turns t LEFT JOIN tool_meta m USING (tool)""",
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus""",
+        "orders_by_nation": """
+            SELECT n_name, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name""",
+        "topk_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 10""",
+        "events_by_type": """
+            SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+            FROM events GROUP BY event_type""",
+        "doc_stats": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS BIGINT) AS n_punct,
+                   CAST(length(text) AS BIGINT) AS len_chars
+            FROM documents""",
+        "dedup_docs": """
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, count(*) AS n_copies
+            FROM documents GROUP BY text""",
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id < 3),
+            sims AS (
+              SELECT q.qid, e.vec_id,
+                     list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS s
+              FROM q, embeddings e WHERE e.vec_id <> q.qid)
+            SELECT qid, vec_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
+              FROM sims) WHERE rn <= 5""",
+    }

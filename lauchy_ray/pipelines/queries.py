@@ -1,0 +1,275 @@
+"""Driver-facing query implementations (one per SURVEY.md §2 operator),
+each paired with an equivalent DuckDB oracle in __ray_entry__.oracle_sql().
+
+Every callable takes ``sf_dir`` (a directory of the driver's parquet
+tables) and returns a Dataset / DataFrame / Arrow table whose column
+NAMES AND TYPES match the oracle SQL exactly (the driver hash-compares
+order-insensitively after sorting columns by name).
+
+The transcript-engine queries run over the canonical events→turns bridge
+(events_bridge.py) so DuckDB can verify them through the shared SQL CTEs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from .. import rules as R
+from ..events_bridge import derive_turns
+from ..stages.dedup import dedup_exact
+from ..stages.sessionize import sessionize
+from ..stages.watermark import flag_late
+from ..stages.windows import window_counts
+from .validate import validated_stream
+
+HOUR_US = 3600 * 1_000_000
+Q15_US = 900 * 1_000_000
+LATENESS_US = 5 * 60 * 1_000_000
+GAP_US = 30 * 60 * 1_000_000
+
+
+def _events(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def _turns(sf_dir: str) -> rd.Dataset:
+    return derive_turns(_events(sf_dir))
+
+
+def _validated(sf_dir: str) -> rd.Dataset:
+    return validated_stream(_turns(sf_dir))
+
+
+# ------------------------------------------------------- transcript engine
+
+def q_turns_derive(sf_dir: str):
+    return _turns(sf_dir)
+
+
+def q_validate_route(sf_dir: str):
+    return _validated(sf_dir)
+
+
+def q_reject_summary(sf_dir: str):
+    return (_validated(sf_dir)
+            .groupby("reject_reason").aggregate(Count(alias_name="n")))
+
+
+def q_window_tumbling(sf_dir: str):
+    return window_counts(_validated(sf_dir), HOUR_US)
+
+
+def q_window_sliding(sf_dir: str):
+    return window_counts(_validated(sf_dir), HOUR_US, Q15_US)
+
+
+def _ts_to_us(df: pd.DataFrame) -> pd.DataFrame:
+    out = pd.DataFrame({
+        "conv_id": df["conv_id"], "session_id": df["session_id"],
+        "start_us": df["start_ts"].astype("int64") // 1000,
+        "end_us": df["end_ts"].astype("int64") // 1000,
+        "n_turns": df["n_turns"],
+    })
+    return out
+
+
+def q_sessionize(sf_dir: str):
+    return sessionize(_turns(sf_dir), GAP_US).map_batches(
+        _ts_to_us, batch_format="pandas")
+
+
+def q_dedup_turns(sf_dir: str):
+    """Dedup demo: double a deterministic 1/101 slice, dedup restores the set."""
+    turns = _turns(sf_dir)
+    extra = turns.map_batches(lambda df: df[df["arrival_idx"] % 101 == 0],
+                              batch_format="pandas")
+    return dedup_exact(turns.union(extra))
+
+
+def q_late_flags(sf_dir: str):
+    ds = flag_late(_turns(sf_dir), LATENESS_US)
+    return ds.map_batches(
+        lambda df: df[["conv_id", "turn_idx", "ts", "late"]],
+        batch_format="pandas")
+
+
+class _RulesJoin:
+    """Broadcast stream-table join: turns ⋈ rules metadata by tool,
+    the dictionary held in actor state (≙ SURVEY.md §2.5)."""
+
+    def __init__(self):
+        compiled = R.compile_rules()
+        meta = {r.tool: (r.kind, r.dtt_code) for r in R.DEFAULT_RULES}
+        self.kind = {t: m[0] for t, m in meta.items()}
+        self.dtt = {t: m[1] for t, m in meta.items()}
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "conv_id": df["conv_id"], "turn_idx": df["turn_idx"],
+            "tool": df["tool"],
+            "kind": df["tool"].map(self.kind).fillna(""),
+            "dtt_code": df["tool"].map(self.dtt).fillna(""),
+        })
+
+
+def q_rules_join(sf_dir: str):
+    return _turns(sf_dir).map_batches(_RulesJoin, batch_format="pandas",
+                                      concurrency=(1, 4))
+
+
+# ------------------------------------------------------- relational ops
+
+def q_q1_pricing(sf_dir: str):
+    """TPC-H Q1-style pricing summary (partial-agg combiner then tiny shuffle)."""
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_linestatus", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = t.append_column("disc_price", disc_price)
+        g = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("l_quantity", "count")])
+        return g.rename_columns(["l_returnflag", "l_linestatus", "sum_qty",
+                                 "sum_base_price", "sum_disc_price", "count_order"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("count_order", alias_name="count_order"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_qty"] = df["sum_qty"].round(2)
+        df["sum_base_price"] = df["sum_base_price"].round(2)
+        df["sum_disc_price"] = df["sum_disc_price"].round(2)
+        return df
+    return out.map_batches(final, batch_format="pandas")
+
+
+class _CustNation:
+    """Broadcast hash join: orders ⋈ (customer ⋈ nation) — the small side is
+    shipped once via ray.put and read per actor, never per batch."""
+
+    def __init__(self, lookup_ref):
+        self.custkey_to_nation = ray.get(lookup_ref)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_name"] = df["o_custkey"].map(self.custkey_to_nation)
+        return df
+
+
+def q_orders_by_nation(sf_dir: str):
+    import pyarrow.parquet as pq
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    lookup = {ck: nmap[nk] for ck, nk in zip(cust["c_custkey"].to_pylist(),
+                                             cust["c_nationkey"].to_pylist())}
+    ref = ray.put(lookup)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    joined = orders.map_batches(_CustNation, fn_constructor_kwargs={"lookup_ref": ref},
+                                batch_format="pandas", concurrency=(1, 4))
+    out = joined.groupby("n_name").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"))
+    return out.map_batches(lambda df: df.assign(total=df["total"].round(2)),
+                           batch_format="pandas")
+
+
+def q_topk_orders(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def q_events_by_type(sf_dir: str):
+    out = _events(sf_dir).groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="total_value"))
+    return out.map_batches(
+        lambda df: df.assign(total_value=df["total_value"].round(2)),
+        batch_format="pandas")
+
+
+# ------------------------------------------------------- documents / text
+
+_TOKEN_RE = r"[A-Za-z0-9]+"
+_PUNCT_RE = r"[.!?,;:]"
+
+
+def q_doc_stats(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_tokens": df["text"].str.count(_TOKEN_RE).astype("int64"),
+            "n_punct": df["text"].str.count(_PUNCT_RE).astype("int64"),
+            "len_chars": df["text"].str.len().astype("int64"),
+        })
+    return ds.map_batches(stats, batch_format="pandas")
+
+
+def q_dedup_docs(sf_dir: str):
+    """Exact text dedup: keep the smallest doc_id per distinct text."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.groupby("text").aggregate(Min("doc_id", alias_name="doc_id"),
+                                       Count(alias_name="n_copies"))
+    return out.map_batches(lambda df: df[["doc_id", "n_copies"]],
+                           batch_format="pandas")
+
+
+class _AnnScorer:
+    """Brute-force cosine top-k: broadcast query matrix, numpy matmul per
+    batch (the baseline ANN path; LSH-bucketed variant is the scale path)."""
+
+    def __init__(self, queries_ref):
+        qids, qmat = ray.get(queries_ref)
+        self.qids = qids
+        norms = np.linalg.norm(qmat, axis=1, keepdims=True)
+        self.qmat = qmat / norms
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        emb = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        sims = emb @ self.qmat.T  # (batch, nq)
+        nq = len(self.qids)
+        return pd.DataFrame({
+            "qid": np.tile(self.qids, len(batch)),
+            "vec_id": np.repeat(batch["vec_id"].to_numpy(), nq),
+            "s": sims.ravel(),
+        })
+
+
+def q_ann_topk(sf_dir: str, n_queries: int = 3, k: int = 5):
+    import pyarrow.parquet as pq
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qmask = pc.less(emb["vec_id"], n_queries)
+    q = emb.filter(qmask)
+    qids = np.asarray(q["vec_id"].to_pylist())
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in q["embedding"].to_pylist()])
+    ref = ray.put((qids, qmat))
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    sims = ds.map_batches(_AnnScorer, fn_constructor_kwargs={"queries_ref": ref},
+                          batch_format="pandas", concurrency=(1, 4))
+    sims = sims.map_batches(lambda df: df[df["vec_id"] != df["qid"]],
+                            batch_format="pandas")
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["s", "vec_id"], ascending=[False, True]).head(k)
+        return g[["qid", "vec_id"]]
+    return sims.groupby("qid").map_groups(topk, batch_format="pandas")
