@@ -30,9 +30,33 @@ def _drop_null_text(batch: pa.Table) -> pa.Table:
     return batch.filter(pc.is_valid(batch["text"]))
 
 
+_WORKER_VALIDATOR_CACHE: dict = {}
+
+
+class _CachedValidator:
+    """Stateless-task variant: the Validator state is built once per WORKER
+    PROCESS (module-level cache keyed by the broadcast refs) instead of once
+    per actor. Elastic like any task pool — no actor spawn latency — while
+    still amortizing rule compilation. Use for small dictionaries; prefer
+    the actor pool (use_actors=True) when the broadcast state is large
+    enough that per-worker duplication matters."""
+
+    def __init__(self, cache_key, kwargs):
+        self.cache_key = cache_key
+        self.kwargs = kwargs
+
+    def __call__(self, batch):
+        v = _WORKER_VALIDATOR_CACHE.get(self.cache_key)
+        if v is None:
+            v = Validator(**self.kwargs)
+            _WORKER_VALIDATOR_CACHE[self.cache_key] = v
+        return v(batch)
+
+
 def validated_stream(turns: rd.Dataset, rules=None, entity_codes=None,
                      enable_blacklist: bool = True,
-                     concurrency=(2, 8), batch_size: int = 32768) -> rd.Dataset:
+                     concurrency=(2, 8), batch_size: int = 32768,
+                     use_actors: bool = True) -> rd.Dataset:
     """turns → validated stream with (valid, reject_reason, side) appended.
 
     The rules/entities dictionaries are broadcast once with ``ray.put`` and
@@ -42,16 +66,19 @@ def validated_stream(turns: rd.Dataset, rules=None, entity_codes=None,
     kwargs = {"rules_ref": ray.put(rules), "enable_blacklist": enable_blacklist}
     if entity_codes is not None:
         kwargs["entities_ref"] = ray.put(sorted(set(entity_codes)))
-    return turns.map_batches(
-        _drop_null_text, batch_format="pyarrow",
-    ).map_batches(
-        Validator,
-        fn_constructor_kwargs=kwargs,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+    ds = turns.map_batches(_drop_null_text, batch_format="pyarrow")
+    if use_actors:
+        return ds.map_batches(
+            Validator,
+            fn_constructor_kwargs=kwargs,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    fn = _CachedValidator((kwargs["rules_ref"], kwargs.get("entities_ref"),
+                           enable_blacklist), kwargs)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
 
 def run_flagship(turns_path: str, entities_path: str | None = None,

@@ -100,14 +100,16 @@ class Validator:
         fail(~_np(pc.is_in(tool, value_set=self.known_tools)), R.R_ATTR_UNKNOWN)
 
         # per-tool checks: role allowance, then checksum/regex value check.
-        # Loop is over DISTINCT tools in the batch (a handful), not rows.
-        tool_np = np.asarray(tool.to_numpy(zero_copy_only=False), dtype=object)
+        # Loop is over DISTINCT tools in the batch (a handful), not rows; the
+        # per-tool row selection stays in Arrow (no Python object arrays).
         side = np.zeros(n, dtype=bool)
-        for t in np.unique(tool_np[ok & ~gate]):
-            ent = self.compiled.get(t)
+        live = ok & ~gate
+        for t_scalar in pc.unique(tool):
+            t = t_scalar.as_py()
+            ent = self.compiled.get(t) if t is not None else None
             if ent is None:
                 continue
-            sel = (tool_np == t) & ok & ~gate
+            sel = _np(pc.equal(tool, t)) & live
             idx = np.flatnonzero(sel)
             sub_role = role.take(pa.array(idx))
             bad_role = ~_np(pc.is_in(sub_role, value_set=self.allowed[t]))

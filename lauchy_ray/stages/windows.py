@@ -50,13 +50,31 @@ def _partial_counts(batch: pa.Table, width_us: int, slide_us: int) -> pa.Table:
         ["window_id", "role", "tool", "n_valid", "n_rejected"])
 
 
+def _merge_counts(t: pa.Table) -> pa.Table:
+    return pa.TableGroupBy(t, ["window_id", "role", "tool"]).aggregate(
+        [("n_valid", "sum"), ("n_rejected", "sum")]).rename_columns(
+        ["window_id", "role", "tool", "n_valid", "n_rejected"])
+
+
 def window_counts(validated: rd.Dataset, width_us: int = HOUR_US,
-                  slide_us: int | None = None) -> rd.Dataset:
-    """validated turns → (window_id, role, tool, n_valid, n_rejected)."""
+                  slide_us: int | None = None,
+                  final: str = "merge") -> rd.Dataset:
+    """validated turns → (window_id, role, tool, n_valid, n_rejected).
+
+    final="merge" (default): after the per-batch partial aggregation the
+    result cardinality is bounded by windows × roles × tools — NOT by row
+    count — so the final combine is a single narrow task (coalesce blocks,
+    one pyarrow group_by), avoiding the full sort-shuffle machinery whose
+    fixed cost dwarfs the work at any scale. final="shuffle" keeps the
+    hash/sort groupby path for when the post-combine key space is itself
+    huge (e.g. per-conv windows)."""
     slide_us = slide_us or width_us
     assert width_us % slide_us == 0, "width must be a multiple of slide"
     partials = validated.map_batches(
         lambda t: _partial_counts(t, width_us, slide_us), batch_format="pyarrow")
-    return partials.groupby(["window_id", "role", "tool"]).aggregate(
-        Sum("n_valid", alias_name="n_valid"),
-        Sum("n_rejected", alias_name="n_rejected"))
+    if final == "shuffle":
+        return partials.groupby(["window_id", "role", "tool"]).aggregate(
+            Sum("n_valid", alias_name="n_valid"),
+            Sum("n_rejected", alias_name="n_rejected"))
+    return partials.repartition(1).map_batches(
+        _merge_counts, batch_format="pyarrow", batch_size=None)
