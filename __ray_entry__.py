@@ -53,6 +53,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": Q.q_doc_stats,
         "dedup_docs": Q.q_dedup_docs,
         "ann_topk": Q.q_ann_topk,
+        "doc_quality": Q.q_doc_quality,
+        "token_counts": Q.q_token_counts,
+        "turn_lag": Q.q_turn_lag,
+        "embed_near_dups": Q.q_embed_near_dups,
+        # rows-only (no SQL-expressible oracle; driver records row counts)
+        "lang_id": Q.q_lang_id,
+        "fingerprint": Q.q_fingerprint,
+        "minhash_dups": Q.q_minhash_dups,
+        "simhash_dups": Q.q_simhash_dups,
+        "ann_ivf": Q.q_ann_ivf,
+        "media_features": Q.q_media_features,
     }
 
 
@@ -155,6 +166,42 @@ def oracle_sql() -> dict[str, str]:
         "dedup_docs": """
             SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text""",
+        "doc_quality": """
+            WITH sig AS (
+              SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+                CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS BIGINT) AS n_punct
+              FROM documents),
+            ratios AS (
+              SELECT doc_id, n_chars, n_tokens,
+                CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) AS alpha_ratio,
+                CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+                CAST(n_alpha AS DOUBLE) / greatest(n_tokens, 1) AS mean_tok_len,
+                least(greatest(n_chars / 200.0, 0.0), 1.0) AS len_score
+              FROM sig)
+            SELECT doc_id, n_chars, n_tokens, alpha_ratio, punct_ratio, mean_tok_len,
+                   0.4 * len_score + 0.4 * least(greatest(alpha_ratio, 0.0), 1.0)
+                   + 0.2 * (1.0 - least(greatest(punct_ratio * 5, 0.0), 1.0)) AS quality
+            FROM ratios""",
+        "token_counts": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_pieces
+            FROM documents""",
+        "turn_lag": f"""WITH {_T}
+            SELECT conv_id, turn_idx, role,
+                   COALESCE(lag(role) OVER w, '') AS prev_role,
+                   COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS gap_us
+            FROM turns
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts)""",
+        "embed_near_dups": """
+            SELECT x.vec_id AS a, y.vec_id AS b
+            FROM embeddings x, embeddings y
+            WHERE x.vec_id < y.vec_id
+              AND list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                         CAST(y.embedding AS DOUBLE[])) >= 0.5""",
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
                        FROM embeddings WHERE vec_id < 3),

@@ -1,0 +1,114 @@
+"""CLI entry points (ray job submit compatible).
+
+    python -m lauchy_ray.cli generate --out /tmp/turns --n-turns 1000000
+    python -m lauchy_ray.cli validate --input /tmp/turns/turns \\
+        --entities /tmp/turns/entities.parquet --out /tmp/out [--no-resume]
+    python -m lauchy_ray.cli sessions --input /tmp/turns/turns --out /tmp/sess
+    python -m lauchy_ray.cli windows  --input /tmp/turns/turns --out /tmp/wc \\
+        [--slide-min 15]
+
+Owns its Ray session (guarded — works standalone or under ray job submit).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--num-cpus", type=int, default=None)
+    p = argparse.ArgumentParser(prog="lauchy_ray", parents=[common])
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", parents=[common],
+                       help="write a deterministic synthetic fixture")
+    g.add_argument("--out", required=True)
+    g.add_argument("--n-turns", type=int, default=100_000)
+    g.add_argument("--n-convs", type=int, default=2_000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--fragments", type=int, default=16)
+
+    v = sub.add_parser("validate", parents=[common],
+                       help="exactly-once checkpointed validation")
+    v.add_argument("--input", required=True)
+    v.add_argument("--entities", default=None)
+    v.add_argument("--out", required=True)
+    v.add_argument("--no-resume", action="store_true")
+    v.add_argument("--no-blacklist", action="store_true")
+    v.add_argument("--max-in-flight", type=int, default=32)
+
+    s = sub.add_parser("sessions", parents=[common],
+                       help="sessionize a turns table")
+    s.add_argument("--input", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--gap-min", type=int, default=30)
+
+    w = sub.add_parser("windows", parents=[common],
+                       help="windowed valid/rejected counts")
+    w.add_argument("--input", required=True)
+    w.add_argument("--out", required=True)
+    w.add_argument("--width-min", type=int, default=60)
+    w.add_argument("--slide-min", type=int, default=None)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "generate":
+        from .datagen import write_fixture
+        paths = write_fixture(args.out, n_turns=args.n_turns, n_convs=args.n_convs,
+                              seed=args.seed, n_fragments=args.fragments)
+        print(json.dumps(paths))
+        return 0
+
+    _init_ray(args.num_cpus)
+    import ray
+
+    try:
+        if args.cmd == "validate":
+            entity_codes = None
+            if args.entities:
+                import pyarrow.parquet as pq
+                entity_codes = pq.read_table(args.entities,
+                                             columns=["code"])["code"].to_pylist()
+            from .pipelines.checkpointed import run_checkpointed_validate
+            summary = run_checkpointed_validate(
+                args.input, args.out, entity_codes=entity_codes,
+                enable_blacklist=not args.no_blacklist,
+                resume=not args.no_resume, max_in_flight=args.max_in_flight)
+            print(json.dumps(summary))
+        elif args.cmd == "sessions":
+            import ray.data as rd
+            from .stages.sessionize import sessionize
+            sessionize(rd.read_parquet(args.input),
+                       gap_us=args.gap_min * 60 * 1_000_000).write_parquet(args.out)
+            print(json.dumps({"out": args.out}))
+        elif args.cmd == "windows":
+            import ray.data as rd
+            from .pipelines.validate import validated_stream
+            from .stages.windows import window_counts
+            width = args.width_min * 60 * 1_000_000
+            slide = args.slide_min * 60 * 1_000_000 if args.slide_min else None
+            vds = validated_stream(rd.read_parquet(args.input), use_actors=False)
+            window_counts(vds, width, slide).write_parquet(args.out)
+            print(json.dumps({"out": args.out}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

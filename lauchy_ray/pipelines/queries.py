@@ -232,6 +232,101 @@ def q_dedup_docs(sf_dir: str):
                            batch_format="pandas")
 
 
+def q_doc_quality(sf_dir: str):
+    """Quality signals; float expressions are single-op IEEE arithmetic so
+    they match DuckDB bitwise (no accumulation-order drift)."""
+    from ..stages.textops import quality_batch
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(quality_batch, batch_format="pandas")
+
+
+def q_token_counts(sf_dir: str):
+    from ..stages.textops import token_count_batch
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pandas")
+
+
+def q_turn_lag(sf_dir: str):
+    """Stateful sorted-buffer conv join: each turn with its predecessor's
+    role and the time gap, in stable (conv_id, turn_idx) order."""
+    from ..stages.join import ordered_conv_join
+    ds = ordered_conv_join(_turns(sf_dir))
+    return ds.map_batches(
+        lambda df: df[["conv_id", "turn_idx", "role", "prev_role", "gap_us"]],
+        batch_format="pandas")
+
+
+def q_lang_id(sf_dir: str):
+    """Rows-only: heuristic language ID over documents."""
+    from ..stages.textops import lang_id_batch
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    out = ds.map_batches(lang_id_batch, batch_format="pandas")
+    return out.map_batches(lambda df: df[["doc_id", "lang", "lang_pred"]],
+                           batch_format="pandas")
+
+
+def q_fingerprint(sf_dir: str):
+    """Rows-only: winnowing-style rolling-hash document fingerprints."""
+    from ..stages.textops import fingerprint_batch
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pandas")
+
+
+def q_minhash_dups(sf_dir: str):
+    """Rows-only: MinHash+LSH near-dup pairs, Jaccard-verified."""
+    from ..stages.dedup_near import minhash_lsh_dups
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_dups(docs, threshold=0.5)
+
+
+def q_simhash_dups(sf_dir: str):
+    """Rows-only: SimHash near-dup pairs (hamming ≤ 3)."""
+    from ..stages.dedup_near import simhash_dups
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_dups(docs)
+
+
+def q_embed_near_dups(sf_dir: str):
+    """Embedding-cosine near-dup pairs (a < b, cosine ≥ 0.5 — chosen so the
+    synthetic embeddings actually produce pairs)."""
+    import pyarrow.parquet as pq
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(emb["vec_id"].to_pylist())
+    mat = np.stack([np.asarray(v, np.float64) for v in emb["embedding"].to_pylist()])
+    from ..stages.dedup_near import embedding_near_dups
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = embedding_near_dups(ds, ids, mat, threshold=0.5)
+    pdf = out.to_pandas()
+    return pdf[["a", "b"]] if len(pdf) else pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                                          "b": pd.Series(dtype="int64")})
+
+
+def q_ann_ivf(sf_dir: str):
+    """Rows-only: IVF approximate top-k (recall vs brute force is tested
+    in pytest, not SQL-checkable by design)."""
+    import pyarrow.parquet as pq
+    from ..stages.dedup_near import ann_ivf_topk
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(pc.less(emb["vec_id"], 3))
+    qids = np.asarray(q["vec_id"].to_pylist())
+    qmat = np.stack([np.asarray(v, np.float64) for v in q["embedding"].to_pylist()])
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return ann_ivf_topk(ds, qids, qmat)[["qid", "vec_id"]]
+
+
+def q_media_features(sf_dir: str):
+    """Rows-only: multimodal decode plumbing over a deterministic synthetic
+    media table (stubbed decode — libs absent; Ray-side wiring is real)."""
+    from ..stages.multimodal import generate_media, media_pipeline
+    media = rd.from_arrow(generate_media(64, seed=42))
+    outs = media_pipeline(media)
+    img = outs["image_features"].to_pandas()
+    return img[["media_id", "width", "height"]]
+
+
 class _AnnScorer:
     """Brute-force cosine top-k: broadcast query matrix, numpy matmul per
     batch (the baseline ANN path; LSH-bucketed variant is the scale path)."""

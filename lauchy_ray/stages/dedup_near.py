@@ -1,0 +1,289 @@
+"""Near-duplicate detection at training-data scale (SURVEY-mandated
+additions): MinHash+LSH, SimHash, and embedding-cosine near-dup — plus the
+exact n-gram Jaccard verify used on LSH candidates.
+
+Scale shape (the guide's shingle→minhash→band→bucket-groupby pattern):
+
+  1. map_batches: per doc, shingle + minhash signature   (vectorized numpy,
+     one stable blake2b hash per shingle)
+  2. flat_map (inside map_batches): explode to (band_id, band_hash, doc_id)
+  3. groupby(band_hash) → candidate pairs within buckets  ← the ONLY shuffle,
+     and it moves (band, hash, id) triples, never documents
+  4. verify candidates with exact shingle-set Jaccard (re-shingle just the
+     candidate docs — candidate count << corpus)
+
+All hashes are blake2b-based — deterministic across processes/machines
+(Python's builtin hash() is salted per process and must never be used in
+a shuffle key).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+_TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Character k-shingle 64-bit hashes (lowercased, token-joined)."""
+    norm = " ".join(_TOKEN_RE.findall(text.lower()))
+    if len(norm) < k:
+        norm = norm.ljust(k, "_")
+    shingles = {norm[i:i + k] for i in range(len(norm) - k + 1)}
+    return np.array([int.from_bytes(
+        hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+        for s in shingles], dtype=np.uint64)
+
+
+def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(num_perm,) minhash signature via universal hashing, vectorized."""
+    h = ((a[:, None] * (shingles[None, :] % _MERSENNE)) + b[:, None]) % _MERSENNE
+    return h.min(axis=1)
+
+
+class MinHashBander:
+    """map_batches stage: doc → (band_id, band_hash, doc_id) rows.
+    Permutation params built once per actor/worker."""
+
+    def __init__(self, num_perm: int = 128, bands: int = 32, shingle_k: int = 5,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        assert num_perm % bands == 0
+        self.a, self.b = _perm_params(num_perm)
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.k = shingle_k
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out_band, out_hash, out_id = [], [], []
+        for doc_id, text in zip(df[self.id_col], df[self.text_col]):
+            sig = minhash_signature(_shingle_hashes(text, self.k), self.a, self.b)
+            sig_bytes = sig.astype(">u8").tobytes()
+            w = self.rows_per_band * 8
+            for band in range(self.bands):
+                bh = hashlib.blake2b(sig_bytes[band * w:(band + 1) * w],
+                                     digest_size=8).digest()
+                out_band.append(band)
+                out_hash.append(int.from_bytes(bh, "big") >> 1)  # fits int64
+                out_id.append(doc_id)
+        return pd.DataFrame({"band_id": out_band, "band_hash": out_hash,
+                             "doc_id": out_id})
+
+
+def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    ids = sorted(set(g["doc_id"]))
+    if len(ids) < 2:
+        return pd.DataFrame({"a": [], "b": []})
+    pairs = [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
+    return pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
+
+
+def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    sa = set(_shingle_hashes(text_a, k).tolist())
+    sb = set(_shingle_hashes(text_b, k).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def minhash_lsh_dups(docs: rd.Dataset, threshold: float = 0.8,
+                     num_perm: int = 128, bands: int = 32, shingle_k: int = 5,
+                     id_col: str = "doc_id", text_col: str = "text") -> pd.DataFrame:
+    """→ DataFrame (a, b, jaccard) of verified near-dup pairs, a < b.
+
+    The verify step re-reads only candidate docs' texts (broadcast of the
+    candidate id set, then a filtered pass) — never the whole corpus."""
+    bander = MinHashBander(num_perm, bands, shingle_k, id_col, text_col)
+    band_rows = docs.map_batches(bander, batch_format="pandas")
+    cand = (band_rows.groupby(["band_id", "band_hash"])
+            .map_groups(_bucket_pairs, batch_format="pandas"))
+    cand_df = cand.to_pandas().drop_duplicates()  # candidate pairs are few
+    if len(cand_df) == 0:
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+
+    need = set(cand_df["a"]) | set(cand_df["b"])
+    need_ref = ray.put(need)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        wanted = ray.get(need_ref)
+        return df[df[id_col].isin(wanted)][[id_col, text_col]]
+
+    texts = docs.map_batches(pick, batch_format="pandas").to_pandas()
+    text_of = dict(zip(texts[id_col], texts[text_col]))
+    jac = [jaccard(text_of[a], text_of[b], shingle_k)
+           for a, b in zip(cand_df["a"], cand_df["b"])]
+    cand_df = cand_df.assign(jaccard=np.round(jac, 6))
+    out = cand_df[cand_df["jaccard"] >= threshold].reset_index(drop=True)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- SimHash
+
+class SimHasher:
+    """map_batches stage: 64-bit SimHash per doc from token hashes."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col, self.text_col = id_col, text_col
+
+    @staticmethod
+    def simhash64(text: str) -> int:
+        toks = _TOKEN_RE.findall(text.lower())
+        if not toks:
+            return 0
+        hs = np.array([int.from_bytes(
+            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+            for t in toks], dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
+        votes = bits.sum(axis=0) * 2 - len(hs)  # +1/-1 votes per bit
+        return int("".join("1" if v > 0 else "0" for v in votes[::-1]), 2)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df[self.id_col],
+            "simhash": [self.simhash64(t) >> 1 for t in df[self.text_col]],  # int64
+        })
+
+
+def simhash_dups(docs: rd.Dataset, max_hamming: int = 3,
+                 n_blocks: int = 4) -> pd.DataFrame:
+    """Near-dup pairs by SimHash: block the 63 retained bits into
+    ``n_blocks`` bands (pigeonhole: any pair within max_hamming shares at
+    least one exact band when n_blocks > max_hamming), bucket-join, verify
+    true hamming distance."""
+    sh = docs.map_batches(SimHasher(), batch_format="pandas").to_pandas()
+    width = 64 // n_blocks
+    rows = {"block": [], "key": [], "doc_id": [], "simhash": []}
+    for doc_id, h in zip(sh["doc_id"], sh["simhash"]):
+        for blk in range(n_blocks):
+            rows["block"].append(blk)
+            rows["key"].append((h >> (blk * width)) & ((1 << width) - 1))
+            rows["doc_id"].append(doc_id)
+            rows["simhash"].append(h)
+    bdf = pd.DataFrame(rows)
+    pairs = set()
+    for (_, _), g in bdf.groupby(["block", "key"]):
+        ids = g.drop_duplicates("doc_id").sort_values("doc_id")
+        recs = list(zip(ids["doc_id"], ids["simhash"]))
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                (a, ha), (b, hb) = recs[i], recs[j]
+                if bin(ha ^ hb).count("1") <= max_hamming:
+                    pairs.add((a, b))
+    return pd.DataFrame(sorted(pairs), columns=["a", "b"])
+
+
+# ------------------------------------------------- embedding near-dup
+
+class _CosinePairs:
+    """Batch × (broadcast corpus) cosine; emits pairs above threshold with
+    a < b so each pair appears once."""
+
+    def __init__(self, corpus_ref, threshold: float):
+        ids, mat = ray.get(corpus_ref)
+        self.ids = ids
+        self.mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        self.threshold = threshold
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        emb = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        sims = emb @ self.mat.T
+        rows_a, rows_b, rows_s = [], [], []
+        batch_ids = df["vec_id"].to_numpy()
+        for i, vid in enumerate(batch_ids):
+            hits = np.flatnonzero((sims[i] >= self.threshold) & (self.ids > vid))
+            rows_a.extend([vid] * len(hits))
+            rows_b.extend(self.ids[hits])
+            rows_s.extend(sims[i, hits])
+        return pd.DataFrame({"a": rows_a, "b": rows_b,
+                             "cosine": np.round(rows_s, 6)})
+
+
+def embedding_near_dups(emb_ds: rd.Dataset, corpus_ids: np.ndarray,
+                        corpus_mat: np.ndarray,
+                        threshold: float = 0.98) -> rd.Dataset:
+    """Brute-force pairwise path (the baseline; at 10^9 vectors use
+    ann_ivf buckets as the blocking stage instead). The corpus matrix is
+    broadcast once; each batch does one matmul against it."""
+    ref = ray.put((corpus_ids, corpus_mat))
+    return emb_ds.map_batches(_CosinePairs,
+                              fn_constructor_kwargs={"corpus_ref": ref,
+                                                     "threshold": threshold},
+                              batch_format="pandas", concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------- ANN IVF
+
+def kmeans_fit(mat: np.ndarray, k: int, iters: int = 10, seed: int = 11) -> np.ndarray:
+    """Tiny deterministic Lloyd's k-means (training runs on a driver-side
+    sample; assignment is distributed)."""
+    rng = np.random.default_rng(seed)
+    cents = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)].copy()
+    for _ in range(iters):
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                cents[c] = mat[m].mean(0)
+    return cents
+
+
+class _IvfAssign:
+    def __init__(self, cents_ref):
+        self.cents = ray.get(cents_ref)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        emb = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        d = ((emb[:, None, :] - self.cents[None, :, :]) ** 2).sum(-1)
+        out = df[["vec_id"]].copy()
+        out["bucket"] = d.argmin(1).astype("int64")
+        out["embedding"] = df["embedding"].to_numpy()
+        return out
+
+
+def ann_ivf_topk(emb_ds: rd.Dataset, query_ids: np.ndarray, query_mat: np.ndarray,
+                 n_centroids: int = 16, nprobe: int = 4, k: int = 5,
+                 train_sample: int = 4096) -> pd.DataFrame:
+    """IVF approximate top-k: train centroids on a sample, bucket the
+    corpus (distributed assignment), search only the nprobe closest
+    buckets per query. → DataFrame (qid, vec_id, cosine)."""
+    sample = emb_ds.limit(train_sample).to_pandas()
+    smat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    cents = kmeans_fit(smat, n_centroids)
+    cents_ref = ray.put(cents)
+
+    assigned = emb_ds.map_batches(_IvfAssign,
+                                  fn_constructor_kwargs={"cents_ref": cents_ref},
+                                  batch_format="pandas", concurrency=(1, 8)).to_pandas()
+    qn = query_mat / np.linalg.norm(query_mat, axis=1, keepdims=True)
+    qd = ((qn[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    probe = np.argsort(qd, axis=1)[:, :nprobe]
+
+    out = []
+    by_bucket = {b: g for b, g in assigned.groupby("bucket")}
+    for qi, qid in enumerate(query_ids):
+        cand = pd.concat([by_bucket[b] for b in probe[qi] if b in by_bucket])
+        cmat = np.stack(cand["embedding"].to_numpy()).astype(np.float64)
+        cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+        sims = cmat @ qn[qi]
+        cand = cand.assign(cosine=np.round(sims, 6))
+        cand = cand[cand["vec_id"] != qid]
+        top = cand.nlargest(k, ["cosine", "vec_id"])[["vec_id", "cosine"]]
+        top.insert(0, "qid", qid)
+        out.append(top)
+    return pd.concat(out).reset_index(drop=True)
