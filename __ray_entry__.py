@@ -44,7 +44,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_turns": Q.q_dedup_turns,
         "late_flags": Q.q_late_flags,
         "rules_join": Q.q_rules_join,
+        "blacklist": Q.q_blacklist,
         # relational operators
+        "order_revenue": Q.q_order_revenue,
         "q1_pricing": Q.q_q1_pricing,
         "orders_by_nation": Q.q_orders_by_nation,
         "topk_orders": Q.q_topk_orders,
@@ -134,6 +136,14 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(m.kind, '') AS kind,
                    COALESCE(m.dtt_code, '') AS dtt_code
             FROM turns t LEFT JOIN tool_meta m USING (tool)""",
+        "blacklist": f"""WITH {_V}
+            SELECT DISTINCT conv_id FROM validated_full WHERE NOT valid""",
+        "order_revenue": """
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(DISTINCT l_orderkey) AS n_orders
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority""",
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

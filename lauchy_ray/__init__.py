@@ -39,7 +39,7 @@ from .functions import checksums, text  # noqa: E402,F401
 from .sources import stream  # noqa: E402,F401
 from .stages import (dedup, dedup_near, join, multimodal, sessionize,  # noqa: E402,F401
                      textops, validator, watermark, windows)
-from .state import sink  # noqa: E402,F401
+from .state import sink, streaming  # noqa: E402,F401
 from . import datagen, events_bridge, oracle  # noqa: E402,F401
 from .pipelines import checkpointed, queries, validate  # noqa: E402,F401
 

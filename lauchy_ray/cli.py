@@ -65,6 +65,14 @@ def main(argv: list[str] | None = None) -> int:
     w.add_argument("--width-min", type=int, default=60)
     w.add_argument("--slide-min", type=int, default=None)
 
+    st = sub.add_parser("stream", parents=[common],
+                        help="watermark-driven streaming window engine")
+    st.add_argument("--input", required=True)
+    st.add_argument("--out", required=True)
+    st.add_argument("--width-min", type=int, default=60)
+    st.add_argument("--lateness-min", type=int, default=5)
+    st.add_argument("--shards", type=int, default=8)
+
     args = p.parse_args(argv)
 
     if args.cmd == "generate":
@@ -78,6 +86,12 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     try:
+        if args.cmd in ("validate", "stream", "sessions", "windows"):
+            from .sources.stream import list_fragments
+            if not list_fragments(args.input):
+                print(json.dumps({"error": f"no parquet fragments under {args.input}"}),
+                      file=sys.stderr)
+                return 2
         if args.cmd == "validate":
             entity_codes = None
             if args.entities:
@@ -105,6 +119,22 @@ def main(argv: list[str] | None = None) -> int:
             vds = validated_stream(rd.read_parquet(args.input), use_actors=False)
             window_counts(vds, width, slide).write_parquet(args.out)
             print(json.dumps({"out": args.out}))
+        elif args.cmd == "stream":
+            import os
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from .state.streaming import run_streaming_window_counts
+            wc, late, wms = run_streaming_window_counts(
+                args.input, args.width_min * 60 * 1_000_000,
+                args.lateness_min * 60 * 1_000_000, n_shards=args.shards)
+            os.makedirs(args.out, exist_ok=True)
+            pq.write_table(pa.Table.from_pandas(wc),
+                           os.path.join(args.out, "window_counts.parquet"))
+            pq.write_table(pa.Table.from_pandas(late),
+                           os.path.join(args.out, "late.parquet"))
+            print(json.dumps({"out": args.out, "windows": len(wc),
+                              "late_rows": len(late),
+                              "watermarks": [int(w) for w in wms]}))
     finally:
         ray.shutdown()
     return 0

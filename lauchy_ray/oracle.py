@@ -148,6 +148,50 @@ def window_counts_rows(rows: list[dict], width_us: int = 3600 * 1_000_000,
             for k, v in sorted(acc.items())]
 
 
+def shard_of(conv_id: str, n_shards: int) -> int:
+    """Deterministic shard id (crc32 — not Python hash(), which is salted)."""
+    import zlib
+    return zlib.crc32(conv_id.encode()) % n_shards
+
+
+def streaming_window_counts_rows(rows: list[dict], width_us: int,
+                                 lateness_us: int, n_shards: int):
+    """Single-threaded mirror of state.streaming: per-shard sequential scan
+    in arrival order, watermark wm = max(ts) - lateness, windows emitted
+    when wm passes their end, late = arrival after the window closed.
+    ``rows`` must already carry ``valid``. → (counts dict, late list, wms)."""
+    wm = [(-(1 << 62))] * n_shards
+    open_cells: list[dict] = [dict() for _ in range(n_shards)]
+    emitted: dict[tuple, list[int]] = {}
+    late = []
+    for row in rows:
+        s = shard_of(row["conv_id"], n_shards)
+        wid = row["ts"] // width_us
+        if (wid + 1) * width_us <= wm[s]:
+            late.append({"conv_id": row["conv_id"], "turn_idx": row["turn_idx"],
+                         "ts": row["ts"], "window_id": wid})
+        else:
+            cell = open_cells[s].setdefault((wid, row["role"], row["tool"]), [0, 0])
+            cell[0 if row["valid"] else 1] += 1
+        if row["ts"] - lateness_us > wm[s]:
+            wm[s] = row["ts"] - lateness_us
+            closed = [k for k in open_cells[s] if (k[0] + 1) * width_us <= wm[s]]
+            for k in closed:
+                ec = emitted.setdefault(k, [0, 0])
+                cc = open_cells[s].pop(k)
+                ec[0] += cc[0]
+                ec[1] += cc[1]
+    for s in range(n_shards):
+        for k, cc in open_cells[s].items():
+            ec = emitted.setdefault(k, [0, 0])
+            ec[0] += cc[0]
+            ec[1] += cc[1]
+    counts = [{"window_id": k[0], "role": k[1], "tool": k[2],
+               "n_valid": v[0], "n_rejected": v[1]}
+              for k, v in sorted(emitted.items())]
+    return counts, late, wm
+
+
 def late_rows(rows: list[dict], lateness_us: int = 5 * 60 * 1_000_000) -> list[dict]:
     """Watermark late-flagging per conv: a row is late if its ts is older
     than (conv's running max ts at arrival) - lateness. Arrival order =

@@ -189,6 +189,50 @@ def q_orders_by_nation(sf_dir: str):
                            batch_format="pandas")
 
 
+def q_order_revenue(sf_dir: str):
+    """Large⋈large hash join (Dataset.join, hash-partitioned on the key):
+    lineitem ⋈ orders → revenue per order priority. The partial-agg
+    combiner runs BEFORE the join on the lineitem side so the shuffle
+    moves one row per order, not one per line item."""
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def per_order(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = t.append_column("revenue", rev)
+        return (pa.TableGroupBy(t.select(["l_orderkey", "revenue"]), ["l_orderkey"])
+                .aggregate([("revenue", "sum")])
+                .rename_columns(["l_orderkey", "revenue"]))
+
+    li_partial = li.map_batches(per_order, batch_format="pyarrow")
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    joined = li_partial.join(orders, join_type="inner", num_partitions=16,
+                             on=("l_orderkey",), right_on=("o_orderkey",))
+    # a batch-level partial can emit the same orderkey from several batches:
+    # merge to one row per order before counting orders per priority
+    per_order_total = joined.groupby(["o_orderpriority", "l_orderkey"]).aggregate(
+        Sum("revenue", alias_name="revenue"))
+    out = per_order_total.groupby("o_orderpriority").aggregate(
+        Sum("revenue", alias_name="revenue"), Count(alias_name="n_orders"))
+    return out.map_batches(lambda df: df.assign(revenue=df["revenue"].round(2)),
+                           batch_format="pandas")
+
+
+def q_blacklist(sf_dir: str):
+    """≙ the blacklists topic (TopologyProducer.java:286): the distinct set
+    of conv ids that produced any rejected turn."""
+    rej = _validated(sf_dir).map_batches(
+        lambda t: t.filter(pc.invert(t["valid"])).select(["conv_id"]),
+        batch_format="pyarrow")
+    # per-batch distinct (combiner) → tiny global distinct via groupby
+    rej = rej.map_batches(lambda t: t.group_by("conv_id").aggregate([]),
+                          batch_format="pyarrow")
+    return rej.groupby("conv_id").aggregate(Count(alias_name="n")).select_columns(
+        ["conv_id"])
+
+
 def q_topk_orders(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
                          columns=["o_orderkey", "o_custkey", "o_totalprice"])
