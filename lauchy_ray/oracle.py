@@ -31,7 +31,6 @@ events-bridge profile has no entity dictionary).
 from __future__ import annotations
 
 from . import rules as R
-from .functions.checksums import abn_valid, luhn_valid
 from .functions.text import tidy_scalar
 
 
@@ -64,11 +63,12 @@ def validate_row(role: str, text: str, tool: str, conv_id: str,
             # check's outcome, which runs after.
             ent = compiled[tool]
             side = tool == R.SIDE_OUTPUT_TOOL and text == R.SIDE_OUTPUT_VALUE
-            if ent["kind"] == "abn":
-                if not abn_valid(text):
-                    valid, reason = False, R.R_CHECKSUM_FAIL
-            elif ent["kind"] == "luhn":
-                if not luhn_valid(text):
+            R._register_builtin_predicates()
+            if ent["kind"] in R.PREDICATE_REGISTRY:
+                import numpy as np
+                ok = bool(R.PREDICATE_REGISTRY[ent["kind"]](
+                    np.array([text], dtype=object))[0])
+                if not ok:
                     valid, reason = False, R.R_CHECKSUM_FAIL
             else:
                 if not any(rx.fullmatch(text) for rx, _ in ent["checks"]):

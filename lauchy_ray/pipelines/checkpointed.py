@@ -25,13 +25,17 @@ class ValidateTransform:
     construction is noise next to fragment IO."""
 
     def __init__(self, rules=None, entity_codes=None, enable_blacklist=True):
+        from .. import rules as R
         self.rules = DEFAULT_RULES if rules is None else rules
         self.entity_codes = entity_codes
         self.enable_blacklist = enable_blacklist
+        R._register_builtin_predicates()
+        self.predicates = dict(R.PREDICATE_REGISTRY)  # driver-side snapshot
 
     def __call__(self, table: pa.Table) -> dict[str, pa.Table]:
         v = Validator(rules=self.rules, entity_codes=self.entity_codes,
-                      enable_blacklist=self.enable_blacklist)
+                      enable_blacklist=self.enable_blacklist,
+                      predicates=self.predicates)
         out = v(table.filter(pc.is_valid(table["text"])))
         return {
             "valid": out.filter(out["valid"]),

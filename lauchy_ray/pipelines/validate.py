@@ -62,8 +62,13 @@ def validated_stream(turns: rd.Dataset, rules=None, entity_codes=None,
     The rules/entities dictionaries are broadcast once with ``ray.put`` and
     re-read per ACTOR (not per batch) in ``Validator.__init__``.
     """
+    from .. import rules as R
     rules = DEFAULT_RULES if rules is None else rules
-    kwargs = {"rules_ref": ray.put(rules), "enable_blacklist": enable_blacklist}
+    R._register_builtin_predicates()
+    kwargs = {"rules_ref": ray.put(rules), "enable_blacklist": enable_blacklist,
+              # snapshot the DRIVER's predicate registry (custom kinds
+              # registered here must reach worker-side Validator state)
+              "predicates": dict(R.PREDICATE_REGISTRY)}
     if entity_codes is not None:
         kwargs["entities_ref"] = ray.put(sorted(set(entity_codes)))
     ds = turns.map_batches(_drop_null_text, batch_format="pyarrow")

@@ -45,6 +45,28 @@ R_CHECKSUM_FAIL = "checksum-fail"       # ≙ V8/V9 TopologyProducer.java:228-23
 R_EXCEPTION = "exception"               # ≙ V11 TopologyProducer.java:275-277
 
 
+# User-extension surface (≙ SURVEY.md §2.9): new validator KINDS are
+# data + a registered vectorized predicate, not engine changes. A predicate
+# takes a numpy object array of strings and returns a bool array.
+# "abn" and "luhn" are registered here too — the engine has no special
+# cases. "regex" is the only built-in handled structurally (OR-any over the
+# rule list with early exit).
+PREDICATE_REGISTRY: dict = {}
+
+
+def register_predicate(kind: str):
+    def deco(fn):
+        PREDICATE_REGISTRY[kind] = fn
+        return fn
+    return deco
+
+
+def _register_builtin_predicates() -> None:
+    from .functions.checksums import abn_valid_np, luhn_valid_np
+    PREDICATE_REGISTRY.setdefault("abn", abn_valid_np)
+    PREDICATE_REGISTRY.setdefault("luhn", luhn_valid_np)
+
+
 @dataclass(frozen=True)
 class Rule:
     tool: str

@@ -34,14 +34,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .. import rules as R
-from ..functions.checksums import abn_valid_np, luhn_valid_np
 from ..functions.text import TIDY_FROM, TIDY_TO
 
 
 class Validator:
     def __init__(self, rules_ref=None, entities_ref=None, enable_blacklist: bool = True,
                  rules: list | None = None, entity_codes: list[str] | None = None,
-                 apply_tidy: bool = True):
+                 apply_tidy: bool = True, predicates: dict | None = None):
         """State setup, once per actor.
 
         rules_ref / entities_ref: ``ray.put`` object refs (preferred — one
@@ -66,6 +65,18 @@ class Validator:
                         for t, e in self.compiled.items()}
         self.entity_set = (pa.array(sorted(set(entity_codes)), type=pa.string())
                           if entity_codes is not None else None)
+        # registry snapshot: caller (driver) passes its registry so custom
+        # kinds registered in the driver process reach the workers; fall back
+        # to this process's registry for direct construction
+        R._register_builtin_predicates()
+        self.predicates = dict(R.PREDICATE_REGISTRY) if predicates is None else predicates
+        unknown = {e["kind"] for e in self.compiled.values()
+                   if e["kind"] != "regex" and e["kind"] not in self.predicates}
+        if unknown:
+            raise ValueError(
+                f"rule kinds {sorted(unknown)} have no registered predicate — "
+                "register them with lauchy_ray.rules.register_predicate() in "
+                "the driver before building the pipeline")
         self.rows_seen = 0  # ≙ the reference's peek counters (java:132,136)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -121,11 +132,12 @@ class Validator:
             sub_text = text.take(pa.array(idx))
             if t == R.SIDE_OUTPUT_TOOL:
                 side[idx] = _np(pc.equal(sub_text, R.SIDE_OUTPUT_VALUE))
-            if ent["kind"] == "abn":
-                bad = ~abn_valid_np(sub_text.to_numpy(zero_copy_only=False))
-                code = R.R_CHECKSUM_FAIL
-            elif ent["kind"] == "luhn":
-                bad = ~luhn_valid_np(sub_text.to_numpy(zero_copy_only=False))
+            if ent["kind"] in self.predicates:
+                # registry kinds (abn/luhn built-in; users add their own via
+                # rules.register_predicate — SURVEY.md §2.9 extension surface)
+                fn = self.predicates[ent["kind"]]
+                bad = ~np.asarray(fn(sub_text.to_numpy(zero_copy_only=False)),
+                                  dtype=bool)
                 code = R.R_CHECKSUM_FAIL
             else:
                 # OR-any with first-match early exit (java:233-251): evaluate
