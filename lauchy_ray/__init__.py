@@ -36,7 +36,7 @@ def _register_by_value() -> None:
 # boundary, then register everything loaded so far.
 from . import rules, schema  # noqa: E402,F401
 from .functions import checksums, text  # noqa: E402,F401
-from .sources import stream  # noqa: E402,F401
+from .sources import json_ingest, stream  # noqa: E402,F401
 from .stages import (dedup, dedup_near, join, multimodal, sessionize,  # noqa: E402,F401
                      textops, validator, watermark, windows)
 from .state import sink, streaming  # noqa: E402,F401

@@ -1,0 +1,159 @@
+"""JSON ingest: the reference's actual wire format.
+
+lauchy consumes JSON ``QDataAnswerMessage`` envelopes from Kafka
+(TopologyProducer.java:131, 167, 178)::
+
+    {"msg_type": "DATA_MSG", "data_type": "Answer", "token": "...",
+     "items": [{"sourceCode": "...", "targetCode": "...",
+                "attributeCode": "...", "value": "..."}, ...]}
+
+This module flattens JSONL files of such envelopes into per-answer rows
+(``flat_map`` shape, SURVEY.md §2.2 M8) and maps them onto the engine's
+turns schema, so a user of the reference can point their message log at
+this engine unchanged.
+
+Message-level validity (SURVEY.md V-note): inside the reference's
+per-answer loop ``valid`` is REASSIGNED per answer with no break
+(java:185-273), so the message's verdict is the verdict of the LAST
+answer — an early failing answer is overwritten by a later passing one —
+except that a thrown exception aborts the loop and fails the whole
+message (java:275-277). :func:`message_validity` offers:
+
+- mode="all"  — the clean semantics (message valid iff every answer valid);
+- mode="last" — the reference's faithful last-writer-wins behavior,
+  exception-aborts included (rows with reject_reason == "exception" fail
+  the message regardless of position).
+
+Malformed JSON lines are routed to rows with ``tool=""`` + parse_error
+semantics? No — faithfully to java:275-277, a message that fails to parse
+is INVALID as a whole; we emit one synthetic row per bad line with
+msg_type="PARSE_ERROR" so nothing is silently dropped.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+ANSWERS_SCHEMA = pa.schema([
+    ("msg_id", pa.int64()),
+    ("item_idx", pa.int32()),
+    ("msg_type", pa.string()),
+    ("data_type", pa.string()),
+    ("token", pa.string()),
+    ("source_code", pa.string()),
+    ("target_code", pa.string()),
+    ("attribute_code", pa.string()),
+    ("value", pa.string()),
+])
+
+
+def parse_lines(lines: list[str], base_msg_id: int = 0) -> pa.Table:
+    """JSONL envelope lines → flattened per-answer Arrow table."""
+    rows = {name: [] for name in ANSWERS_SCHEMA.names}
+
+    def emit(mid, idx, mtype, dtype, token, src, tgt, attr, val):
+        rows["msg_id"].append(mid)
+        rows["item_idx"].append(idx)
+        rows["msg_type"].append(mtype)
+        rows["data_type"].append(dtype)
+        rows["token"].append(token)
+        rows["source_code"].append(src)
+        rows["target_code"].append(tgt)
+        rows["attribute_code"].append(attr)
+        rows["value"].append(val)
+
+    for i, line in enumerate(lines):
+        mid = base_msg_id + i
+        try:
+            msg = json.loads(line)
+            items = msg.get("items") or []
+            if not items:
+                emit(mid, 0, str(msg.get("msg_type", "")),
+                     str(msg.get("data_type", "")), str(msg.get("token", "")),
+                     "", "", "", "")
+            for k, item in enumerate(items):
+                emit(mid, k, str(msg.get("msg_type", "")),
+                     str(msg.get("data_type", "")), str(msg.get("token", "")),
+                     str(item.get("sourceCode", "")),
+                     str(item.get("targetCode", "")),
+                     str(item.get("attributeCode", "")),
+                     str(item.get("value", "")))
+        except (json.JSONDecodeError, AttributeError, TypeError):
+            # ≙ parse throw → blanket catch → invalid (java:275-277)
+            emit(mid, 0, "PARSE_ERROR", "", "", "", "", "", "")
+    rows["item_idx"] = pa.array(rows["item_idx"], pa.int32())
+    rows["msg_id"] = pa.array(rows["msg_id"], pa.int64())
+    return pa.table(rows, schema=ANSWERS_SCHEMA)
+
+
+def read_answer_messages(path: str) -> rd.Dataset:
+    """JSONL file(s) of QDataAnswerMessage envelopes → per-answer Dataset.
+    One task per file (scales with file count); msg_id = (file_ordinal <<
+    32) | line_number — globally unique and deterministic, like
+    sources.stream arrival ids."""
+    import glob
+    import os
+    files = ([path] if os.path.isfile(path)
+             else sorted(glob.glob(os.path.join(path, "*.jsonl"))
+                         + glob.glob(os.path.join(path, "*.json"))))
+
+    def load(batch: dict) -> pa.Table:
+        p, ordinal = batch["path"][0], int(batch["ordinal"][0])
+        with open(p) as f:
+            lines = f.read().splitlines()
+        return parse_lines(lines, base_msg_id=ordinal << 32)
+
+    items = [{"path": p, "ordinal": i} for i, p in enumerate(files)]
+    return rd.from_items(items).map_batches(load, batch_size=1,
+                                            batch_format="numpy")
+
+
+def answers_to_turns(answers: rd.Dataset) -> rd.Dataset:
+    """Map flattened answers onto the engine's turns schema:
+    conv_id ≙ sourceCode (the token user's entity), turn_idx ≙ item_idx,
+    role ≙ 'user' for DATA_MSG/Answer envelopes ('gate' rows keep tool="" →
+    validated as pass-through, java:169-172), tool ≙ attributeCode,
+    text ≙ value, ts synthesized from msg order (the wire format carries no
+    event time; a production feed would map a header timestamp here)."""
+    def conv(df: pd.DataFrame) -> pd.DataFrame:
+        gated = ~((df["msg_type"] == "DATA_MSG") & (df["data_type"] == "Answer"))
+        out = pd.DataFrame({
+            "conv_id": df["source_code"].where(df["source_code"] != "", "UNKNOWN"),
+            "turn_idx": df["item_idx"].astype("int32"),
+            "role": "user",
+            "text": df["value"],
+            "tool": df["attribute_code"].where(~gated, ""),
+            "ts": pd.to_datetime(df["msg_id"] * 1_000_000 + df["item_idx"],
+                                 unit="us"),
+            "msg_id": df["msg_id"],
+            "parse_error": df["msg_type"] == "PARSE_ERROR",
+        })
+        return out
+    return answers.map_batches(conv, batch_format="pandas")
+
+
+def message_validity(validated: pd.DataFrame, mode: str = "all") -> pd.DataFrame:
+    """Per-message verdict from per-answer validation results.
+
+    mode="all": message valid iff all its answers are valid (clean).
+    mode="last": the reference's last-writer-wins (see module docstring) —
+    the verdict of the highest item_idx, except any "exception" row (or
+    parse error) fails the message.
+    → DataFrame (msg_id, msg_valid)."""
+    df = validated
+    if mode == "all":
+        agg = df.groupby("msg_id")["valid"].all()
+    elif mode == "last":
+        ordered = df.sort_values(["msg_id", "turn_idx"], kind="stable")
+        last = ordered.groupby("msg_id")["valid"].last()
+        aborted = df.assign(
+            _exc=(df["reject_reason"] == "exception")
+            | df.get("parse_error", False)).groupby("msg_id")["_exc"].any()
+        agg = last & ~aborted
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    return agg.rename("msg_valid").reset_index()
