@@ -70,14 +70,17 @@ def _derive_batch(df: pd.DataFrame) -> pd.DataFrame:
 
     conv_id = pd.Series(uid).map(lambda u: f"CONV_{u:06d}").to_numpy()
 
-    role = etype.map(_ROLE_MAP).to_numpy(dtype=object)
+    # .fillna defaults mirror the SQL CASE ELSE arms exactly: an event_type
+    # outside the five known values must derive identically on both sides
+    role = etype.map(_ROLE_MAP).fillna("tool").to_numpy(dtype=object)
     role[eid % 37 == 0] = "intruder"
 
     tool = etype.map(_BASE_TOOL).to_numpy(dtype=object)
     purchase = (etype == "purchase").to_numpy()
     tool[purchase & (eid % 2 == 0)] = "TOOL_ABN"
     tool[purchase & (eid % 2 == 1)] = "TOOL_CC"
-    err = (etype == "error").to_numpy()
+    # SQL ELSE arm: anything not click/view/signup/purchase routes by id%3
+    err = (~etype.isin(["click", "view", "signup", "purchase"])).to_numpy()
     for k in range(3):
         tool[err & (eid % 3 == k)] = _ERROR_TOOLS[k]
     # overrides, LAST applied wins ⇒ apply in reverse CASE order
@@ -239,9 +242,13 @@ validated AS (
       WHEN m.tool IS NULL THEN '{R.R_ATTR_UNKNOWN}'
       WHEN NOT list_contains(m.allowed, t.role) THEN '{R.R_ATTR_NOT_ALLOWED}'
       WHEN m.kind = 'abn' THEN
-        (CASE WHEN {abn} THEN '' ELSE '{R.R_CHECKSUM_FAIL}' END)
+        (CASE WHEN {abn} THEN ''
+              WHEN NOT regexp_full_match(t.text, '[0-9]+') THEN '{R.R_EXCEPTION}'
+              ELSE '{R.R_CHECKSUM_FAIL}' END)
       WHEN m.kind = 'luhn' THEN
-        (CASE WHEN {luhn} THEN '' ELSE '{R.R_CHECKSUM_FAIL}' END)
+        (CASE WHEN {luhn} THEN ''
+              WHEN NOT regexp_full_match(t.text, '[0-9]*') THEN '{R.R_EXCEPTION}'
+              ELSE '{R.R_CHECKSUM_FAIL}' END)
       WHEN EXISTS (SELECT 1 FROM rules r
                    WHERE r.tool = t.tool AND r.kind = 'regex'
                      AND regexp_full_match(t.text, r.regex))

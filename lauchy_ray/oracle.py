@@ -66,10 +66,18 @@ def validate_row(role: str, text: str, tool: str, conv_id: str,
             R._register_builtin_predicates()
             if ent["kind"] in R.PREDICATE_REGISTRY:
                 import numpy as np
+                import re as _re
                 ok = bool(R.PREDICATE_REGISTRY[ent["kind"]](
                     np.array([text], dtype=object))[0])
                 if not ok:
-                    valid, reason = False, R.R_CHECKSUM_FAIL
+                    # abn/luhn distinguish the reference exception path
+                    # (parseInt throw: non-digit input, or empty for ABN)
+                    # from a checksum mismatch — see validator.py
+                    if (ent["kind"] == "abn" and _re.fullmatch("[0-9]+", text) is None) or \
+                       (ent["kind"] == "luhn" and _re.fullmatch("[0-9]*", text) is None):
+                        valid, reason = False, R.R_EXCEPTION
+                    else:
+                        valid, reason = False, R.R_CHECKSUM_FAIL
             else:
                 if not any(rx.fullmatch(text) for rx, _ in ent["checks"]):
                     valid, reason = False, R.R_REGEX_FAIL
@@ -82,10 +90,16 @@ def validate_row(role: str, text: str, tool: str, conv_id: str,
 
 def validate_table(rows: list[dict], rules=None, entity_codes: set[str] | None = None,
                    enable_blacklist: bool = True) -> list[dict]:
-    """Oracle over a list of row dicts → rows + (valid, reject_reason, side)."""
+    """Oracle over a list of row dicts → rows + (valid, reject_reason, side).
+
+    Rows with ``text is None`` are DROPPED, mirroring the engine's null
+    filter (≙ TopologyProducer.java:133) — the oracle and the pipelines
+    must agree on nullable input, not just on the fixtures."""
     compiled = R.compile_rules(rules)
     out = []
     for row in rows:
+        if row.get("text") is None:
+            continue
         valid, reason, side, text = validate_row(
             row["role"], row["text"], row["tool"], row["conv_id"],
             compiled, entity_codes, enable_blacklist)

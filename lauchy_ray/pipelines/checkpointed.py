@@ -33,10 +33,11 @@ class ValidateTransform:
         self.predicates = dict(R.PREDICATE_REGISTRY)  # driver-side snapshot
 
     def __call__(self, table: pa.Table) -> dict[str, pa.Table]:
+        from .validate import _drop_null_text
         v = Validator(rules=self.rules, entity_codes=self.entity_codes,
                       enable_blacklist=self.enable_blacklist,
                       predicates=self.predicates)
-        out = v(table.filter(pc.is_valid(table["text"])))
+        out = v(_drop_null_text(table))
         return {
             "valid": out.filter(out["valid"]),
             "rejected": out.filter(pc.invert(out["valid"])),

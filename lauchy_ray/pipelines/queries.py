@@ -355,14 +355,9 @@ def q_simhash_dups(sf_dir: str):
 def q_embed_near_dups(sf_dir: str):
     """Embedding-cosine near-dup pairs (a < b, cosine ≥ 0.5 — chosen so the
     synthetic embeddings actually produce pairs)."""
-    import pyarrow.parquet as pq
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    ids = np.asarray(emb["vec_id"].to_pylist())
-    mat = np.stack([np.asarray(v, np.float64) for v in emb["embedding"].to_pylist()])
     from ..stages.dedup_near import embedding_near_dups
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
-    out = embedding_near_dups(ds, ids, mat, threshold=0.5)
+    emb, ids, mat = _load_embeddings(sf_dir)
+    out = embedding_near_dups(rd.from_arrow(emb), ids, mat, threshold=0.5)
     pdf = out.to_pandas()
     return pdf[["a", "b"]] if len(pdf) else pd.DataFrame({"a": pd.Series(dtype="int64"),
                                                           "b": pd.Series(dtype="int64")})
@@ -371,15 +366,10 @@ def q_embed_near_dups(sf_dir: str):
 def q_ann_ivf(sf_dir: str):
     """Rows-only: IVF approximate top-k (recall vs brute force is tested
     in pytest, not SQL-checkable by design)."""
-    import pyarrow.parquet as pq
     from ..stages.dedup_near import ann_ivf_topk
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    q = emb.filter(pc.less(emb["vec_id"], 3))
-    qids = np.asarray(q["vec_id"].to_pylist())
-    qmat = np.stack([np.asarray(v, np.float64) for v in q["embedding"].to_pylist()])
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
-    return ann_ivf_topk(ds, qids, qmat)[["qid", "vec_id"]]
+    emb, ids, mat = _load_embeddings(sf_dir)
+    return ann_ivf_topk(rd.from_arrow(emb), ids[ids < 3],
+                        mat[ids < 3])[["qid", "vec_id"]]
 
 
 def q_media_features(sf_dir: str):
@@ -414,16 +404,23 @@ class _AnnScorer:
         })
 
 
-def q_ann_topk(sf_dir: str, n_queries: int = 3, k: int = 5):
+def _load_embeddings(sf_dir: str):
+    """Read embeddings ONCE; the same Arrow table serves both the broadcast
+    side (numpy matrix) and the Dataset side (rd.from_arrow)."""
     import pyarrow.parquet as pq
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    qmask = pc.less(emb["vec_id"], n_queries)
-    q = emb.filter(qmask)
-    qids = np.asarray(q["vec_id"].to_pylist())
-    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in q["embedding"].to_pylist()])
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = np.asarray(emb["vec_id"].to_pylist())
+    mat = np.stack([np.asarray(v, np.float64) for v in emb["embedding"].to_pylist()])
+    return emb, ids, mat
+
+
+def q_ann_topk(sf_dir: str, n_queries: int = 3, k: int = 5):
+    emb, ids, mat = _load_embeddings(sf_dir)
+    qids = ids[ids < n_queries]
+    qmat = mat[ids < n_queries]
     ref = ray.put((qids, qmat))
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+    ds = rd.from_arrow(emb)
     sims = ds.map_batches(_AnnScorer, fn_constructor_kwargs={"queries_ref": ref},
                           batch_format="pandas", concurrency=(1, 4))
     sims = sims.map_batches(lambda df: df[df["vec_id"] != df["qid"]],

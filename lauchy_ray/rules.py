@@ -51,7 +51,9 @@ R_EXCEPTION = "exception"               # ≙ V11 TopologyProducer.java:275-277
 # "abn" and "luhn" are registered here too — the engine has no special
 # cases. "regex" is the only built-in handled structurally (OR-any over the
 # rule list with early exit).
-PREDICATE_REGISTRY: dict = {}
+from .functions.checksums import abn_valid_np, luhn_valid_np  # noqa: E402
+
+PREDICATE_REGISTRY: dict = {"abn": abn_valid_np, "luhn": luhn_valid_np}
 
 
 def register_predicate(kind: str):
@@ -62,9 +64,11 @@ def register_predicate(kind: str):
 
 
 def _register_builtin_predicates() -> None:
-    from .functions.checksums import abn_valid_np, luhn_valid_np
-    PREDICATE_REGISTRY.setdefault("abn", abn_valid_np)
-    PREDICATE_REGISTRY.setdefault("luhn", luhn_valid_np)
+    """Builtins are registered at module import; kept as a no-op hook so
+    callers can force registration idempotently. MUST NOT do lazy relative
+    imports: this function runs inside by-value-unpickled worker code,
+    where `from .functions...` would need the package on sys.path — the
+    exact failure by-value pickling exists to avoid."""
 
 
 @dataclass(frozen=True)

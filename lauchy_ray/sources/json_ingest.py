@@ -68,22 +68,27 @@ def parse_lines(lines: list[str], base_msg_id: int = 0) -> pa.Table:
 
     for i, line in enumerate(lines):
         mid = base_msg_id + i
+        # parse the WHOLE message before emitting anything: a throw anywhere
+        # fails the message atomically (≙ java:275-277) — no partial rows
         try:
             msg = json.loads(line)
             items = msg.get("items") or []
+            staged = []
             if not items:
-                emit(mid, 0, str(msg.get("msg_type", "")),
-                     str(msg.get("data_type", "")), str(msg.get("token", "")),
-                     "", "", "", "")
+                staged.append((mid, 0, str(msg.get("msg_type", "")),
+                               str(msg.get("data_type", "")),
+                               str(msg.get("token", "")), "", "", "", ""))
             for k, item in enumerate(items):
-                emit(mid, k, str(msg.get("msg_type", "")),
-                     str(msg.get("data_type", "")), str(msg.get("token", "")),
-                     str(item.get("sourceCode", "")),
-                     str(item.get("targetCode", "")),
-                     str(item.get("attributeCode", "")),
-                     str(item.get("value", "")))
+                staged.append((mid, k, str(msg.get("msg_type", "")),
+                               str(msg.get("data_type", "")),
+                               str(msg.get("token", "")),
+                               str(item.get("sourceCode", "")),
+                               str(item.get("targetCode", "")),
+                               str(item.get("attributeCode", "")),
+                               str(item.get("value", ""))))
+            for row in staged:
+                emit(*row)
         except (json.JSONDecodeError, AttributeError, TypeError):
-            # ≙ parse throw → blanket catch → invalid (java:275-277)
             emit(mid, 0, "PARSE_ERROR", "", "", "", "", "", "")
     rows["item_idx"] = pa.array(rows["item_idx"], pa.int32())
     rows["msg_id"] = pa.array(rows["msg_id"], pa.int64())
@@ -127,8 +132,15 @@ def answers_to_turns(answers: rd.Dataset) -> rd.Dataset:
             "role": "user",
             "text": df["value"],
             "tool": df["attribute_code"].where(~gated, ""),
-            "ts": pd.to_datetime(df["msg_id"] * 1_000_000 + df["item_idx"],
-                                 unit="us"),
+            # synthesized event time, BOUNDED for the ns-datetime range:
+            # one day per file ordinal (mod 50 years), one second per line —
+            # deterministic ordering, no year-2262 overflow for any file
+            # count (a production feed maps a real header timestamp here)
+            "ts": pd.to_datetime(
+                1_767_225_600_000_000  # 2026-01-01 epoch-us
+                + ((df["msg_id"] // (1 << 32)) % 18250) * 86_400_000_000
+                + ((df["msg_id"] % (1 << 32)) % 86_400) * 1_000_000
+                + df["item_idx"], unit="us"),
             "msg_id": df["msg_id"],
             "parse_error": df["msg_type"] == "PARSE_ERROR",
         })
@@ -145,8 +157,12 @@ def message_validity(validated: pd.DataFrame, mode: str = "all") -> pd.DataFrame
     parse error) fails the message.
     → DataFrame (msg_id, msg_valid)."""
     df = validated
+    parse_err = (df.get("parse_error", pd.Series(False, index=df.index))
+                 .groupby(df["msg_id"]).any())
     if mode == "all":
-        agg = df.groupby("msg_id")["valid"].all()
+        # unparseable messages are INVALID as a whole (java:275-277), even
+        # though their synthetic gate row validates as pass-through
+        agg = df.groupby("msg_id")["valid"].all() & ~parse_err
     elif mode == "last":
         ordered = df.sort_values(["msg_id", "turn_idx"], kind="stable")
         last = ordered.groupby("msg_id")["valid"].last()

@@ -59,19 +59,19 @@ def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
 
 class ImageDecode:
     """Actor stage: image payload → (width, height, features[dim]).
-    Real decoder used when PIL is importable; deterministic stub otherwise."""
+
+    The decode KERNEL is a deterministic stub in this build (no real
+    decoder is wired even if PIL happens to be importable — swapping the
+    stub body for a real one is the only change needed). strict=True
+    always raises, making the stub impossible to mistake for a decode."""
 
     def __init__(self, dim: int = 32, strict: bool = False):
         self.dim = dim
-        try:
-            from PIL import Image  # noqa: F401
-            self.backend = "pil"
-        except ImportError:
-            if strict:
-                raise NotImplementedError(
-                    "image decode requires PIL, which is not installed; "
-                    "run with strict=False for the deterministic stub")
-            self.backend = "stub"
+        if strict:
+            raise NotImplementedError(
+                "real image decode is not implemented in this build "
+                "(stub kernel only); run with strict=False")
+        self.backend = "stub"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats, widths, heights = [], [], []
@@ -97,7 +97,9 @@ class AudioFeatures:
     def __init__(self, dim: int = 16, strict: bool = False):
         self.dim = dim
         if strict:
-            raise NotImplementedError("audio decode requires torchaudio/librosa")
+            raise NotImplementedError(
+                "real audio decode is not implemented in this build "
+                "(stub kernel only); run with strict=False")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         durs, feats = [], []

@@ -139,6 +139,17 @@ class Validator:
                 bad = ~np.asarray(fn(sub_text.to_numpy(zero_copy_only=False)),
                                   dtype=bool)
                 code = R.R_CHECKSUM_FAIL
+                if ent["kind"] in ("abn", "luhn") and bad.any():
+                    # distinguish the reference's EXCEPTION path (parseInt
+                    # throw on non-digit / empty-ABN input, java:275-277,311)
+                    # from an honest checksum mismatch — message-level
+                    # last-writer-wins semantics depend on it (V-note).
+                    exc_pat = "^[0-9]+$" if ent["kind"] == "abn" else "^[0-9]*$"
+                    is_exc = ~_np(pc.match_substring_regex(sub_text, exc_pat))
+                    exc_rows = idx[bad & is_exc]
+                    reason[exc_rows] = R.R_EXCEPTION
+                    ok[exc_rows] = False
+                    bad = bad & ~is_exc
             else:
                 # OR-any with first-match early exit (java:233-251): evaluate
                 # rule k only on rows not yet matched by rules < k.

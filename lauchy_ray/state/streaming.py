@@ -116,14 +116,19 @@ def run_streaming_window_counts(input_path: str, width_us: int,
     validator = Validator(**(validate_kwargs or {}))
 
     pending: list = []
+    from ..pipelines.validate import _drop_null_text
     for frag in list_fragments(input_path):
         table = pq.read_table(frag)
-        validated = validator(table.filter(pa.compute.is_valid(table["text"])))
+        validated = validator(_drop_null_text(table))
         for s, sub in _shard_tables(validated, n_shards).items():
             pending.append(actors[s].ingest.remote(sub))
-        # backpressure: cap in-flight micro-batch ingests
+        # backpressure: cap in-flight micro-batch ingests; ray.get the
+        # drained refs so an errored ingest raises instead of being
+        # silently dropped (undercounted windows would look "successful")
         while len(pending) > max_pending * n_shards:
-            _, pending = ray.wait(pending, num_returns=len(pending) - max_pending * n_shards)
+            ready, pending = ray.wait(
+                pending, num_returns=len(pending) - max_pending * n_shards)
+            ray.get(ready)
     ray.get(pending)
 
     finals = ray.get([a.finalize.remote() for a in actors])
