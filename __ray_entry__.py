@@ -41,6 +41,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling": Q.q_window_tumbling,
         "window_sliding": Q.q_window_sliding,
         "sessionize": Q.q_sessionize,
+        "session_stats": Q.q_session_stats,
+        "events_daily": Q.q_events_daily,
         "dedup_turns": Q.q_dedup_turns,
         "late_flags": Q.q_late_flags,
         "rules_join": Q.q_rules_join,
@@ -71,6 +73,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 _V = validated_cte()  # shared WITH-body: turns + rules + validated_full
 _T = turns_cte()
+# shared sessionization CTE chain (gap split per conv, stable tiebreaks)
+_SESS = f"""{_T},
+deltas AS (
+  SELECT conv_id, turn_idx, ts,
+         lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev_ts
+  FROM turns),
+marks AS (
+  SELECT conv_id, turn_idx, ts,
+         CASE WHEN prev_ts IS NULL
+              OR epoch_us(ts) - epoch_us(prev_ts) > {1800 * 1_000_000}
+              THEN 1 ELSE 0 END AS brk
+  FROM deltas),
+tagged AS (
+  SELECT conv_id, ts,
+         CAST(sum(brk) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+              AS INTEGER) AS session_id
+  FROM marks),
+sessions AS (
+  SELECT conv_id, session_id,
+         min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+         count(*) AS n_turns
+  FROM tagged GROUP BY conv_id, session_id)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -94,27 +119,16 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (SELECT unnest(range(4)) AS k)
             WHERE (epoch_us(ts) // 900000000) - k >= 0
             GROUP BY 1, 2, 3""",
-        "sessionize": f"""WITH {_T},
-            deltas AS (
-              SELECT conv_id, turn_idx, ts,
-                     lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev_ts
-              FROM turns),
-            marks AS (
-              SELECT conv_id, turn_idx, ts,
-                     CASE WHEN prev_ts IS NULL
-                          OR epoch_us(ts) - epoch_us(prev_ts) > {Q.GAP_US}
-                          THEN 1 ELSE 0 END AS brk
-              FROM deltas),
-            tagged AS (
-              SELECT conv_id, ts,
-                     CAST(sum(brk) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
-                          AS INTEGER) AS session_id
-              FROM marks)
-            SELECT conv_id, session_id,
-                   min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
-                   count(*) AS n_turns
-            FROM tagged GROUP BY conv_id, session_id""",
+        "sessionize": f"WITH {_SESS} SELECT * FROM sessions",
+        "session_stats": f"""WITH {_SESS}
+            SELECT conv_id, count(*) AS n_sessions,
+                   CAST(sum(n_turns) AS BIGINT) AS total_turns,
+                   CAST(sum(n_turns) AS DOUBLE) / count(*) AS avg_turns
+            FROM sessions GROUP BY conv_id""",
+        "events_daily": """
+            SELECT epoch_us(ts) // 86400000000 AS day_id, event_type,
+                   count(*) AS n, round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2""",
         "dedup_turns": f"""WITH {_T},
             doubled AS (
               SELECT * FROM turns

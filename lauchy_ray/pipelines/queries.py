@@ -115,6 +115,43 @@ def q_sessionize(sf_dir: str):
         _ts_to_us, batch_format="pandas")
 
 
+def q_session_stats(sf_dir: str):
+    """Per-conversation session aggregates over the sessionized stream."""
+    sess = sessionize(_turns(sf_dir), GAP_US)
+    out = sess.groupby("conv_id").aggregate(
+        Count(alias_name="n_sessions"), Sum("n_turns", alias_name="total_turns"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["total_turns"] = df["total_turns"].astype("int64")
+        df["avg_turns"] = df["total_turns"].astype("float64") / df["n_sessions"]
+        return df
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def q_events_daily(sf_dir: str):
+    """Tumbling daily windows over raw events: count + value sum per type
+    (partial-agg combiner; the shuffle moves one row per (day, type))."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["ts"].cast(pa.int64()), 86_400_000_000)
+        part = pa.table({"day_id": day, "event_type": t["event_type"],
+                         "n": pa.array(np.ones(t.num_rows, np.int64)),
+                         "total_value": t["value"]})
+        return (pa.TableGroupBy(part, ["day_id", "event_type"])
+                .aggregate([("n", "sum"), ("total_value", "sum")])
+                .rename_columns(["day_id", "event_type", "n", "total_value"]))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(["day_id", "event_type"]).aggregate(
+        Sum("n", alias_name="n"), Sum("total_value", alias_name="total_value"))
+    return out.map_batches(
+        lambda df: df.assign(total_value=df["total_value"].round(2)),
+        batch_format="pandas")
+
+
 def q_dedup_turns(sf_dir: str):
     """Dedup demo: double a deterministic 1/101 slice, dedup restores the set."""
     turns = _turns(sf_dir)
