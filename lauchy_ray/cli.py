@@ -70,6 +70,7 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--input", required=True)
     st.add_argument("--out", required=True)
     st.add_argument("--width-min", type=int, default=60)
+    st.add_argument("--slide-min", type=int, default=None)
     st.add_argument("--lateness-min", type=int, default=5)
     st.add_argument("--shards", type=int, default=8)
 
@@ -120,13 +121,19 @@ def main(argv: list[str] | None = None) -> int:
             window_counts(vds, width, slide).write_parquet(args.out)
             print(json.dumps({"out": args.out}))
         elif args.cmd == "stream":
+            if args.slide_min and args.width_min % args.slide_min != 0:
+                print(json.dumps({"error": "--width-min must be a multiple "
+                                           "of --slide-min"}), file=sys.stderr)
+                return 2
             import os
             import pyarrow as pa
             import pyarrow.parquet as pq
             from .state.streaming import run_streaming_window_counts
             wc, late, wms = run_streaming_window_counts(
                 args.input, args.width_min * 60 * 1_000_000,
-                args.lateness_min * 60 * 1_000_000, n_shards=args.shards)
+                args.lateness_min * 60 * 1_000_000, n_shards=args.shards,
+                slide_us=(args.slide_min * 60 * 1_000_000
+                          if args.slide_min else None))
             os.makedirs(args.out, exist_ok=True)
             pq.write_table(pa.Table.from_pandas(wc),
                            os.path.join(args.out, "window_counts.parquet"))

@@ -169,27 +169,36 @@ def shard_of(conv_id: str, n_shards: int) -> int:
 
 
 def streaming_window_counts_rows(rows: list[dict], width_us: int,
-                                 lateness_us: int, n_shards: int):
+                                 lateness_us: int, n_shards: int,
+                                 slide_us: int | None = None):
     """Single-threaded mirror of state.streaming: per-shard sequential scan
     in arrival order, watermark wm = max(ts) - lateness, windows emitted
-    when wm passes their end, late = arrival after the window closed.
-    ``rows`` must already carry ``valid``. → (counts dict, late list, wms)."""
+    when wm passes their end, late = arrival after ALL the row's windows
+    closed. ``rows`` must already carry ``valid``.
+    → (counts dict, late list, wms)."""
+    slide_us = slide_us or width_us
+    n_per = width_us // slide_us
     wm = [(-(1 << 62))] * n_shards
     open_cells: list[dict] = [dict() for _ in range(n_shards)]
     emitted: dict[tuple, list[int]] = {}
     late = []
     for row in rows:
         s = shard_of(row["conv_id"], n_shards)
-        wid = row["ts"] // width_us
-        if (wid + 1) * width_us <= wm[s]:
-            late.append({"conv_id": row["conv_id"], "turn_idx": row["turn_idx"],
-                         "ts": row["ts"], "window_id": wid})
-        else:
+        last = row["ts"] // slide_us
+        any_open = False
+        for wid in range(max(0, last - n_per + 1), last + 1):
+            if wid * slide_us + width_us <= wm[s]:
+                continue
+            any_open = True
             cell = open_cells[s].setdefault((wid, row["role"], row["tool"]), [0, 0])
             cell[0 if row["valid"] else 1] += 1
+        if not any_open:
+            late.append({"conv_id": row["conv_id"], "turn_idx": row["turn_idx"],
+                         "ts": row["ts"], "window_id": last})
         if row["ts"] - lateness_us > wm[s]:
             wm[s] = row["ts"] - lateness_us
-            closed = [k for k in open_cells[s] if (k[0] + 1) * width_us <= wm[s]]
+            closed = [k for k in open_cells[s]
+                      if k[0] * slide_us + width_us <= wm[s]]
             for k in closed:
                 ec = emitted.setdefault(k, [0, 0])
                 cc = open_cells[s].pop(k)

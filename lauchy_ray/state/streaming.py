@@ -42,10 +42,16 @@ NEG_INF = -(1 << 62)
 
 @ray.remote
 class WindowShardActor:
-    """One shard of streaming window-count state."""
+    """One shard of streaming window-count state. Supports tumbling
+    (slide == width, the default) and sliding windows (width a multiple of
+    slide): a row belongs to width/slide windows; window w covers
+    [w*slide, w*slide + width) and closes when wm ≥ its END."""
 
-    def __init__(self, width_us: int, lateness_us: int):
+    def __init__(self, width_us: int, lateness_us: int, slide_us: int | None = None):
         self.width = width_us
+        self.slide = slide_us or width_us
+        assert width_us % self.slide == 0
+        self.n_per = width_us // self.slide
         self.lateness = lateness_us
         self.wm = NEG_INF                    # shard watermark (epoch us)
         self.open: dict[tuple, list[int]] = {}   # (wid, role, tool) → [ok, rej]
@@ -61,21 +67,26 @@ class WindowShardActor:
         convs = table["conv_id"].to_pylist()
         idxs = table["turn_idx"].to_numpy(zero_copy_only=False)
         for i in range(len(ts)):
-            wid = ts[i] // self.width
-            if (wid + 1) * self.width <= self.wm:
-                # window already closed at arrival → late output
-                self.late.append({"conv_id": convs[i], "turn_idx": int(idxs[i]),
-                                  "ts": int(ts[i]), "window_id": int(wid)})
-            else:
+            last = ts[i] // self.slide
+            any_open = False
+            for wid in range(max(0, last - self.n_per + 1), last + 1):
+                if wid * self.slide + self.width <= self.wm:
+                    continue  # this window already emitted
+                any_open = True
                 cell = self.open.setdefault((int(wid), roles[i], tools[i]), [0, 0])
                 cell[0 if valids[i] else 1] += 1
+            if not any_open:
+                # every window of this row already closed at arrival → late
+                self.late.append({"conv_id": convs[i], "turn_idx": int(idxs[i]),
+                                  "ts": int(ts[i]), "window_id": int(last)})
             if ts[i] - self.lateness > self.wm:
                 self.wm = ts[i] - self.lateness
         self._emit_closed()
         return len(ts)
 
     def _emit_closed(self) -> None:
-        closed = [k for k in self.open if (k[0] + 1) * self.width <= self.wm]
+        closed = [k for k in self.open
+                  if k[0] * self.slide + self.width <= self.wm]
         for k in sorted(closed):
             ok, rej = self.open.pop(k)
             self.emitted.append({"window_id": k[0], "role": k[1], "tool": k[2],
@@ -105,13 +116,15 @@ def _shard_tables(table: pa.Table, n_shards: int) -> dict[int, pa.Table]:
 def run_streaming_window_counts(input_path: str, width_us: int,
                                 lateness_us: int, n_shards: int = 8,
                                 validate_kwargs: dict | None = None,
-                                max_pending: int = 4):
-    """Stream fragments through validator + shard actors.
+                                max_pending: int = 4,
+                                slide_us: int | None = None):
+    """Stream fragments through validator + shard actors (tumbling, or
+    sliding when slide_us divides width_us).
 
     → (window_counts DataFrame, late DataFrame, per-shard watermarks)."""
     from ..stages.validator import Validator
 
-    actors = [WindowShardActor.remote(width_us, lateness_us)
+    actors = [WindowShardActor.remote(width_us, lateness_us, slide_us)
               for _ in range(n_shards)]
     validator = Validator(**(validate_kwargs or {}))
 

@@ -56,6 +56,33 @@ def test_streaming_conservation(fixture_dir, streamed):
     assert counted + len(late) == total_in
 
 
+def test_streaming_sliding_matches_oracle(fixture_dir, streamed):
+    """Sliding 1h/15min variant: engine == oracle, and every on-time turn
+    lands in exactly width/slide windows."""
+    _, _, _, entity_codes = streamed
+    slide = HOUR_US // 4
+    wc, late, wms = run_streaming_window_counts(
+        fixture_dir["turns"], HOUR_US, LATENESS_US, n_shards=N_SHARDS,
+        slide_us=slide, validate_kwargs={"entity_codes": sorted(entity_codes)})
+    turns = pq.ParquetDataset(fixture_dir["turns"]).read()
+    turns = turns.set_column(turns.schema.get_field_index("ts"), "ts",
+                             turns["ts"].cast(pa.int64()))
+    rows = oracle.validate_table(turns.to_pylist(), entity_codes=entity_codes)
+    exp_counts, exp_late, exp_wms = oracle.streaming_window_counts_rows(
+        rows, HOUR_US, LATENESS_US, N_SHARDS, slide)
+    key = ["window_id", "role", "tool"]
+    got = wc.sort_values(key).reset_index(drop=True)
+    exp = pd.DataFrame(exp_counts).sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+    assert sorted(wms) == sorted(exp_wms)
+    # multiplicity bound: counted contributions ≤ 4× turns (closed-window
+    # contributions of partially-late rows are dropped, so ≤, and > 3×
+    # because most rows are fully on time)
+    total = turns.num_rows
+    counted = int(wc["n_valid"].sum() + wc["n_rejected"].sum())
+    assert 3 * total < counted + 4 * len(late) <= 4 * total
+
+
 def test_streaming_deterministic(fixture_dir, streamed):
     wc1, late1, _, codes = streamed
     wc2, late2, _ = run_streaming_window_counts(
