@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": Q.q_orders_by_nation,
         "topk_orders": Q.q_topk_orders,
         "events_by_type": Q.q_events_by_type,
+        "supplier_by_region": Q.q_supplier_by_region,
+        "parts_by_brand": Q.q_parts_by_brand,
         # documents / embeddings
         "doc_stats": Q.q_doc_stats,
         "dedup_docs": Q.q_dedup_docs,
@@ -181,6 +183,18 @@ def oracle_sql() -> dict[str, str]:
         "events_by_type": """
             SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
             FROM events GROUP BY event_type""",
+        "supplier_by_region": """
+            SELECT r_name, count(*) AS n_suppliers,
+                   round(sum(s_acctbal), 2) AS total_bal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name""",
+        "parts_by_brand": """
+            SELECT p_brand, count(*) AS n_parts,
+                   round(sum(p_retailprice), 2) AS total_price,
+                   max(p_size) AS max_size
+            FROM part GROUP BY p_brand""",
         "doc_stats": """
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,

@@ -297,6 +297,42 @@ def q_topk_orders(sf_dir: str):
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
 
 
+def q_supplier_by_region(sf_dir: str):
+    """3-way dimension join via broadcast (supplier ⋈ nation ⋈ region —
+    all small sides): supplier count + balance per region."""
+    import pyarrow.parquet as pq
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rmap = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    nmap = {nk: rmap[rk] for nk, rk in zip(nation["n_nationkey"].to_pylist(),
+                                           nation["n_regionkey"].to_pylist())}
+    ref = ray.put(nmap)
+
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        return pd.DataFrame({"r_name": df["s_nationkey"].map(lookup),
+                             "s_acctbal": df["s_acctbal"]})
+
+    ds = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                         columns=["s_nationkey", "s_acctbal"])
+    out = ds.map_batches(join, batch_format="pandas").groupby("r_name").aggregate(
+        Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total_bal"))
+    return out.map_batches(lambda df: df.assign(total_bal=df["total_bal"].round(2)),
+                           batch_format="pandas")
+
+
+def q_parts_by_brand(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_brand", "p_retailprice", "p_size"])
+    out = ds.groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"),
+        Sum("p_retailprice", alias_name="total_price"),
+        Max("p_size", alias_name="max_size"))
+    return out.map_batches(
+        lambda df: df.assign(total_price=df["total_price"].round(2)),
+        batch_format="pandas")
+
+
 def q_events_by_type(sf_dir: str):
     out = _events(sf_dir).groupby("event_type").aggregate(
         Count(alias_name="n"), Sum("value", alias_name="total_value"))
