@@ -78,6 +78,39 @@ def _grouped_counts(ds: rd.Dataset, keys: list[str]) -> rd.Dataset:
                                         batch_size=None))
 
 
+def _grouped_sums(ds: rd.Dataset, keys: list[str], sum_cols: list[str],
+                  count_as: str | None = None) -> rd.Dataset:
+    """Bounded-cardinality grouped sums (+ optional row count): in-batch
+    pyarrow partials, single-task merge — for key spaces (nations, brands,
+    reasons) whose size never grows with row count, where the sort-shuffle
+    groupby's fixed cost dwarfs the work."""
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {k: t[k] for k in keys}
+        for c in sum_cols:
+            cols[c] = t[c]
+        if count_as:
+            cols[count_as] = pa.array(np.ones(t.num_rows, np.int64))
+        part = pa.table(cols)
+        aggs = [(c, "sum") for c in sum_cols]
+        if count_as:
+            aggs.append((count_as, "sum"))
+        out_names = keys + sum_cols + ([count_as] if count_as else [])
+        return (pa.TableGroupBy(part, keys).aggregate(aggs)
+                .rename_columns(out_names))
+
+    def merge(t: pa.Table) -> pa.Table:
+        aggs = [(c, "sum") for c in sum_cols]
+        if count_as:
+            aggs.append((count_as, "sum"))
+        out_names = keys + sum_cols + ([count_as] if count_as else [])
+        return (pa.TableGroupBy(t, keys).aggregate(aggs)
+                .rename_columns(out_names))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(1).map_batches(merge, batch_format="pyarrow",
+                                        batch_size=None))
+
+
 # ------------------------------------------------------- transcript engine
 
 def q_turns_derive(sf_dir: str):
@@ -118,14 +151,15 @@ def q_sessionize(sf_dir: str):
 def q_session_stats(sf_dir: str):
     """Per-conversation session aggregates over the sessionized stream."""
     sess = sessionize(_turns(sf_dir), GAP_US)
-    out = sess.groupby("conv_id").aggregate(
-        Count(alias_name="n_sessions"), Sum("n_turns", alias_name="total_turns"))
+    out = _grouped_sums(sess, ["conv_id"], ["n_turns"], count_as="n_sessions")
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["total_turns"] = df["total_turns"].astype("int64")
-        df["avg_turns"] = df["total_turns"].astype("float64") / df["n_sessions"]
-        return df
+        return pd.DataFrame({
+            "conv_id": df["conv_id"],
+            "n_sessions": df["n_sessions"],
+            "total_turns": df["n_turns"].astype("int64"),
+            "avg_turns": df["n_turns"].astype("float64") / df["n_sessions"],
+        })
     return out.map_batches(finish, batch_format="pandas")
 
 
@@ -245,10 +279,12 @@ def q_orders_by_nation(sf_dir: str):
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
     joined = orders.map_batches(_cust_nation_fn(ref), batch_format="pandas")
-    out = joined.groupby("n_name").aggregate(
-        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"))
-    return out.map_batches(lambda df: df.assign(total=df["total"].round(2)),
-                           batch_format="pandas")
+    out = _grouped_sums(joined, ["n_name"], ["o_totalprice"], count_as="n_orders")
+    return out.map_batches(
+        lambda df: pd.DataFrame({"n_name": df["n_name"],
+                                 "n_orders": df["n_orders"],
+                                 "total": df["o_totalprice"].round(2)}),
+        batch_format="pandas")
 
 
 def q_order_revenue(sf_dir: str):

@@ -65,6 +65,7 @@ class Validator:
                         for t, e in self.compiled.items()}
         self.entity_set = (pa.array(sorted(set(entity_codes)), type=pa.string())
                           if entity_codes is not None else None)
+        self.entity_pyset = frozenset(entity_codes) if entity_codes is not None else None
         # registry snapshot: caller (driver) passes its registry so custom
         # kinds registered in the driver process reach the workers; fall back
         # to this process's registry for direct construction
@@ -104,8 +105,15 @@ class Validator:
 
         fail(_np(pc.equal(role, "intruder")), R.R_SOURCE_MISMATCH)
         if self.entity_set is not None:
-            src = pc.binary_join_element_wise(pa.scalar("SRC_"), role, "")
-            fail(~_np(pc.is_in(src, value_set=self.entity_set)), R.R_SOURCE_MISSING)
+            # source check: roles have tiny cardinality — test the DISTINCT
+            # roles against the entity set instead of an is_in over the big
+            # set per row (the per-batch hash build there is the cost)
+            bad_roles = [r.as_py() for r in pc.unique(role)
+                         if r.as_py() is not None
+                         and f"SRC_{r.as_py()}" not in self.entity_pyset]
+            if bad_roles:
+                fail(_np(pc.is_in(role, value_set=pa.array(bad_roles))),
+                     R.R_SOURCE_MISSING)
             fail(~_np(pc.is_in(batch["conv_id"], value_set=self.entity_set)),
                  R.R_TARGET_MISSING)
         fail(~_np(pc.is_in(tool, value_set=self.known_tools)), R.R_ATTR_UNKNOWN)
