@@ -84,7 +84,7 @@ deltas AS (
 marks AS (
   SELECT conv_id, turn_idx, ts,
          CASE WHEN prev_ts IS NULL
-              OR epoch_us(ts) - epoch_us(prev_ts) > {1800 * 1_000_000}
+              OR epoch_us(ts) - epoch_us(prev_ts) > {Q.GAP_US}
               THEN 1 ELSE 0 END AS brk
   FROM deltas),
 tagged AS (

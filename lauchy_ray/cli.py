@@ -17,6 +17,16 @@ import json
 import sys
 
 
+def _check_slide(width_min: int, slide_min: int | None) -> str | None:
+    if slide_min is None:
+        return None
+    if slide_min <= 0:
+        return "--slide-min must be a positive number of minutes"
+    if width_min % slide_min != 0:
+        return "--width-min must be a multiple of --slide-min"
+    return None
+
+
 def _init_ray(num_cpus: int | None):
     import ray
     if not ray.is_initialized():
@@ -115,15 +125,19 @@ def main(argv: list[str] | None = None) -> int:
             import ray.data as rd
             from .pipelines.validate import validated_stream
             from .stages.windows import window_counts
+            err = _check_slide(args.width_min, args.slide_min)
+            if err:
+                print(json.dumps({"error": err}), file=sys.stderr)
+                return 2
             width = args.width_min * 60 * 1_000_000
             slide = args.slide_min * 60 * 1_000_000 if args.slide_min else None
             vds = validated_stream(rd.read_parquet(args.input), use_actors=False)
             window_counts(vds, width, slide).write_parquet(args.out)
             print(json.dumps({"out": args.out}))
         elif args.cmd == "stream":
-            if args.slide_min and args.width_min % args.slide_min != 0:
-                print(json.dumps({"error": "--width-min must be a multiple "
-                                           "of --slide-min"}), file=sys.stderr)
+            err = _check_slide(args.width_min, args.slide_min)
+            if err:
+                print(json.dumps({"error": err}), file=sys.stderr)
                 return 2
             import os
             import pyarrow as pa

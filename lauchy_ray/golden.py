@@ -20,18 +20,30 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from . import oracle
+# the one canonical set of windowing constants (pipelines/queries.py) —
+# golden artifacts must pin the SAME parameters the engine queries use
+from .pipelines.queries import GAP_US, HOUR_US, LATENESS_US, Q15_US
 
-GAP_US = 30 * 60 * 1_000_000
-HOUR_US = 3600 * 1_000_000
-Q15_US = 900 * 1_000_000
-LATENESS_US = 5 * 60 * 1_000_000
+_VALIDATED_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("turn_idx", pa.int32()), ("role", pa.string()),
+    ("text", pa.string()), ("tool", pa.string()), ("ts", pa.int64()),
+    ("valid", pa.bool_()), ("reject_reason", pa.string()), ("side", pa.bool_()),
+])
+_SESSIONS_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("session_id", pa.int64()),
+    ("start_ts", pa.int64()), ("end_ts", pa.int64()), ("n_turns", pa.int64()),
+])
+_WINDOWS_SCHEMA = pa.schema([
+    ("window_id", pa.int64()), ("role", pa.string()), ("tool", pa.string()),
+    ("n_valid", pa.int64()), ("n_rejected", pa.int64()),
+])
+_LATE_SCHEMA = pa.schema(list(_VALIDATED_SCHEMA)[:6] + [("late", pa.bool_())])
 
 
-def _rows_to_table(rows: list[dict]) -> pa.Table:
-    if not rows:
-        return pa.table({})
-    cols = {k: [r[k] for r in rows] for k in rows[0]}
-    return pa.table(cols)
+def _rows_to_table(rows: list[dict], schema: pa.Schema) -> pa.Table:
+    """Typed even when empty — consumers must see the expected columns."""
+    return pa.Table.from_pylist(
+        [{f.name: r.get(f.name) for f in schema} for r in rows], schema=schema)
 
 
 def write_golden(fixture_dir: str) -> dict[str, str]:
@@ -56,13 +68,15 @@ def write_golden(fixture_dir: str) -> dict[str, str]:
     out_dir = os.path.join(fixture_dir, "golden")
     os.makedirs(out_dir, exist_ok=True)
     paths = {}
-    for name, data in [("golden_valid", valid), ("golden_rejected", rejected),
-                       ("golden_sessions", sessions),
-                       ("golden_window_counts", w_tumb),
-                       ("golden_window_counts_sliding", w_slide),
-                       ("golden_late", late)]:
+    for name, data, schema in [
+            ("golden_valid", valid, _VALIDATED_SCHEMA),
+            ("golden_rejected", rejected, _VALIDATED_SCHEMA),
+            ("golden_sessions", sessions, _SESSIONS_SCHEMA),
+            ("golden_window_counts", w_tumb, _WINDOWS_SCHEMA),
+            ("golden_window_counts_sliding", w_slide, _WINDOWS_SCHEMA),
+            ("golden_late", late, _LATE_SCHEMA)]:
         p = os.path.join(out_dir, f"{name}.parquet")
-        pq.write_table(_rows_to_table(data), p)
+        pq.write_table(_rows_to_table(data, schema), p)
         paths[name] = p
     meta = {"n_rows": len(rows), "n_valid": len(valid),
             "n_rejected": len(rejected), "n_late": len(late),

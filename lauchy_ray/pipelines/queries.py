@@ -149,16 +149,19 @@ def q_sessionize(sf_dir: str):
 
 
 def q_session_stats(sf_dir: str):
-    """Per-conversation session aggregates over the sessionized stream."""
+    """Per-conversation session aggregates. conv_id cardinality GROWS with
+    data, so this keeps the hash-shuffle groupby — the single-task merge of
+    _grouped_sums is only for bounded key spaces."""
     sess = sessionize(_turns(sf_dir), GAP_US)
-    out = _grouped_sums(sess, ["conv_id"], ["n_turns"], count_as="n_sessions")
+    out = sess.groupby("conv_id").aggregate(
+        Count(alias_name="n_sessions"), Sum("n_turns", alias_name="total_turns"))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "conv_id": df["conv_id"],
             "n_sessions": df["n_sessions"],
-            "total_turns": df["n_turns"].astype("int64"),
-            "avg_turns": df["n_turns"].astype("float64") / df["n_sessions"],
+            "total_turns": df["total_turns"].astype("int64"),
+            "avg_turns": df["total_turns"].astype("float64") / df["n_sessions"],
         })
     return out.map_batches(finish, batch_format="pandas")
 

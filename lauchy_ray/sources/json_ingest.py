@@ -132,14 +132,14 @@ def answers_to_turns(answers: rd.Dataset) -> rd.Dataset:
             "role": "user",
             "text": df["value"],
             "tool": df["attribute_code"].where(~gated, ""),
-            # synthesized event time, BOUNDED for the ns-datetime range:
-            # one day per file ordinal (mod 50 years), one second per line —
-            # deterministic ordering, no year-2262 overflow for any file
-            # count (a production feed maps a real header timestamp here)
+            # synthesized event time, BOUNDED for the ns-datetime range and
+            # MONOTONE within a file: one day per file ordinal (mod 50y),
+            # one second per line (line < 2^32 → ≤136y; 2026+50+136 < the
+            # ns max of 2262). A production feed maps a real header ts here.
             "ts": pd.to_datetime(
                 1_767_225_600_000_000  # 2026-01-01 epoch-us
                 + ((df["msg_id"] // (1 << 32)) % 18250) * 86_400_000_000
-                + ((df["msg_id"] % (1 << 32)) % 86_400) * 1_000_000
+                + (df["msg_id"] % (1 << 32)) * 1_000_000
                 + df["item_idx"], unit="us"),
             "msg_id": df["msg_id"],
             "parse_error": df["msg_type"] == "PARSE_ERROR",
@@ -157,19 +157,18 @@ def message_validity(validated: pd.DataFrame, mode: str = "all") -> pd.DataFrame
     parse error) fails the message.
     → DataFrame (msg_id, msg_valid)."""
     df = validated
+    # one shared parse-error series: unparseable messages are INVALID as a
+    # whole under either mode (java:275-277), even though their synthetic
+    # gate row validates as pass-through
     parse_err = (df.get("parse_error", pd.Series(False, index=df.index))
                  .groupby(df["msg_id"]).any())
     if mode == "all":
-        # unparseable messages are INVALID as a whole (java:275-277), even
-        # though their synthetic gate row validates as pass-through
         agg = df.groupby("msg_id")["valid"].all() & ~parse_err
     elif mode == "last":
         ordered = df.sort_values(["msg_id", "turn_idx"], kind="stable")
         last = ordered.groupby("msg_id")["valid"].last()
-        aborted = df.assign(
-            _exc=(df["reject_reason"] == "exception")
-            | df.get("parse_error", False)).groupby("msg_id")["_exc"].any()
-        agg = last & ~aborted
+        exc = (df["reject_reason"] == "exception").groupby(df["msg_id"]).any()
+        agg = last & ~exc & ~parse_err
     else:
         raise ValueError(f"unknown mode {mode!r}")
     return agg.rename("msg_valid").reset_index()

@@ -114,6 +114,8 @@ class Validator:
             if bad_roles:
                 fail(_np(pc.is_in(role, value_set=pa.array(bad_roles))),
                      R.R_SOURCE_MISSING)
+            # a NULL role has no SRC_ entity either (oracle: "SRC_None")
+            fail(_np(pc.is_null(role)), R.R_SOURCE_MISSING)
             fail(~_np(pc.is_in(batch["conv_id"], value_set=self.entity_set)),
                  R.R_TARGET_MISSING)
         fail(~_np(pc.is_in(tool, value_set=self.known_tools)), R.R_ATTR_UNKNOWN)
