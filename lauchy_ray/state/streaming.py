@@ -59,30 +59,58 @@ class WindowShardActor:
         self.late: list[dict] = []
 
     def ingest(self, table: pa.Table) -> int:
-        """One micro-batch for this shard, rows in arrival order."""
+        """One micro-batch for this shard, rows in arrival order.
+
+        VECTORIZED equivalent of the row-at-a-time scan (the oracle): the
+        watermark only ever advances, so wm-before-row-i is
+        max(incoming wm, cummax(ts - lateness) over prior rows) — a prefix
+        max. Late/open decisions per row then become array expressions, and
+        cell updates collapse to one pandas groupby per window offset (the
+        work is O(distinct cells), not O(rows))."""
+        n = table.num_rows
+        if n == 0:
+            return 0
         ts = table["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        roles = table["role"].to_pylist()
-        tools = table["tool"].to_pylist()
         valids = table["valid"].to_numpy(zero_copy_only=False)
-        convs = table["conv_id"].to_pylist()
-        idxs = table["turn_idx"].to_numpy(zero_copy_only=False)
-        for i in range(len(ts)):
-            last = ts[i] // self.slide
-            any_open = False
-            for wid in range(max(0, last - self.n_per + 1), last + 1):
-                if wid * self.slide + self.width <= self.wm:
-                    continue  # this window already emitted
-                any_open = True
-                cell = self.open.setdefault((int(wid), roles[i], tools[i]), [0, 0])
-                cell[0 if valids[i] else 1] += 1
-            if not any_open:
-                # every window of this row already closed at arrival → late
+
+        wm_cand = ts - self.lateness
+        cm = np.maximum.accumulate(wm_cand)
+        prefix_wm = np.empty(n, dtype=np.int64)
+        prefix_wm[0] = self.wm
+        if n > 1:
+            np.maximum(self.wm, cm[:-1], out=prefix_wm[1:])
+
+        last = ts // self.slide
+        late_mask = last * self.slide + self.width <= prefix_wm  # newest closed
+
+        if late_mask.any():
+            convs = table["conv_id"].to_pylist()
+            idxs = table["turn_idx"].to_numpy(zero_copy_only=False)
+            for i in np.flatnonzero(late_mask):
                 self.late.append({"conv_id": convs[i], "turn_idx": int(idxs[i]),
-                                  "ts": int(ts[i]), "window_id": int(last)})
-            if ts[i] - self.lateness > self.wm:
-                self.wm = ts[i] - self.lateness
+                                  "ts": int(ts[i]), "window_id": int(last[i])})
+
+        roles = pd.Series(table["role"].to_pylist())
+        tools = pd.Series(table["tool"].to_pylist())
+        for k in range(self.n_per):
+            wid = last - k
+            open_mask = (~late_mask) & (wid >= 0) & \
+                        (wid * self.slide + self.width > prefix_wm)
+            if not open_mask.any():
+                continue
+            sub = pd.DataFrame({"wid": wid[open_mask], "role": roles[open_mask],
+                                "tool": tools[open_mask],
+                                "ok": valids[open_mask].astype(np.int64)})
+            g = sub.groupby(["wid", "role", "tool"], sort=False).agg(
+                ok=("ok", "sum"), total=("ok", "size"))
+            for (w, r, t2), row in g.iterrows():
+                cell = self.open.setdefault((int(w), r, t2), [0, 0])
+                cell[0] += int(row["ok"])
+                cell[1] += int(row["total"] - row["ok"])
+        if cm[-1] > self.wm:
+            self.wm = int(cm[-1])
         self._emit_closed()
-        return len(ts)
+        return n
 
     def _emit_closed(self) -> None:
         closed = [k for k in self.open
@@ -113,6 +141,23 @@ def _shard_tables(table: pa.Table, n_shards: int) -> dict[int, pa.Table]:
     return out
 
 
+@ray.remote
+def _prepare_fragment(path: str, n_shards: int, validate_kwargs) -> list:
+    """Read + validate + shard-split one fragment — the PARALLEL front of
+    the stream (the ordered part is only the per-shard ingest). Returns a
+    list of n_shards ObjectRefs (None where the shard is empty) so each
+    actor later fetches only its own slice. ``validate_kwargs`` arrives as
+    a task arg (the driver passes one ray.put ref; Ray auto-resolves)."""
+    from ..pipelines.validate import _drop_null_text
+    from ..stages.validator import Validator
+
+    validator = Validator(**(validate_kwargs or {}))
+    table = pq.read_table(path)
+    validated = validator(_drop_null_text(table))
+    shards = _shard_tables(validated, n_shards)
+    return [ray.put(shards[s]) if s in shards else None for s in range(n_shards)]
+
+
 def run_streaming_window_counts(input_path: str, width_us: int,
                                 lateness_us: int, n_shards: int = 8,
                                 validate_kwargs: dict | None = None,
@@ -121,23 +166,39 @@ def run_streaming_window_counts(input_path: str, width_us: int,
     """Stream fragments through validator + shard actors (tumbling, or
     sliding when slide_us divides width_us).
 
-    → (window_counts DataFrame, late DataFrame, per-shard watermarks)."""
-    from ..stages.validator import Validator
+    Fragment preparation (read + validate + shard split) runs as PARALLEL
+    tasks a bounded window ahead; the driver then forwards each fragment's
+    shard slices to the actors IN FRAGMENT ORDER, so per-shard arrival
+    order — and therefore watermark evolution — stays deterministic while
+    the embarrassingly-parallel work overlaps.
 
+    → (window_counts DataFrame, late DataFrame, per-shard watermarks)."""
     actors = [WindowShardActor.remote(width_us, lateness_us, slide_us)
               for _ in range(n_shards)]
-    validator = Validator(**(validate_kwargs or {}))
+    vk_ref = ray.put(validate_kwargs)
 
-    pending: list = []
-    from ..pipelines.validate import _drop_null_text
-    for frag in list_fragments(input_path):
-        table = pq.read_table(frag)
-        validated = validator(_drop_null_text(table))
-        for s, sub in _shard_tables(validated, n_shards).items():
-            pending.append(actors[s].ingest.remote(sub))
-        # backpressure: cap in-flight micro-batch ingests; ray.get the
-        # drained refs so an errored ingest raises instead of being
-        # silently dropped (undercounted windows would look "successful")
+    fragments = list_fragments(input_path)
+    prep_window = max_pending * 4
+    preps: list = []   # fragment-ordered queue of _prepare_fragment futures
+    pending: list = []  # in-flight ingest futures (backpressure)
+    next_frag = 0
+
+    def launch_preps():
+        nonlocal next_frag
+        while next_frag < len(fragments) and len(preps) < prep_window:
+            preps.append(_prepare_fragment.remote(
+                fragments[next_frag], n_shards, vk_ref))
+            next_frag += 1
+
+    launch_preps()
+    while preps:
+        shard_refs = ray.get(preps.pop(0))  # strict fragment order
+        launch_preps()
+        for s, ref in enumerate(shard_refs):
+            if ref is not None:
+                pending.append(actors[s].ingest.remote(ref))
+        # backpressure: cap in-flight ingests; ray.get the drained refs so
+        # an errored ingest raises instead of silently undercounting
         while len(pending) > max_pending * n_shards:
             ready, pending = ray.wait(
                 pending, num_returns=len(pending) - max_pending * n_shards)
