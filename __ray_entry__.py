@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_docs": Q.q_dedup_docs,
         "ann_topk": Q.q_ann_topk,
         "doc_quality": Q.q_doc_quality,
+        "doc_sample": Q.q_doc_sample,
+        "doc_split": Q.q_doc_split,
         "token_counts": Q.q_token_counts,
         "turn_lag": Q.q_turn_lag,
         "embed_near_dups": Q.q_embed_near_dups,
@@ -223,6 +225,15 @@ def oracle_sql() -> dict[str, str]:
                    0.4 * len_score + 0.4 * least(greatest(alpha_ratio, 0.0), 1.0)
                    + 0.2 * (1.0 - least(greatest(punct_ratio * 5, 0.0), 1.0)) AS quality
             FROM ratios""",
+        "doc_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 10""",
+        "doc_split": """
+            SELECT doc_id,
+                   CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+                        WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents""",
         "token_counts": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,

@@ -494,6 +494,34 @@ def q_media_features(sf_dir: str):
     return img[["media_id", "width", "height"]]
 
 
+_KNUTH = 2654435761  # multiplicative hash constant (public Knuth idiom)
+
+
+def q_doc_sample(sf_dir: str, pct: int = 10):
+    """Deterministic hash-based Bernoulli sample (the reproducible form of
+    random_sample a training pipeline needs: same rows every run, no RNG
+    state to coordinate across workers)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["doc_id"] * _KNUTH) % 4294967296
+        return df[h % 100 < pct]
+    return ds.map_batches(pick, batch_format="pandas")
+
+
+def q_doc_split(sf_dir: str):
+    """Deterministic stratum assignment (train/val/test 80/10/10 by doc_id
+    hash) — the split is a pure function of the key, so re-runs, resumes
+    and different cluster sizes all agree."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        h = ((df["doc_id"] * _KNUTH) % 4294967296) % 100
+        split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+        return pd.DataFrame({"doc_id": df["doc_id"], "split": split})
+    return ds.map_batches(assign, batch_format="pandas")
+
+
 class _AnnScorer:
     """Brute-force cosine top-k: broadcast query matrix, numpy matmul per
     batch (the baseline ANN path; LSH-bucketed variant is the scale path)."""
