@@ -83,6 +83,9 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--slide-min", type=int, default=None)
     st.add_argument("--lateness-min", type=int, default=5)
     st.add_argument("--shards", type=int, default=8)
+    st.add_argument("--checkpoint-dir", default=None,
+                    help="snapshot shard state per micro-batch; rerun with "
+                         "the same dir to resume exactly-once")
 
     args = p.parse_args(argv)
 
@@ -147,7 +150,8 @@ def main(argv: list[str] | None = None) -> int:
                 args.input, args.width_min * 60 * 1_000_000,
                 args.lateness_min * 60 * 1_000_000, n_shards=args.shards,
                 slide_us=(args.slide_min * 60 * 1_000_000
-                          if args.slide_min else None))
+                          if args.slide_min else None),
+                checkpoint_dir=args.checkpoint_dir)
             os.makedirs(args.out, exist_ok=True)
             pq.write_table(pa.Table.from_pandas(wc),
                            os.path.join(args.out, "window_counts.parquet"))

@@ -306,17 +306,18 @@ def q_order_revenue(sf_dir: str):
                 .aggregate([("revenue", "sum")])
                 .rename_columns(["l_orderkey", "revenue"]))
 
+    # make the lineitem side EXACT per order BEFORE the join (one keyed
+    # shuffle on the fact side); post-join rows are then unique per order,
+    # so the final rollup is a bounded-key merge (5 priorities)
     li_partial = li.map_batches(per_order, batch_format="pyarrow")
+    li_per_order = li_partial.groupby("l_orderkey").aggregate(
+        Sum("revenue", alias_name="revenue"))
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_orderpriority"])
-    joined = li_partial.join(orders, join_type="inner", num_partitions=16,
-                             on=("l_orderkey",), right_on=("o_orderkey",))
-    # a batch-level partial can emit the same orderkey from several batches:
-    # merge to one row per order before counting orders per priority
-    per_order_total = joined.groupby(["o_orderpriority", "l_orderkey"]).aggregate(
-        Sum("revenue", alias_name="revenue"))
-    out = per_order_total.groupby("o_orderpriority").aggregate(
-        Sum("revenue", alias_name="revenue"), Count(alias_name="n_orders"))
+    joined = li_per_order.join(orders, join_type="inner", num_partitions=16,
+                               on=("l_orderkey",), right_on=("o_orderkey",))
+    out = _grouped_sums(joined, ["o_orderpriority"], ["revenue"],
+                        count_as="n_orders")
     return out.map_batches(lambda df: df.assign(revenue=df["revenue"].round(2)),
                            batch_format="pandas")
 

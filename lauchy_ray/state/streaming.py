@@ -28,6 +28,8 @@ fragment shard), never row data, and fragments stream with
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -47,7 +49,8 @@ class WindowShardActor:
     slide): a row belongs to width/slide windows; window w covers
     [w*slide, w*slide + width) and closes when wm ≥ its END."""
 
-    def __init__(self, width_us: int, lateness_us: int, slide_us: int | None = None):
+    def __init__(self, width_us: int, lateness_us: int, slide_us: int | None = None,
+                 checkpoint_path: str | None = None):
         self.width = width_us
         self.slide = slide_us or width_us
         assert width_us % self.slide == 0
@@ -57,9 +60,31 @@ class WindowShardActor:
         self.open: dict[tuple, list[int]] = {}   # (wid, role, tool) → [ok, rej]
         self.emitted: list[dict] = []
         self.late: list[dict] = []
+        self.seq = -1                        # highest micro-batch seq applied
+        self.checkpoint_path = checkpoint_path
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            import pickle
+            with open(checkpoint_path, "rb") as f:
+                state = pickle.load(f)
+            (self.wm, self.open, self.emitted, self.late, self.seq) = state
 
-    def ingest(self, table: pa.Table) -> int:
-        """One micro-batch for this shard, rows in arrival order.
+    def _checkpoint(self) -> None:
+        """Atomic state snapshot AFTER applying a micro-batch: a crash
+        between apply and snapshot replays that seq against the snapshotted
+        (pre-apply) state — exactly-once either way. Snapshot size is
+        O(open windows + emitted cells), never O(rows)."""
+        if not self.checkpoint_path:
+            return
+        import pickle
+        tmp = f"{self.checkpoint_path}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            pickle.dump((self.wm, self.open, self.emitted, self.late, self.seq), f)
+        os.rename(tmp, self.checkpoint_path)
+
+    def ingest(self, table: pa.Table, seq: int | None = None) -> int:
+        """One micro-batch for this shard, rows in arrival order. ``seq``
+        (the fragment ordinal) makes replay idempotent after a
+        checkpoint-restore: already-applied micro-batches are skipped.
 
         VECTORIZED equivalent of the row-at-a-time scan (the oracle): the
         watermark only ever advances, so wm-before-row-i is
@@ -67,8 +92,13 @@ class WindowShardActor:
         max. Late/open decisions per row then become array expressions, and
         cell updates collapse to one pandas groupby per window offset (the
         work is O(distinct cells), not O(rows))."""
+        if seq is not None and seq <= self.seq:
+            return 0  # replay of an already-checkpointed micro-batch
         n = table.num_rows
         if n == 0:
+            if seq is not None:
+                self.seq = seq
+                self._checkpoint()
             return 0
         ts = table["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         valids = table["valid"].to_numpy(zero_copy_only=False)
@@ -110,6 +140,9 @@ class WindowShardActor:
         if cm[-1] > self.wm:
             self.wm = int(cm[-1])
         self._emit_closed()
+        if seq is not None:
+            self.seq = seq
+            self._checkpoint()
         return n
 
     def _emit_closed(self) -> None:
@@ -162,7 +195,8 @@ def run_streaming_window_counts(input_path: str, width_us: int,
                                 lateness_us: int, n_shards: int = 8,
                                 validate_kwargs: dict | None = None,
                                 max_pending: int = 4,
-                                slide_us: int | None = None):
+                                slide_us: int | None = None,
+                                checkpoint_dir: str | None = None):
     """Stream fragments through validator + shard actors (tumbling, or
     sliding when slide_us divides width_us).
 
@@ -172,9 +206,19 @@ def run_streaming_window_counts(input_path: str, width_us: int,
     order — and therefore watermark evolution — stays deterministic while
     the embarrassingly-parallel work overlaps.
 
+    With ``checkpoint_dir``, each shard snapshots its state (watermark,
+    open windows, emitted, late, seq) atomically after every applied
+    micro-batch; a rerun with the same dir restores the snapshots and
+    REPLAYS the whole fragment sequence — already-applied seqs are skipped,
+    so a crash anywhere (including mid-snapshot) converges exactly-once.
+
     → (window_counts DataFrame, late DataFrame, per-shard watermarks)."""
-    actors = [WindowShardActor.remote(width_us, lateness_us, slide_us)
-              for _ in range(n_shards)]
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+    actors = [WindowShardActor.remote(
+        width_us, lateness_us, slide_us,
+        os.path.join(checkpoint_dir, f"shard-{s}.ckpt") if checkpoint_dir else None)
+        for s in range(n_shards)]
     vk_ref = ray.put(validate_kwargs)
 
     fragments = list_fragments(input_path)
@@ -191,12 +235,14 @@ def run_streaming_window_counts(input_path: str, width_us: int,
             next_frag += 1
 
     launch_preps()
+    seq = -1
     while preps:
         shard_refs = ray.get(preps.pop(0))  # strict fragment order
+        seq += 1
         launch_preps()
         for s, ref in enumerate(shard_refs):
             if ref is not None:
-                pending.append(actors[s].ingest.remote(ref))
+                pending.append(actors[s].ingest.remote(ref, seq))
         # backpressure: cap in-flight ingests; ray.get the drained refs so
         # an errored ingest raises instead of silently undercounting
         while len(pending) > max_pending * n_shards:

@@ -83,6 +83,50 @@ def test_streaming_sliding_matches_oracle(fixture_dir, streamed):
     assert 3 * total < counted + 4 * len(late) <= 4 * total
 
 
+def test_streaming_checkpoint_resume(fixture_dir, streamed, tmp_path):
+    """Crash mid-stream with state checkpointing: feed only the first 2 of
+    4 fragments (simulated crash: actors die with the session scope), then
+    a FRESH set of actors restores the snapshots and replays the full
+    sequence — results must equal an uncheckpointed full run exactly."""
+    import pyarrow.parquet as pq_
+    import ray
+
+    from lauchy_ray.sources.stream import list_fragments
+    from lauchy_ray.state.streaming import (
+        WindowShardActor, _shard_tables, run_streaming_window_counts)
+    from lauchy_ray.stages.validator import Validator
+
+    wc_full, late_full, wms_full, codes = streamed
+    ckpt = str(tmp_path / "ckpt")
+    import os
+    os.makedirs(ckpt)
+
+    # phase 1: partial run (2 fragments), checkpointing, then "crash"
+    frags = list_fragments(fixture_dir["turns"])
+    actors = [WindowShardActor.remote(HOUR_US, LATENESS_US, None,
+                                      os.path.join(ckpt, f"shard-{s}.ckpt"))
+              for s in range(N_SHARDS)]
+    v = Validator(entity_codes=sorted(codes))
+    for seq, frag in enumerate(frags[:2]):
+        t = pq_.read_table(frag)
+        import pyarrow.compute as pc_
+        shards = _shard_tables(v(t.filter(pc_.is_valid(t["text"]))), N_SHARDS)
+        ray.get([actors[s].ingest.remote(tab, seq) for s, tab in shards.items()])
+    for a in actors:
+        ray.kill(a)
+
+    # phase 2: fresh run over ALL fragments with the same checkpoint dir
+    wc, late, wms = run_streaming_window_counts(
+        fixture_dir["turns"], HOUR_US, LATENESS_US, n_shards=N_SHARDS,
+        validate_kwargs={"entity_codes": sorted(codes)}, checkpoint_dir=ckpt)
+    key = ["window_id", "role", "tool"]
+    pd.testing.assert_frame_equal(
+        wc.sort_values(key).reset_index(drop=True),
+        wc_full.sort_values(key).reset_index(drop=True))
+    assert len(late) == len(late_full)
+    assert sorted(wms) == sorted(wms_full)
+
+
 def test_streaming_deterministic(fixture_dir, streamed):
     wc1, late1, _, codes = streamed
     wc2, late2, _ = run_streaming_window_counts(
