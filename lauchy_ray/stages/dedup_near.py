@@ -31,15 +31,28 @@ _TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
 _MERSENNE = (1 << 61) - 1
 
 
+_POLY_B = np.uint64(1_000_000_007)
+
+
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Character k-shingle 64-bit hashes (lowercased, token-joined)."""
+    """Character k-shingle 64-bit hashes (lowercased, token-joined),
+    VECTORIZED: k shifted-multiply-add passes over the byte array (a
+    polynomial rolling hash mod 2^64) instead of one blake2b call per
+    shingle — the per-document hot loop of dedup at corpus scale.
+    Deterministic across processes (no salted hash())."""
     norm = " ".join(_TOKEN_RE.findall(text.lower()))
     if len(norm) < k:
         norm = norm.ljust(k, "_")
-    shingles = {norm[i:i + k] for i in range(len(norm) - k + 1)}
-    return np.array([int.from_bytes(
-        hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
-        for s in shingles], dtype=np.uint64)
+    codes = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n_sh = len(codes) - k + 1
+    acc = np.zeros(n_sh, dtype=np.uint64)
+    for j in range(k):  # k is small (5): k vector ops, not n_sh Python calls
+        acc = acc * _POLY_B + codes[j:j + n_sh]
+    # finalize with a strong mix (splitmix64) so nearby shingles decorrelate
+    acc = (acc ^ (acc >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    acc = (acc ^ (acc >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    acc = acc ^ (acc >> np.uint64(31))
+    return np.unique(acc)
 
 
 def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
