@@ -101,13 +101,33 @@ MAX_BUCKET = 64  # LSH practice: a bucket this full is non-discriminative —
 # its members collide with everything (degenerate shared-vocabulary corpora);
 # pair expansion there is O(bucket²) for ~zero precision. Skip and log-free.
 
+N_PARTITIONS = 64  # bucket-space hash partitions: the shuffle groups by
+# band_hash % N_PARTITIONS (64 pandas calls), NOT by the millions of
+# individual (band, hash) buckets — per-group Python overhead was the
+# dominant cost of candidate generation.
 
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    ids = sorted(set(g["doc_id"]))
-    if len(ids) < 2 or len(ids) > MAX_BUCKET:
-        return pd.DataFrame({"a": [], "b": []})
-    pairs = [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
-    return pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
+
+def _partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """All candidate pairs within one bucket-space partition: sort once,
+    find equal-(band,hash) runs vectorized, expand pairs only for the
+    (rare) runs with 2..MAX_BUCKET distinct docs."""
+    g = g.sort_values(["band_id", "band_hash", "doc_id"], kind="stable")
+    key_change = (g["band_id"].ne(g["band_id"].shift())
+                  | g["band_hash"].ne(g["band_hash"].shift()))
+    run_id = key_change.cumsum()
+    sizes = run_id.map(run_id.value_counts())
+    hot = g[(sizes >= 2).to_numpy()]
+    hot_runs = run_id[(sizes >= 2).to_numpy()]
+    out_a, out_b = [], []
+    for _, grp in hot.groupby(hot_runs.to_numpy(), sort=False):
+        ids = sorted(set(grp["doc_id"]))
+        if len(ids) < 2 or len(ids) > MAX_BUCKET:
+            continue
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+    return pd.DataFrame({"a": out_a, "b": out_b})
 
 
 def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
@@ -127,8 +147,11 @@ def minhash_lsh_dups(docs: rd.Dataset, threshold: float = 0.8,
     candidate id set, then a filtered pass) — never the whole corpus."""
     bander = MinHashBander(num_perm, bands, shingle_k, id_col, text_col)
     band_rows = docs.map_batches(bander, batch_format="pandas")
-    cand = (band_rows.groupby(["band_id", "band_hash"])
-            .map_groups(_bucket_pairs, batch_format="pandas"))
+    band_rows = band_rows.map_batches(
+        lambda df: df.assign(part=df["band_hash"] % N_PARTITIONS),
+        batch_format="pandas")
+    cand = (band_rows.groupby("part")
+            .map_groups(_partition_pairs, batch_format="pandas"))
     cand_df = cand.to_pandas().drop_duplicates()  # (a,b) int pairs — small rows
     if len(cand_df) == 0:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
