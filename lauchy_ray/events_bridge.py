@@ -167,7 +167,8 @@ ranked AS (
 ),
 turns AS (
   SELECT
-    'CONV_' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+    'CONV_' || printf('%06d', user_id) AS conv_id,  -- printf does NOT
+    -- truncate past 6 digits (lpad does), matching the Python 06d format
     turn_idx,
     CASE WHEN event_id % 37 = 0 THEN 'intruder'
          WHEN event_type IN ('click', 'view') THEN 'user'
@@ -230,9 +231,12 @@ tool_meta AS (
   FROM rules GROUP BY tool
 ),
 tidied AS (
+  -- mirrors the engine's null filter (_drop_null_text ≙ java:133):
+  -- a NULL-props event routed to the props text arm derives NULL text
   SELECT conv_id, turn_idx, role, replace(text, 'Adamm', 'Adam') AS text,
          tool, ts, arrival_idx
   FROM turns
+  WHERE text IS NOT NULL
 ),
 validated AS (
   SELECT t.*,

@@ -383,19 +383,16 @@ def q_events_by_type(sf_dir: str):
 
 # ------------------------------------------------------- documents / text
 
-_TOKEN_RE = r"[A-Za-z0-9]+"
-_PUNCT_RE = r"[.!?,;:]"
-
-
 def q_doc_stats(sf_dir: str):
+    from ..stages.textops import PUNCT_RE, TOKEN_RE  # single pattern source
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
     def stats(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "doc_id": df["doc_id"],
-            "n_tokens": df["text"].str.count(_TOKEN_RE).astype("int64"),
-            "n_punct": df["text"].str.count(_PUNCT_RE).astype("int64"),
+            "n_tokens": df["text"].str.count(TOKEN_RE).astype("int64"),
+            "n_punct": df["text"].str.count(PUNCT_RE).astype("int64"),
             "len_chars": df["text"].str.len().astype("int64"),
         })
     return ds.map_batches(stats, batch_format="pandas")

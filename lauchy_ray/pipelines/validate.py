@@ -48,6 +48,10 @@ class _CachedValidator:
     def __call__(self, batch):
         v = _WORKER_VALIDATOR_CACHE.get(self.cache_key)
         if v is None:
+            # keep at most ONE cached validator per worker process: every
+            # pipeline construction mints fresh refs (a new key), and an
+            # unbounded cache would accumulate entity-set copies forever
+            _WORKER_VALIDATOR_CACHE.clear()
             v = Validator(**self.kwargs)
             _WORKER_VALIDATOR_CACHE[self.cache_key] = v
         return v(batch)
@@ -100,6 +104,11 @@ def run_flagship(turns_path: str, entities_path: str | None = None,
         entity_codes = pq.read_table(entities_path, columns=["code"])["code"].to_pylist()
     ds = validated_stream(turns, entity_codes=entity_codes,
                           enable_blacklist=enable_blacklist, concurrency=concurrency)
+    if out_dir is not None:
+        # Ray Data does not share subplans across derived Datasets: without
+        # this, each sink write would re-read and re-validate the input.
+        # (The exactly-once checkpointed path splits in one pass instead.)
+        ds = ds.materialize()
     valid, rejected, side = split_streams(ds)
     if out_dir is not None:
         valid.write_parquet(f"{out_dir}/valid")

@@ -28,7 +28,10 @@ import ray
 import ray.data as rd
 
 _TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
-_MERSENNE = (1 << 61) - 1
+# Mersenne-31: with a,b,x < 2^31, a*x + b < 2^62 fits uint64 EXACTLY, so
+# (a*x+b) mod p really is the universal hash family — a 61-bit prime would
+# silently wrap mod 2^64 first and void min-wise independence.
+_MERSENNE = (1 << 31) - 1
 
 
 _POLY_B = np.uint64(1_000_000_007)
@@ -63,8 +66,11 @@ def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
 
 
 def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(num_perm,) minhash signature via universal hashing, vectorized."""
-    h = ((a[:, None] * (shingles[None, :] % _MERSENNE)) + b[:, None]) % _MERSENNE
+    """(num_perm,) minhash signature via universal hashing, vectorized.
+    Exact arithmetic: all operands < 2^31 ⇒ products < 2^62, no uint64
+    overflow before the mod."""
+    x = shingles % np.uint64(_MERSENNE)
+    h = ((a[:, None] * x[None, :]) + b[:, None]) % np.uint64(_MERSENNE)
     return h.min(axis=1)
 
 
@@ -221,6 +227,11 @@ def simhash_dups(docs: rd.Dataset, max_hamming: int = 3,
     ``n_blocks`` bands (pigeonhole: any pair within max_hamming shares at
     least one exact band when n_blocks > max_hamming), bucket-join, verify
     true hamming distance."""
+    if max_hamming >= n_blocks:
+        raise ValueError(
+            f"pigeonhole recall guarantee needs n_blocks > max_hamming "
+            f"(got n_blocks={n_blocks}, max_hamming={max_hamming}); pass a "
+            f"larger n_blocks")
     sh = docs.map_batches(SimHasher(), batch_format="pandas").to_pandas()
     width = 64 // n_blocks
     rows = {"block": [], "key": [], "doc_id": [], "simhash": []}
@@ -336,7 +347,10 @@ def ann_ivf_topk(emb_ds: rd.Dataset, query_ids: np.ndarray, query_mat: np.ndarra
     out = []
     by_bucket = {b: g for b, g in assigned.groupby("bucket")}
     for qi, qid in enumerate(query_ids):
-        cand = pd.concat([by_bucket[b] for b in probe[qi] if b in by_bucket])
+        frames = [by_bucket[b] for b in probe[qi] if b in by_bucket]
+        # kmeans can leave probed centroids empty: fall back to a full scan
+        # for that query rather than crashing on pd.concat([])
+        cand = pd.concat(frames) if frames else assigned
         cmat = np.stack(cand["embedding"].to_numpy()).astype(np.float64)
         cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
         sims = cmat @ qn[qi]

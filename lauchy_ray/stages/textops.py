@@ -18,6 +18,7 @@ import pandas as pd
 import ray.data as rd
 
 TOKEN_RE = r"[A-Za-z0-9]+"
+PUNCT_RE = r"[.!?,;:]"
 # BPE-ish word/number/punct split (GPT-2 style simplification, public idiom)
 BPE_RE = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+"
 
@@ -62,7 +63,7 @@ def quality_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     n_chars = text.str.len().astype("int64")
     n_tokens = text.str.count(TOKEN_RE).astype("int64")
     n_alpha = text.str.count(r"[A-Za-z]").astype("int64")
-    n_punct = text.str.count(r"[.!?,;:]").astype("int64")
+    n_punct = text.str.count(PUNCT_RE).astype("int64")
     # single-op IEEE float64 expressions — bitwise-reproducible against the
     # DuckDB oracle (no accumulation-order variance), so no rounding needed
     alpha_ratio = (n_alpha / n_chars.clip(lower=1)).astype("float64")

@@ -44,7 +44,9 @@ def flag_late(ds: rd.Dataset, lateness_us: int = DEFAULT_LATENESS_US) -> rd.Data
 
 
 def late_split(ds: rd.Dataset, lateness_us: int = DEFAULT_LATENESS_US):
-    flagged = flag_late(ds, lateness_us)
+    # materialize once: the two filtered branches would otherwise each
+    # re-execute the conv_id shuffle + per-group scan
+    flagged = flag_late(ds, lateness_us).materialize()
     on_time = flagged.map_batches(lambda df: df[~df["late"]], batch_format="pandas")
     late = flagged.map_batches(lambda df: df[df["late"]], batch_format="pandas")
     return on_time, late

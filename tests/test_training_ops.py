@@ -53,7 +53,7 @@ def test_minhash_deterministic(docs_ds):
 
 def test_simhash_finds_exact_and_near(docs_ds):
     ds, _ = docs_ds
-    pairs = dedup_near.simhash_dups(ds, max_hamming=6)
+    pairs = dedup_near.simhash_dups(ds, max_hamming=6, n_blocks=8)
     found = set(zip(pairs["a"], pairs["b"]))
     planted_exact = {(i, i + 100) for i in range(20, 40)}
     assert planted_exact <= found
