@@ -106,24 +106,24 @@ def fingerprint_batch(df: pd.DataFrame, text_col: str = "text",
                       window: int = 4, keep: int = 8) -> pd.DataFrame:
     """Rolling-hash document fingerprint (winnowing-style): hash rolling
     token windows, keep the ``keep`` smallest → hex digest of the set.
-    Robust to small edits away from changed regions."""
+    Robust to small edits away from changed regions. The window hash is
+    ``window`` vectorized multiply-add passes (uint64 wraparound — only
+    determinism matters for a fingerprint), not a per-window Python loop."""
     token_re = re.compile(TOKEN_RE)
+    base = np.uint64(_FP_BASE)
 
     def fp(text: str) -> str:
         toks = token_re.findall(text.lower())
         if len(toks) < window:
             return hashlib.blake2b(" ".join(toks).encode(), digest_size=8).hexdigest()
-        h = _token_hashes(toks).astype(object)  # python ints: no overflow
-        rolls = []
-        for i in range(len(toks) - window + 1):
-            acc = 0
-            for j in range(window):
-                acc = (acc * _FP_BASE + int(h[i + j])) % _FP_MOD
-            rolls.append(acc)
-        smallest = sorted(rolls)[:keep]
-        return hashlib.blake2b(
-            b"".join(s.to_bytes(8, "big") for s in smallest),
-            digest_size=12).hexdigest()
+        h = _token_hashes(toks)
+        n_roll = len(toks) - window + 1
+        acc = np.zeros(n_roll, dtype=np.uint64)
+        for j in range(window):  # window is small: vector ops, not n_roll loops
+            acc = acc * base + h[j:j + n_roll]
+        smallest = np.sort(acc)[:keep]
+        return hashlib.blake2b(smallest.astype(">u8").tobytes(),
+                               digest_size=12).hexdigest()
 
     return pd.DataFrame({"doc_id": df["doc_id"], "fingerprint": df[text_col].map(fp)})
 

@@ -48,3 +48,23 @@ def test_custom_predicate_kind():
 def test_builtin_kinds_route_through_registry():
     R._register_builtin_predicates()
     assert "abn" in R.PREDICATE_REGISTRY and "luhn" in R.PREDICATE_REGISTRY
+
+
+def test_checksum_overrides_regex():
+    """Reference quirk (TopologyProducer.java:228-231): for a checksum-kind
+    attribute the checksum REPLACES the regex validation list — a regex row
+    on the same tool is never consulted."""
+    rules = list(R.DEFAULT_RULES) + [
+        # a regex that would ACCEPT everything — must be ignored for kind=abn
+        R.Rule("TOOL_ABN2", 0, None, "abn-invalid", "DTT_ABN", "abn"),
+        R.Rule("TOOL_ABN2", 1, r".*", "never-used", "DTT_ABN", "regex"),
+    ]
+    rows = [
+        {"conv_id": "C", "turn_idx": 0, "role": "user", "text": "51824753556",
+         "tool": "TOOL_ABN2", "ts": 1},                      # checksum-valid
+        {"conv_id": "C", "turn_idx": 1, "role": "user", "text": "51824753557",
+         "tool": "TOOL_ABN2", "ts": 2},                      # checksum-invalid
+    ]
+    out = validate_table(rows, rules=rules)
+    assert [r["valid"] for r in out] == [True, False]
+    assert out[1]["reject_reason"] == R.R_CHECKSUM_FAIL  # regex .* did NOT rescue it
