@@ -14,7 +14,8 @@ Ray == DuckDB on sf0.001 so drift is caught locally first.
 
 Derivation spec (all arithmetic on int64 event_id/user_id — no floats):
 
-  conv_id  = 'CONV_' || lpad(user_id, 6, '0')
+  conv_id  = 'CONV_' || printf('%06d', user_id)   (NOT lpad — lpad truncates
+             past 6 digits; printf matches Python's non-truncating 06d)
   turn_idx = row_number() over (partition by user_id order by ts, event_id) - 1
   arrival_idx = event_id            (the log's arrival sequence)
   role     = 'intruder' if event_id % 37 == 0 else

@@ -48,10 +48,12 @@ class _CachedValidator:
     def __call__(self, batch):
         v = _WORKER_VALIDATOR_CACHE.get(self.cache_key)
         if v is None:
-            # keep at most ONE cached validator per worker process: every
-            # pipeline construction mints fresh refs (a new key), and an
-            # unbounded cache would accumulate entity-set copies forever
-            _WORKER_VALIDATOR_CACHE.clear()
+            # small bound per worker process: every pipeline construction
+            # mints fresh refs (a new key) so unbounded growth would leak
+            # entity-set copies, but evicting to zero would thrash when two
+            # concurrent pipelines interleave batches on one worker
+            while len(_WORKER_VALIDATOR_CACHE) >= 4:
+                _WORKER_VALIDATOR_CACHE.pop(next(iter(_WORKER_VALIDATOR_CACHE)))
             v = Validator(**self.kwargs)
             _WORKER_VALIDATOR_CACHE[self.cache_key] = v
         return v(batch)
@@ -105,13 +107,24 @@ def run_flagship(turns_path: str, entities_path: str | None = None,
     ds = validated_stream(turns, entity_codes=entity_codes,
                           enable_blacklist=enable_blacklist, concurrency=concurrency)
     if out_dir is not None:
-        # Ray Data does not share subplans across derived Datasets: without
-        # this, each sink write would re-read and re-validate the input.
-        # (The exactly-once checkpointed path splits in one pass instead.)
-        ds = ds.materialize()
-    valid, rejected, side = split_streams(ds)
-    if out_dir is not None:
-        valid.write_parquet(f"{out_dir}/valid")
-        rejected.write_parquet(f"{out_dir}/rejected")
-        side.write_parquet(f"{out_dir}/side")
-    return valid, rejected, side
+        # single pass, STREAMING: one writer stage routes each batch to all
+        # three sinks (Ray Data derived Datasets don't share subplans, so
+        # three write_parquet calls would re-validate the input three
+        # times; materializing instead would pin the full corpus). For the
+        # exactly-once/atomic/resumable sink use pipelines.checkpointed.
+        import os
+        import uuid
+
+        def write_split(t: pa.Table) -> pa.Table:
+            tag = uuid.uuid4().hex[:12]
+            for name, sub in [("valid", t.filter(t["valid"])),
+                              ("rejected", t.filter(pc.invert(t["valid"]))),
+                              ("side", t.filter(t["side"]))]:
+                os.makedirs(f"{out_dir}/{name}", exist_ok=True)
+                if sub.num_rows:
+                    import pyarrow.parquet as pq
+                    pq.write_table(sub, f"{out_dir}/{name}/part-{tag}.parquet")
+            return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+
+        ds.map_batches(write_split, batch_format="pyarrow").count()
+    return split_streams(ds)

@@ -92,8 +92,7 @@ def token_count_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     })
 
 
-_FP_MOD = (1 << 61) - 1
-_FP_BASE = 1_000_003
+_FP_BASE = 1_000_003  # rolling-hash base; arithmetic is uint64 wraparound
 
 
 def _token_hashes(tokens: list[str]) -> np.ndarray:

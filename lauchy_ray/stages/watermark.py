@@ -44,9 +44,13 @@ def flag_late(ds: rd.Dataset, lateness_us: int = DEFAULT_LATENESS_US) -> rd.Data
 
 
 def late_split(ds: rd.Dataset, lateness_us: int = DEFAULT_LATENESS_US):
-    # materialize once: the two filtered branches would otherwise each
-    # re-execute the conv_id shuffle + per-group scan
-    flagged = flag_late(ds, lateness_us).materialize()
+    """Two LAZY branches over the flagged stream. Consuming both re-runs
+    the conv_id shuffle (Ray derived Datasets don't share subplans) — at
+    the 10^12-turn envelope that 2x recompute is the right trade against
+    materializing the whole flagged corpus in the object store. Callers
+    that want one pass should consume ``flag_late`` directly and route
+    per batch (as state/streaming does)."""
+    flagged = flag_late(ds, lateness_us)
     on_time = flagged.map_batches(lambda df: df[~df["late"]], batch_format="pandas")
     late = flagged.map_batches(lambda df: df[df["late"]], batch_format="pandas")
     return on_time, late

@@ -58,28 +58,78 @@ class WindowShardActor:
         self.lateness = lateness_us
         self.wm = NEG_INF                    # shard watermark (epoch us)
         self.open: dict[tuple, list[int]] = {}   # (wid, role, tool) → [ok, rej]
+        # emitted/late hold only the CURRENT delta (since last checkpoint)
+        # when checkpointing: full history lives in the append-only delta
+        # log so snapshot size stays O(open windows), never O(stream life)
         self.emitted: list[dict] = []
         self.late: list[dict] = []
         self.seq = -1                        # highest micro-batch seq applied
         self.checkpoint_path = checkpoint_path
+        self._config = (width_us, self.slide, lateness_us)
         if checkpoint_path and os.path.exists(checkpoint_path):
             import pickle
-            with open(checkpoint_path, "rb") as f:
-                state = pickle.load(f)
-            (self.wm, self.open, self.emitted, self.late, self.seq) = state
+            try:
+                with open(checkpoint_path, "rb") as f:
+                    cfg, self.wm, self.open, self.seq = pickle.load(f)
+            except Exception:
+                # torn/corrupt snapshot (crash before fsync'd rename landed):
+                # fresh state + full replay still converges exactly-once —
+                # the delta log dedupes by seq at read time
+                self.wm, self.open, self.seq = NEG_INF, {}, -1
+            else:
+                if cfg != self._config:
+                    raise ValueError(
+                        f"checkpoint at {checkpoint_path} was written with "
+                        f"window config {cfg}, current run uses {self._config}"
+                        " — delete the checkpoint dir or match the config")
+
+    def _delta_path(self) -> str:
+        return self.checkpoint_path + ".deltas.pkl"
 
     def _checkpoint(self) -> None:
-        """Atomic state snapshot AFTER applying a micro-batch: a crash
-        between apply and snapshot replays that seq against the snapshotted
-        (pre-apply) state — exactly-once either way. Snapshot size is
-        O(open windows + emitted cells), never O(rows)."""
+        """Commit protocol, AFTER applying a micro-batch:
+        1. append this seq's (emitted, late) delta to the append-only log
+           (fsync'd); duplicates from replay-after-crash are dropped at
+           read time by keeping the FIRST record per seq;
+        2. atomically (write+fsync+rename) snapshot the BOUNDED core state
+           (config, wm, open windows, seq).
+        A crash between the two replays the seq against the pre-apply
+        snapshot and appends a duplicate delta — deduped on read."""
         if not self.checkpoint_path:
             return
         import pickle
+        with open(self._delta_path(), "ab") as f:
+            pickle.dump({"seq": self.seq, "emitted": self.emitted,
+                         "late": self.late}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        self.emitted, self.late = [], []
         tmp = f"{self.checkpoint_path}.tmp-{os.getpid()}"
         with open(tmp, "wb") as f:
-            pickle.dump((self.wm, self.open, self.emitted, self.late, self.seq), f)
+            pickle.dump((self._config, self.wm, self.open, self.seq), f)
+            f.flush()
+            os.fsync(f.fileno())
         os.rename(tmp, self.checkpoint_path)
+
+    def _read_deltas(self) -> tuple[list[dict], list[dict]]:
+        """All checkpointed deltas, first-record-per-seq (replay dedupe)."""
+        import pickle
+        emitted, late, seen = [], [], set()
+        if self.checkpoint_path and os.path.exists(self._delta_path()):
+            with open(self._delta_path(), "rb") as f:
+                while True:
+                    try:
+                        rec = pickle.load(f)
+                    except EOFError:
+                        break
+                    except Exception:
+                        break  # trailing torn append from a crash: ignore
+                    if rec["seq"] in seen:
+                        continue
+                    seen.add(rec["seq"])
+                    emitted.extend(rec["emitted"])
+                    late.extend(rec["late"])
+        return emitted, late
 
     def ingest(self, table: pa.Table, seq: int | None = None) -> int:
         """One micro-batch for this shard, rows in arrival order. ``seq``
@@ -154,13 +204,18 @@ class WindowShardActor:
                                  "n_valid": ok, "n_rejected": rej})
 
     def finalize(self) -> dict:
-        """End of stream: flush remaining open windows (wm → ∞)."""
+        """End of stream: flush remaining open windows (wm → ∞) and, when
+        checkpointing, merge the delta-log history with the in-memory
+        tail. finalize does NOT checkpoint — its flush is terminal, and a
+        rerun after a completed run must replay to the same answer."""
         for k in sorted(self.open):
             ok, rej = self.open[k]
             self.emitted.append({"window_id": k[0], "role": k[1], "tool": k[2],
                                  "n_valid": ok, "n_rejected": rej})
         self.open.clear()
-        return {"emitted": self.emitted, "late": self.late, "watermark": self.wm}
+        hist_emitted, hist_late = self._read_deltas()
+        return {"emitted": hist_emitted + self.emitted,
+                "late": hist_late + self.late, "watermark": self.wm}
 
 
 def _shard_tables(table: pa.Table, n_shards: int) -> dict[int, pa.Table]:
@@ -213,15 +268,38 @@ def run_streaming_window_counts(input_path: str, width_us: int,
     so a crash anywhere (including mid-snapshot) converges exactly-once.
 
     → (window_counts DataFrame, late DataFrame, per-shard watermarks)."""
+    fragments = list_fragments(input_path)
     if checkpoint_dir:
+        import glob
+        import hashlib
+        import json
         os.makedirs(checkpoint_dir, exist_ok=True)
+        for tmp in glob.glob(os.path.join(checkpoint_dir, "*.tmp-*")):
+            os.remove(tmp)  # torn snapshot writes from a previous crash
+        meta = {"width_us": width_us, "slide_us": slide_us,
+                "lateness_us": lateness_us, "n_shards": n_shards,
+                "fragments_sha": hashlib.sha256(
+                    "\n".join(os.path.basename(f) for f in fragments)
+                    .encode()).hexdigest()}
+        meta_path = os.path.join(checkpoint_dir, "_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                prev = json.load(f)
+            if prev != meta:
+                raise ValueError(
+                    f"checkpoint dir {checkpoint_dir} was written by a run "
+                    f"with different config/inputs ({prev} != {meta}); "
+                    "replaying against it would corrupt results — delete "
+                    "the dir or rerun with the original config and input")
+        else:
+            with open(meta_path, "w") as f:
+                json.dump(meta, f)
     actors = [WindowShardActor.remote(
         width_us, lateness_us, slide_us,
         os.path.join(checkpoint_dir, f"shard-{s}.ckpt") if checkpoint_dir else None)
         for s in range(n_shards)]
     vk_ref = ray.put(validate_kwargs)
 
-    fragments = list_fragments(input_path)
     prep_window = max_pending * 4
     preps: list = []   # fragment-ordered queue of _prepare_fragment futures
     pending: list = []  # in-flight ingest futures (backpressure)
