@@ -58,6 +58,28 @@ def test_dedup_exact(fixture_dir, oracle_rows):
     assert dedup_exact(rd.from_pandas(got)).count() == len(expected)
 
 
+def test_dedup_keep_first_is_by_arrival_not_content(ray_session):
+    """When a retransmission DIFFERS from the original (corruption/update),
+    keep-first must keep the FIRST ARRIVAL's content, not an arbitrary
+    copy — the exactly-once contract is about arrival order."""
+    import pyarrow as pa
+
+    from lauchy_ray.schema import TURNS_SCHEMA
+    t = pa.table({
+        "conv_id": ["C1", "C1", "C1"],
+        "turn_idx": pa.array([0, 1, 0], pa.int32()),
+        "role": ["user"] * 3,
+        "text": ["original", "other", "CORRUPTED RETRANSMIT"],
+        "tool": ["TOOL_TEXT"] * 3,
+        "ts": pa.array([10, 20, 30], pa.timestamp("us")),
+    }, schema=TURNS_SCHEMA)
+    ds = rd.from_arrow(t).map_batches(
+        lambda df: df.assign(arrival_idx=[0, 1, 2]), batch_format="pandas")
+    out = dedup_exact(ds).to_pandas().sort_values("turn_idx")
+    assert len(out) == 2
+    assert out[out["turn_idx"] == 0]["text"].iloc[0] == "original"
+
+
 def test_sessionize(fixture_dir, oracle_rows):
     expected = pd.DataFrame(oracle.sessionize_rows(oracle_rows, GAP_US))
     got = sessionize(read_stream(fixture_dir["turns"], arrival=False), GAP_US).to_pandas()
