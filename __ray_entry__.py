@@ -236,7 +236,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "token_counts": r"""
             SELECT doc_id,
-                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS BIGINT) AS n_ws_tokens,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_pieces
             FROM documents""",
         "turn_lag": f"""WITH {_T}

@@ -28,6 +28,14 @@ from ..stages.watermark import flag_late
 from ..stages.windows import window_counts
 from .validate import validated_stream
 
+def _round2(x):
+    """Round to 2 decimals HALF AWAY FROM ZERO — the DuckDB/SQL round()
+    convention. pandas/numpy .round() rounds half to even, which diverges
+    by 0.01 from the oracle on exact .xx5 accumulated sums (ADVICE r1)."""
+    x = np.asarray(x, dtype=np.float64)
+    return np.sign(x) * np.floor(np.abs(x) * 100.0 + 0.5) / 100.0
+
+
 HOUR_US = 3600 * 1_000_000
 Q15_US = 900 * 1_000_000
 LATENESS_US = 5 * 60 * 1_000_000
@@ -185,7 +193,7 @@ def q_events_daily(sf_dir: str):
     out = partials.groupby(["day_id", "event_type"]).aggregate(
         Sum("n", alias_name="n"), Sum("total_value", alias_name="total_value"))
     return out.map_batches(
-        lambda df: df.assign(total_value=df["total_value"].round(2)),
+        lambda df: df.assign(total_value=_round2(df["total_value"])),
         batch_format="pandas")
 
 
@@ -251,9 +259,9 @@ def q_q1_pricing(sf_dir: str):
         Sum("count_order", alias_name="count_order"))
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
-        df["sum_qty"] = df["sum_qty"].round(2)
-        df["sum_base_price"] = df["sum_base_price"].round(2)
-        df["sum_disc_price"] = df["sum_disc_price"].round(2)
+        df["sum_qty"] = _round2(df["sum_qty"])
+        df["sum_base_price"] = _round2(df["sum_base_price"])
+        df["sum_disc_price"] = _round2(df["sum_disc_price"])
         return df
     return out.map_batches(final, batch_format="pandas")
 
@@ -286,7 +294,7 @@ def q_orders_by_nation(sf_dir: str):
     return out.map_batches(
         lambda df: pd.DataFrame({"n_name": df["n_name"],
                                  "n_orders": df["n_orders"],
-                                 "total": df["o_totalprice"].round(2)}),
+                                 "total": _round2(df["o_totalprice"])}),
         batch_format="pandas")
 
 
@@ -318,7 +326,7 @@ def q_order_revenue(sf_dir: str):
                                on=("l_orderkey",), right_on=("o_orderkey",))
     out = _grouped_sums(joined, ["o_orderpriority"], ["revenue"],
                         count_as="n_orders")
-    return out.map_batches(lambda df: df.assign(revenue=df["revenue"].round(2)),
+    return out.map_batches(lambda df: df.assign(revenue=_round2(df["revenue"])),
                            batch_format="pandas")
 
 
@@ -357,7 +365,7 @@ def q_supplier_by_region(sf_dir: str):
                          columns=["s_nationkey", "s_acctbal"])
     out = ds.map_batches(join, batch_format="pandas").groupby("r_name").aggregate(
         Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total_bal"))
-    return out.map_batches(lambda df: df.assign(total_bal=df["total_bal"].round(2)),
+    return out.map_batches(lambda df: df.assign(total_bal=_round2(df["total_bal"])),
                            batch_format="pandas")
 
 
@@ -369,7 +377,7 @@ def q_parts_by_brand(sf_dir: str):
         Sum("p_retailprice", alias_name="total_price"),
         Max("p_size", alias_name="max_size"))
     return out.map_batches(
-        lambda df: df.assign(total_price=df["total_price"].round(2)),
+        lambda df: df.assign(total_price=_round2(df["total_price"])),
         batch_format="pandas")
 
 
@@ -377,7 +385,7 @@ def q_events_by_type(sf_dir: str):
     out = _events(sf_dir).groupby("event_type").aggregate(
         Count(alias_name="n"), Sum("value", alias_name="total_value"))
     return out.map_batches(
-        lambda df: df.assign(total_value=df["total_value"].round(2)),
+        lambda df: df.assign(total_value=_round2(df["total_value"])),
         batch_format="pandas")
 
 

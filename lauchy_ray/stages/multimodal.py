@@ -141,9 +141,10 @@ class FrameSample:
 
 def media_pipeline(media: rd.Dataset, dim: int = 32) -> dict[str, rd.Dataset]:
     """kind-routed decode stages — small batches for large binary rows."""
-    images = media.filter(lambda r: r["kind"] == "image")
-    audio = media.filter(lambda r: r["kind"] == "audio")
-    video = media.filter(lambda r: r["kind"] == "video")
+    # expression filters (vectorized pushdown), not per-row Python lambdas
+    images = media.filter(expr="kind == 'image'")
+    audio = media.filter(expr="kind == 'audio'")
+    video = media.filter(expr="kind == 'video'")
     return {
         "image_features": images.map_batches(
             ImageDecode, fn_constructor_kwargs={"dim": dim},

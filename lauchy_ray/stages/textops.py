@@ -82,12 +82,19 @@ def quality_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     })
 
 
+WS_TOKEN_RE = r"[^ \t\n\r\f\v]+"  # EXPLICIT ASCII whitespace class: Python
+# re treats \s as Unicode (NBSP etc.) while DuckDB/RE2 \s is ASCII-only, so
+# \S+ is a latent Ray↔SQL parity break on Unicode whitespace (ADVICE r1).
+# Both the pandas count and the SQL regex use THIS class byte-for-byte.
+
+
 def token_count_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Whitespace tokens + BPE-ish subword-piece count (regex proxy).
-    ``\\S+`` (not str.split) so the SQL oracle can mirror it exactly."""
+    A run-of-non-whitespace count (not str.split) so the SQL oracle can
+    mirror it exactly; see WS_TOKEN_RE for the RE2∩re whitespace policy."""
     return pd.DataFrame({
         "doc_id": df["doc_id"],
-        "n_ws_tokens": df[text_col].str.count(r"\S+").astype("int64"),
+        "n_ws_tokens": df[text_col].str.count(WS_TOKEN_RE).astype("int64"),
         "n_bpe_pieces": df[text_col].str.count(BPE_RE).astype("int64"),
     })
 

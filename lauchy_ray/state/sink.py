@@ -55,10 +55,33 @@ def committed_fragments(out_dir: str) -> set[str]:
     return {f[:-5] for f in os.listdir(mdir) if f.endswith(".json")}
 
 
+def _fsync_file(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _fsync_dir(path: str) -> None:
+    """Persist a rename: the directory entry itself must reach disk."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def _atomic_write(table: pa.Table, final_path: str) -> None:
+    """write → fsync file → rename → fsync dir. Without the fsyncs, a
+    power loss can persist the manifest while the sink parquet is torn or
+    missing, and resume would then skip the fragment forever (ADVICE r1);
+    matches the discipline in state/streaming.py's _checkpoint."""
     tmp = f"{final_path}.tmp-{os.getpid()}"
     pq.write_table(table, tmp)
+    _fsync_file(tmp)
     os.rename(tmp, final_path)  # atomic on the same filesystem
+    _fsync_dir(os.path.dirname(final_path))
 
 
 @ray.remote
@@ -81,12 +104,17 @@ def _process_fragment(frag_path: str, frag_name: str, out_dir: str,
         out_path = os.path.join(out_dir, sink, f"{frag_name}.parquet")
         _atomic_write(t, out_path)
         entry["outputs"][sink] = {"file": out_path, "rows": t.num_rows}
-    # COMMIT: manifest entry appears last, atomically
+    # COMMIT: manifest entry appears last, atomically AND durably — the
+    # outputs above are already fsync'd, so the commit record can never
+    # outlive its data on disk
     mpath = _manifest_path(out_dir, frag_name)
     tmp = f"{mpath}.tmp-{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(entry, f)
+        f.flush()
+        os.fsync(f.fileno())
     os.rename(tmp, mpath)
+    _fsync_dir(os.path.dirname(mpath))
     return entry
 
 

@@ -66,6 +66,13 @@ class WindowShardActor:
         self.seq = -1                        # highest micro-batch seq applied
         self.checkpoint_path = checkpoint_path
         self._config = (width_us, self.slide, lateness_us)
+        if checkpoint_path:
+            # a crash mid-append can leave a TORN record at the delta-log
+            # tail; without repair, new appends land AFTER the torn bytes
+            # and _read_deltas (which stops at the first unreadable record)
+            # would silently drop every later delta — truncate to the last
+            # whole record BEFORE this actor ever appends (ADVICE r1).
+            self._repair_delta_log()
         if checkpoint_path and os.path.exists(checkpoint_path):
             import pickle
             try:
@@ -85,6 +92,35 @@ class WindowShardActor:
 
     def _delta_path(self) -> str:
         return self.checkpoint_path + ".deltas.pkl"
+
+    def _repair_delta_log(self) -> None:
+        """Scan the append-only delta log and truncate at the first torn
+        record (a crash mid-``pickle.dump`` leaves partial bytes at EOF).
+        Safe by the commit protocol: the core snapshot that would make a
+        torn delta's seq "applied" is only written AFTER the delta append
+        succeeds, so a truncated tail seq will simply be re-ingested and
+        re-appended on replay."""
+        import pickle
+        path = self._delta_path()
+        if not os.path.exists(path):
+            return
+        good_end = 0
+        with open(path, "rb") as f:
+            while True:
+                try:
+                    pickle.load(f)
+                except EOFError:
+                    break
+                except Exception:
+                    break  # torn/corrupt tail starts here
+                good_end = f.tell()
+            f.seek(0, os.SEEK_END)
+            total = f.tell()
+        if good_end < total:
+            with open(path, "rb+") as f:
+                f.truncate(good_end)
+                f.flush()
+                os.fsync(f.fileno())
 
     def _checkpoint(self) -> None:
         """Commit protocol, AFTER applying a micro-batch:

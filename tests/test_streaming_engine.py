@@ -127,6 +127,60 @@ def test_streaming_checkpoint_resume(fixture_dir, streamed, tmp_path):
     assert sorted(wms) == sorted(wms_full)
 
 
+def test_streaming_torn_delta_log_repair(fixture_dir, streamed, tmp_path):
+    """Crash mid-append leaves partial pickle bytes at the delta-log tail.
+    A resumed actor must TRUNCATE the torn record before appending, or every
+    delta written after the crash is silently dropped at read time
+    (exactly-once violation; ADVICE r1). Simulate: checkpointed partial run,
+    append garbage bytes to each shard's delta log, resume-replay — results
+    must equal the uncheckpointed full run."""
+    import os
+
+    import pyarrow.compute as pc_
+    import pyarrow.parquet as pq_
+    import ray
+
+    from lauchy_ray.sources.stream import list_fragments
+    from lauchy_ray.stages.validator import Validator
+    from lauchy_ray.state.streaming import WindowShardActor, _shard_tables
+
+    wc_full, late_full, wms_full, codes = streamed
+    ckpt = str(tmp_path / "ckpt_torn")
+    os.makedirs(ckpt)
+
+    frags = list_fragments(fixture_dir["turns"])
+    actors = [WindowShardActor.remote(HOUR_US, LATENESS_US, None,
+                                      os.path.join(ckpt, f"shard-{s}.ckpt"))
+              for s in range(N_SHARDS)]
+    v = Validator(entity_codes=sorted(codes))
+    for seq, frag in enumerate(frags[:2]):
+        t = pq_.read_table(frag)
+        shards = _shard_tables(v(t.filter(pc_.is_valid(t["text"]))), N_SHARDS)
+        ray.get([actors[s].ingest.remote(tab, seq) for s, tab in shards.items()])
+    for a in actors:
+        ray.kill(a)
+
+    # torn append: partial pickle bytes at EOF of every delta log
+    torn = 0
+    for s in range(N_SHARDS):
+        path = os.path.join(ckpt, f"shard-{s}.ckpt.deltas.pkl")
+        if os.path.exists(path):
+            with open(path, "ab") as f:
+                f.write(b"\x80\x04\x95\xff\xff")  # pickle preamble, cut off
+            torn += 1
+    assert torn > 0, "fixture must have produced delta logs to tear"
+
+    wc, late, wms = run_streaming_window_counts(
+        fixture_dir["turns"], HOUR_US, LATENESS_US, n_shards=N_SHARDS,
+        validate_kwargs={"entity_codes": sorted(codes)}, checkpoint_dir=ckpt)
+    key = ["window_id", "role", "tool"]
+    pd.testing.assert_frame_equal(
+        wc.sort_values(key).reset_index(drop=True),
+        wc_full.sort_values(key).reset_index(drop=True))
+    assert len(late) == len(late_full)
+    assert sorted(wms) == sorted(wms_full)
+
+
 def test_streaming_deterministic(fixture_dir, streamed):
     wc1, late1, _, codes = streamed
     wc2, late2, _ = run_streaming_window_counts(
