@@ -536,7 +536,9 @@ def q_minhash_dups(sf_dir: str):
 
 
 def q_simhash_dups(sf_dir: str):
-    """Rows-only: SimHash near-dup pairs (hamming ≤ 3)."""
+    """SimHash near-dup pairs (hamming ≤ 3), SQL-checked: the oracle
+    recomputes the full 60-bit md5-token simhash + all-pairs hamming in
+    DuckDB (dedup_near.simhash_sql); band recall is exact by pigeonhole."""
     from ..stages.dedup_near import simhash_dups
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_dups(docs)

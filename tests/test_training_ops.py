@@ -53,13 +53,41 @@ def test_minhash_deterministic(docs_ds):
 
 def test_simhash_finds_exact_and_near(docs_ds):
     ds, _ = docs_ds
-    pairs = dedup_near.simhash_dups(ds, max_hamming=6, n_blocks=8)
+    pairs = dedup_near.simhash_dups(ds, max_hamming=6, n_blocks=10)
     found = set(zip(pairs["a"], pairs["b"]))
     planted_exact = {(i, i + 100) for i in range(20, 40)}
     assert planted_exact <= found
     # hamming distance of identical docs is 0
     h = dedup_near.SimHasher.simhash64("hello world test")
     assert h == dedup_near.SimHasher.simhash64("hello world test")
+
+
+def test_simhash_batch_matches_reference(docs_ds):
+    """The vectorized batch SimHasher must agree bit-for-bit with the
+    single-doc reference implementation (and handle empty docs)."""
+    _, df = docs_ds
+    sub = pd.concat([df.head(7), pd.DataFrame({"doc_id": [999], "text": [""]})],
+                    ignore_index=True)
+    got = dedup_near.SimHasher()(sub)
+    exp = [dedup_near.SimHasher.simhash64(t) for t in sub["text"]]
+    assert got["simhash"].tolist() == exp
+    assert got["simhash"].iloc[-1] == 0  # empty doc → 0
+
+
+def test_simhash_sql_oracle_parity(docs_ds):
+    """The DuckDB oracle (full simhash in SQL over md5-60bit token hashes)
+    must produce EXACTLY the pairs the distributed pipeline finds."""
+    import duckdb
+
+    ds, df = docs_ds
+    pairs = dedup_near.simhash_dups(ds, max_hamming=3, n_blocks=4)
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute(dedup_near.simhash_sql(max_hamming=3)).fetchdf()
+    got_set = set(zip(pairs["a"], pairs["b"]))
+    exp_set = set(zip(exp["a"], exp["b"]))
+    assert got_set == exp_set
+    assert len(exp_set) > 0, "fixture must exercise the pair path"
 
 
 def test_ngram_jaccard_values():
