@@ -556,12 +556,14 @@ def q_embed_near_dups(sf_dir: str):
 
 
 def q_ann_ivf(sf_dir: str):
-    """Rows-only: IVF approximate top-k (recall vs brute force is tested
-    in pytest, not SQL-checkable by design)."""
+    """IVF approximate top-k, SQL-checked: the quantizer is data-point
+    seeds (vec_id < n_centroids), a pure function of the input, so the
+    DuckDB oracle (dedup_near.ann_ivf_sql) re-derives buckets, probe sets
+    and the pruned cosine top-k independently. Recall vs brute force is
+    additionally pytest-checked."""
     from ..stages.dedup_near import ann_ivf_topk
     emb, ids, mat = _load_embeddings(sf_dir)
-    return ann_ivf_topk(rd.from_arrow(emb), ids[ids < 3],
-                        mat[ids < 3])[["qid", "vec_id"]]
+    return ann_ivf_topk(rd.from_arrow(emb), ids[ids < 3], mat[ids < 3])
 
 
 def q_media_features(sf_dir: str):
