@@ -24,7 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from lauchy_ray.events_bridge import validated_cte, turns_cte  # noqa: E402
 from lauchy_ray.pipelines import queries as Q  # noqa: E402
 from lauchy_ray.rules import rules_sql_cte  # noqa: E402
-from lauchy_ray.stages.dedup_near import ann_ivf_sql, simhash_sql  # noqa: E402
+from lauchy_ray.stages.dedup_near import (  # noqa: E402
+    ann_ivf_sql, minhash_sql, simhash_sql)
 
 
 def entry() -> Any:
@@ -256,6 +257,9 @@ def oracle_sql() -> dict[str, str]:
         # hamming ≤ 3) in SQL; the Ray side's LSH banding has EXACT recall
         # by pigeonhole, so band-join+verify ≡ this all-pairs oracle
         "simhash_dups": simhash_sql(max_hamming=3),
+        # exact all-pairs k-shingle jaccard at threshold 0.9, where LSH
+        # recall ≈ 1 ⇒ oracle ≡ banded+verified pipeline
+        "minhash_dups": minhash_sql(threshold=0.9),
         # full IVF (data-point quantizer → assignment → probe sets →
         # bucket-pruned cosine top-k) re-derived in SQL
         "ann_ivf": ann_ivf_sql(),

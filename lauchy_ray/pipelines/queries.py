@@ -529,10 +529,13 @@ def q_fingerprint(sf_dir: str):
 
 
 def q_minhash_dups(sf_dir: str):
-    """Rows-only: MinHash+LSH near-dup pairs, Jaccard-verified."""
+    """MinHash+LSH near-dup pairs, Jaccard-verified, SQL-checked: at
+    threshold 0.9 LSH recall is ≈1 (see dedup_near.minhash_sql), so the
+    exact all-pairs jaccard oracle equals the banded+verified result.
+    Lower-threshold operation stays pytest-covered (planted-dup recall)."""
     from ..stages.dedup_near import minhash_lsh_dups
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_lsh_dups(docs, threshold=0.5)
+    return minhash_lsh_dups(docs, threshold=0.9)[["a", "b"]]
 
 
 def q_simhash_dups(sf_dir: str):

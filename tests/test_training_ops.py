@@ -51,6 +51,30 @@ def test_minhash_deterministic(docs_ds):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_minhash_distributed_verify_matches_broadcast(docs_ds):
+    """The no-broadcast shuffle-based verify path (the 100-TB-safe form)
+    must produce exactly the broadcast path's pairs and jaccards."""
+    ds, _ = docs_ds
+    bc = dedup_near.minhash_lsh_dups(ds, threshold=0.8, verify="broadcast")
+    dist = dedup_near.minhash_lsh_dups(ds, threshold=0.8, verify="distributed")
+    pd.testing.assert_frame_equal(bc, dist)
+    assert len(bc) > 0
+
+
+def test_minhash_sql_oracle_parity(docs_ds):
+    """At threshold 0.9 (recall ≈ 1) the exact all-pairs jaccard oracle in
+    DuckDB must equal the banded+verified pipeline output."""
+    import duckdb
+
+    ds, df = docs_ds
+    got = dedup_near.minhash_lsh_dups(ds, threshold=0.9)
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute(dedup_near.minhash_sql(threshold=0.9)).fetchdf()
+    assert set(zip(got["a"], got["b"])) == set(zip(exp["a"], exp["b"]))
+    assert len(exp) > 0, "fixture must exercise the pair path"
+
+
 def test_simhash_finds_exact_and_near(docs_ds):
     ds, _ = docs_ds
     pairs = dedup_near.simhash_dups(ds, max_hamming=6, n_blocks=10)
