@@ -26,6 +26,7 @@ from lauchy_ray.pipelines import queries as Q  # noqa: E402
 from lauchy_ray.rules import rules_sql_cte  # noqa: E402
 from lauchy_ray.stages.dedup_near import (  # noqa: E402
     ann_ivf_sql, minhash_sql, simhash_sql)
+from lauchy_ray.stages.textops import fingerprint_sql, lang_id_sql  # noqa: E402
 
 
 def entry() -> Any:
@@ -260,6 +261,11 @@ def oracle_sql() -> dict[str, str]:
         # exact all-pairs k-shingle jaccard at threshold 0.9, where LSH
         # recall ≈ 1 ⇒ oracle ≡ banded+verified pipeline
         "minhash_dups": minhash_sql(threshold=0.9),
+        # function-word vote re-derived from the same _LANG_PROFILES constant
+        "lang_id": lang_id_sql(),
+        # full winnowing fingerprint (md5-60bit token hashes, uint64-wrap
+        # rolling windows, keep-smallest, md5 digest) re-derived in SQL
+        "fingerprint": fingerprint_sql(),
         # full IVF (data-point quantizer → assignment → probe sets →
         # bucket-pruned cosine top-k) re-derived in SQL
         "ann_ivf": ann_ivf_sql(),

@@ -512,7 +512,9 @@ def q_turn_lag(sf_dir: str):
 
 
 def q_lang_id(sf_dir: str):
-    """Rows-only: heuristic language ID over documents."""
+    """Heuristic language ID, SQL-checked: the oracle re-derives the
+    function-word vote from the shared _LANG_PROFILES constant
+    (textops.lang_id_sql)."""
     from ..stages.textops import lang_id_batch
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang"])
@@ -522,7 +524,8 @@ def q_lang_id(sf_dir: str):
 
 
 def q_fingerprint(sf_dir: str):
-    """Rows-only: winnowing-style rolling-hash document fingerprints."""
+    """Winnowing-style rolling-hash document fingerprints, SQL-checked
+    bit-for-bit (textops.fingerprint_sql re-derives every hash)."""
     from ..stages.textops import fingerprint_batch
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(fingerprint_batch, batch_format="pandas")
