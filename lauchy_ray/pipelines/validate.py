@@ -92,37 +92,64 @@ def validated_stream(turns: rd.Dataset, rules=None, entity_codes=None,
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
 
+_SIDE_SYNTH_CACHE: dict = {}
+
+
 def run_flagship(turns_path: str, entities_path: str | None = None,
                  out_dir: str | None = None, enable_blacklist: bool = True,
-                 concurrency=(2, 8)):
-    """read → validate → split; optionally write the three sinks.
+                 concurrency=(2, 8), user_token: str = ""):
+    """read → validate → split; optionally write the sinks.
+
+    With an entities table, a fourth ``webdata`` sink is written carrying
+    SYNTHESIZED side records (entity wrapped with total/return_count/token,
+    ≙ TopologyProducer.java:215-221) — the raw ``side`` rows remain for
+    debugging, but a webdata consumer of the reference reads ``webdata``.
 
     Returns (valid, rejected, side) Datasets (lazy if out_dir is None).
     """
+    import ray as _ray
+
     turns = rd.read_parquet(turns_path)
     entity_codes = None
+    names_ref = None
     if entities_path is not None:
         import pyarrow.parquet as pq
-        entity_codes = pq.read_table(entities_path, columns=["code"])["code"].to_pylist()
+        ents = pq.read_table(entities_path, columns=["code", "name"])
+        entity_codes = ents["code"].to_pylist()
+        names_ref = _ray.put(dict(zip(ents["code"].to_pylist(),
+                                      ents["name"].to_pylist())))
     ds = validated_stream(turns, entity_codes=entity_codes,
                           enable_blacklist=enable_blacklist, concurrency=concurrency)
     if out_dir is not None:
         # single pass, STREAMING: one writer stage routes each batch to all
-        # three sinks (Ray Data derived Datasets don't share subplans, so
-        # three write_parquet calls would re-validate the input three
+        # sinks (Ray Data derived Datasets don't share subplans, so
+        # separate write_parquet calls would re-validate the input N
         # times; materializing instead would pin the full corpus). For the
         # exactly-once/atomic/resumable sink use pipelines.checkpointed.
         import os
         import uuid
 
+        from ..stages.validator import SideRecordSynthesizer
+
         def write_split(t: pa.Table) -> pa.Table:
+            import pyarrow.parquet as pq
             tag = uuid.uuid4().hex[:12]
-            for name, sub in [("valid", t.filter(t["valid"])),
-                              ("rejected", t.filter(pc.invert(t["valid"]))),
-                              ("side", t.filter(t["side"]))]:
+            outs = [("valid", t.filter(t["valid"])),
+                    ("rejected", t.filter(pc.invert(t["valid"]))),
+                    ("side", t.filter(t["side"]))]
+            if names_ref is not None:
+                # synthesizer state built once per worker process
+                key = (names_ref.hex(), user_token)
+                syn = _SIDE_SYNTH_CACHE.get(key)
+                if syn is None:
+                    _SIDE_SYNTH_CACHE.clear()
+                    syn = SideRecordSynthesizer(names_ref=names_ref,
+                                                token=user_token)
+                    _SIDE_SYNTH_CACHE[key] = syn
+                outs.append(("webdata", syn(t)))
+            for name, sub in outs:
                 os.makedirs(f"{out_dir}/{name}", exist_ok=True)
                 if sub.num_rows:
-                    import pyarrow.parquet as pq
                     pq.write_table(sub, f"{out_dir}/{name}/part-{tag}.parquet")
             return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
 

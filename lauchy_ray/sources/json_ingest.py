@@ -75,7 +75,11 @@ def parse_lines(lines: list[str], base_msg_id: int = 0) -> pa.Table:
             items = msg.get("items") or []
             staged = []
             if not items:
-                staged.append((mid, 0, str(msg.get("msg_type", "")),
+                # synthetic carrier row for an empty-items envelope:
+                # item_idx = -1 marks it as NOT a real answer (the
+                # reference's per-answer loop never runs, TP:185), so
+                # message-level verdicts can exclude it
+                staged.append((mid, -1, str(msg.get("msg_type", "")),
                                str(msg.get("data_type", "")),
                                str(msg.get("token", "")), "", "", "", ""))
             for k, item in enumerate(items):
@@ -132,6 +136,11 @@ def answers_to_turns(answers: rd.Dataset) -> rd.Dataset:
             "role": "user",
             "text": df["value"],
             "tool": df["attribute_code"].where(~gated, ""),
+            # carried for the message-level token-equality check (V1,
+            # TP:180-183) — compared in message_validity, not per turn
+            "token": df["token"],
+            "answer_msg": ~gated,
+            "real_item": df["item_idx"] >= 0,
             # synthesized event time, BOUNDED for the ns-datetime range and
             # MONOTONE within a file: one day per file ordinal (mod 50y),
             # one second per line (line < 2^32 → ≤136y; 2026+50+136 < the
@@ -148,13 +157,24 @@ def answers_to_turns(answers: rd.Dataset) -> rd.Dataset:
     return answers.map_batches(conv, batch_format="pandas")
 
 
-def message_validity(validated: pd.DataFrame, mode: str = "all") -> pd.DataFrame:
+def message_validity(validated: pd.DataFrame, mode: str = "all",
+                     expected_token: str | None = None) -> pd.DataFrame:
     """Per-message verdict from per-answer validation results.
 
     mode="all": message valid iff all its answers are valid (clean).
     mode="last": the reference's last-writer-wins (see module docstring) —
     the verdict of the highest item_idx, except any "exception" row (or
     parse error) fails the message.
+
+    expected_token (V1, TopologyProducer.java:180-183): the user token the
+    envelope's token must equal. A mismatch sets the message invalid
+    BEFORE the per-answer loop — under mode="all" that fails the message
+    outright; under mode="last" it is faithfully OVERWRITTEN by the
+    per-answer reassignment, so it only decides messages with NO real
+    answers (the reference loop body never runs, valid keeps the token
+    verdict). Only DATA_MSG/Answer envelopes are checked (the token code
+    sits inside that branch; others pass the gate, TP:172/initial
+    valid=true at TP:161).
     → DataFrame (msg_id, msg_valid)."""
     df = validated
     # one shared parse-error series: unparseable messages are INVALID as a
@@ -162,13 +182,26 @@ def message_validity(validated: pd.DataFrame, mode: str = "all") -> pd.DataFrame
     # gate row validates as pass-through
     parse_err = (df.get("parse_error", pd.Series(False, index=df.index))
                  .groupby(df["msg_id"]).any())
+    if expected_token is not None and "token" in df.columns:
+        is_ans = df.get("answer_msg", pd.Series(True, index=df.index))
+        tok_bad = (((df["token"] != expected_token) & is_ans)
+                   .groupby(df["msg_id"]).any())
+    else:
+        tok_bad = pd.Series(False, index=parse_err.index)
     if mode == "all":
-        agg = df.groupby("msg_id")["valid"].all() & ~parse_err
+        agg = df.groupby("msg_id")["valid"].all() & ~parse_err & ~tok_bad
     elif mode == "last":
-        ordered = df.sort_values(["msg_id", "turn_idx"], kind="stable")
+        real = df.get("real_item", pd.Series(True, index=df.index))
+        real_rows = df[real.astype(bool)]
+        ordered = real_rows.sort_values(["msg_id", "turn_idx"], kind="stable")
         last = ordered.groupby("msg_id")["valid"].last()
+        # messages with no real answers keep the pre-loop verdict: the
+        # token check's (TP:181-183), else the initial valid=true (TP:161)
+        last = last.reindex(parse_err.index)
+        no_answers = last.isna()
+        last[no_answers] = ~tok_bad[no_answers]
         exc = (df["reject_reason"] == "exception").groupby(df["msg_id"]).any()
-        agg = last & ~exc & ~parse_err
+        agg = last.astype(bool) & ~exc & ~parse_err
     else:
         raise ValueError(f"unknown mode {mode!r}")
     return agg.rename("msg_valid").reset_index()

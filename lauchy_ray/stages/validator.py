@@ -197,6 +197,57 @@ def _append(batch: pa.Table, ok, reason, side) -> pa.Table:
             .append_column("side", pa.array(side, type=pa.bool_())))
 
 
+class SideRecordSynthesizer:
+    """Side-output record synthesis (≙ TopologyProducer.java:215-221): the
+    reference does not forward the raw answer to webdata — it wraps the
+    TARGET entity in a QDataBaseEntityMessage with the attribute value set
+    to "[]", total=1, returnCount=1 and the user token. This stage
+    projects each ``side`` row into that record shape; the entity-name
+    dictionary is actor state loaded once per actor from a broadcast ref
+    (like the Validator's rule dictionary).
+
+    Output columns: code (the target entity ≙ conv_id), name (dictionary
+    lookup), attribute_code, value, total, return_count, token.
+    """
+
+    def __init__(self, names_ref=None, entity_names: dict | None = None,
+                 token: str = ""):
+        import ray
+
+        if names_ref is not None:
+            entity_names = ray.get(names_ref)
+        self.names = entity_names or {}
+        self.token = token
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sub = batch.filter(batch["side"])
+        n = sub.num_rows
+        codes = sub["conv_id"].to_pandas()
+        names = codes.map(self.names).fillna("")
+        return pa.table({
+            "code": pa.array(codes, pa.string()),
+            "name": pa.array(names, pa.string()),
+            "attribute_code": pa.array([R.SIDE_OUTPUT_TOOL] * n, pa.string()),
+            "value": pa.array([R.SIDE_OUTPUT_VALUE] * n, pa.string()),
+            "total": pa.array(np.ones(n, np.int64)),         # setTotal(1L)
+            "return_count": pa.array(np.ones(n, np.int64)),  # setReturnCount(1L)
+            "token": pa.array([self.token] * n, pa.string()),
+        })
+
+
+def webdata_stream(validated, entity_names: dict, token: str = "",
+                   concurrency=(1, 4)):
+    """validated stream → synthesized webdata records (S4). The names
+    dict is broadcast once; lookup happens in actor state."""
+    import ray
+
+    ref = ray.put(entity_names)
+    return validated.map_batches(
+        SideRecordSynthesizer,
+        fn_constructor_kwargs={"names_ref": ref, "token": token},
+        batch_format="pyarrow", concurrency=concurrency)
+
+
 def split_streams(ds, blacklist_key: str = "conv_id"):
     """valid / rejected / side Datasets from a validated stream
     (≙ topics valid_data / blacklists / webdata, TopologyProducer.java:137,

@@ -65,6 +65,41 @@ def test_message_validity_modes(jsonl_file):
     assert not bool(v_all[5]) and not bool(v_last[5])
 
 
+def test_token_equality_check(tmp_path):
+    """V1 (TopologyProducer.java:180-183): the envelope token must equal
+    the supplied user token. mode="all" fails a mismatched message
+    outright; mode="last" faithfully lets per-answer reassignment
+    OVERWRITE the token verdict, so the mismatch only decides messages
+    with no real answers (the reference loop body never runs)."""
+    p = tmp_path / "messages-000.jsonl"
+    lines = [
+        _msg([_item("42")], token="tok"),        # 0: good token, valid answer
+        _msg([_item("42")], token="WRONG"),      # 1: bad token, valid answer
+        _msg([], token="WRONG"),                 # 2: bad token, NO answers
+        _msg([], token="tok"),                   # 3: good token, no answers
+        _msg([], msg_type="CMD_MSG", token="WRONG"),  # 4: non-Answer envelope
+    ]
+    p.write_text("\n".join(lines))
+    turns = answers_to_turns(read_answer_messages(str(p)))
+    validated = validated_stream(turns, use_actors=False).to_pandas()
+
+    v_all = message_validity(validated, mode="all",
+                             expected_token="tok").set_index("msg_id")["msg_valid"]
+    v_last = message_validity(validated, mode="last",
+                              expected_token="tok").set_index("msg_id")["msg_valid"]
+    assert bool(v_all[0]) and bool(v_last[0])
+    assert not bool(v_all[1])        # clean semantics: token mismatch fails
+    assert bool(v_last[1])           # faithful: overwritten by the answer
+    assert not bool(v_all[2]) and not bool(v_last[2])  # no answers: mismatch holds
+    assert bool(v_all[3]) and bool(v_last[3])
+    # token check sits inside the DATA_MSG/Answer branch — non-Answer
+    # envelopes are never token-checked (TP:172)
+    assert bool(v_all[4]) and bool(v_last[4])
+    # without expected_token the check is off (round-1 behavior preserved)
+    v_off = message_validity(validated, mode="all").set_index("msg_id")["msg_valid"]
+    assert bool(v_off[1])
+
+
 def test_parse_error_is_invalid(jsonl_file):
     turns = answers_to_turns(read_answer_messages(jsonl_file)).to_pandas()
     bad = turns[turns["parse_error"]]

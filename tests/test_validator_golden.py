@@ -74,3 +74,42 @@ def test_tidy_applied_before_validation(fixture_dir):
     got, _ = run_both(fixture_dir)
     assert not got["text"].str.contains("Adamm").any()
     assert got["text"].str.startswith("Adam ").any()
+
+
+def test_side_record_synthesis(fixture_dir, tmp_path):
+    """S4 (TopologyProducer.java:215-221): webdata carries a SYNTHESIZED
+    record — the target entity wrapped with total=1, return_count=1 and
+    the user token — not the raw turn row."""
+    import pyarrow.parquet as pq_
+    import ray.data as rd_
+
+    from lauchy_ray.pipelines.validate import run_flagship, validated_stream
+    from lauchy_ray.stages.validator import webdata_stream
+
+    ents = pq_.read_table(fixture_dir["entities"])
+    names = dict(zip(ents["code"].to_pylist(), ents["name"].to_pylist()))
+    ds = validated_stream(rd_.read_parquet(fixture_dir["turns"]),
+                          entity_codes=ents["code"].to_pylist(),
+                          use_actors=False)
+    web = webdata_stream(ds, names, token="TOK123").to_pandas()
+    side_count = int(ds.to_pandas()["side"].sum())
+    assert len(web) == side_count > 0
+    assert set(web.columns) == {"code", "name", "attribute_code", "value",
+                                "total", "return_count", "token"}
+    assert (web["total"] == 1).all() and (web["return_count"] == 1).all()
+    assert (web["token"] == "TOK123").all()
+    assert (web["value"] == "[]").all()
+    assert (web["attribute_code"] == "TOOL_LNK_PERSON").all()
+    # name lookup comes from the entity dictionary actor state
+    known = web[web["code"].isin(names)]
+    assert len(known) > 0
+    assert (known["name"] == known["code"].map(names)).all()
+
+    # run_flagship writes the synthesized webdata sink alongside side
+    out = str(tmp_path / "flagship")
+    run_flagship(fixture_dir["turns"], fixture_dir["entities"], out_dir=out,
+                 user_token="TOK123")
+    wt = pq_.ParquetDataset(f"{out}/webdata").read().to_pandas()
+    st = pq_.ParquetDataset(f"{out}/side").read()
+    assert len(wt) == st.num_rows == side_count
+    assert (wt["token"] == "TOK123").all()
