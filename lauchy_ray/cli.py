@@ -83,6 +83,11 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--slide-min", type=int, default=None)
     st.add_argument("--lateness-min", type=int, default=5)
     st.add_argument("--shards", type=int, default=8)
+    st.add_argument("--late-policy", choices=["route", "merge"],
+                    default="route",
+                    help="route: late rows go to the late output only; "
+                         "merge: counted as corrections so results equal "
+                         "a batch computation")
     st.add_argument("--checkpoint-dir", default=None,
                     help="snapshot shard state per micro-batch; rerun with "
                          "the same dir to resume exactly-once")
@@ -151,7 +156,8 @@ def main(argv: list[str] | None = None) -> int:
                 args.lateness_min * 60 * 1_000_000, n_shards=args.shards,
                 slide_us=(args.slide_min * 60 * 1_000_000
                           if args.slide_min else None),
-                checkpoint_dir=args.checkpoint_dir)
+                checkpoint_dir=args.checkpoint_dir,
+                late_policy=args.late_policy)
             os.makedirs(args.out, exist_ok=True)
             pq.write_table(pa.Table.from_pandas(wc),
                            os.path.join(args.out, "window_counts.parquet"))

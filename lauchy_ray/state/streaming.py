@@ -11,8 +11,11 @@ groupby over a complete dataset, fragments arrive in order (micro-batches
 - a per-shard watermark  wm = max(event ts seen) − allowed lateness,
 - emission: when wm passes a window's end the window is CLOSED and
   emitted exactly once; rows arriving for an already-closed window are
-  routed to the LATE output (policy: route, don't merge — ≙ the
-  reference's blacklist side-channel shape).
+  handled per ``late_policy``: "route" (default) sends them to the LATE
+  output and never counts them (≙ the reference's blacklist side-channel
+  shape); "merge" counts them as CORRECTION rows merged into the final
+  per-key rollup, so merged results equal a batch computation over the
+  same rows (the standard upsert/retraction knob).
 
 Sharding is hash(conv_id) % n_shards — deterministic, and each actor sees
 its shard's rows in fragment (arrival) order because the driver submits
@@ -50,10 +53,14 @@ class WindowShardActor:
     [w*slide, w*slide + width) and closes when wm ≥ its END."""
 
     def __init__(self, width_us: int, lateness_us: int, slide_us: int | None = None,
-                 checkpoint_path: str | None = None):
+                 checkpoint_path: str | None = None, late_policy: str = "route"):
         self.width = width_us
         self.slide = slide_us or width_us
         assert width_us % self.slide == 0
+        if late_policy not in ("route", "merge"):
+            raise ValueError(f"late_policy must be 'route' or 'merge', "
+                             f"got {late_policy!r}")
+        self.late_policy = late_policy
         self.n_per = width_us // self.slide
         self.lateness = lateness_us
         self.wm = NEG_INF                    # shard watermark (epoch us)
@@ -65,7 +72,7 @@ class WindowShardActor:
         self.late: list[dict] = []
         self.seq = -1                        # highest micro-batch seq applied
         self.checkpoint_path = checkpoint_path
-        self._config = (width_us, self.slide, lateness_us)
+        self._config = (width_us, self.slide, lateness_us, late_policy)
         if checkpoint_path:
             # a crash mid-append can leave a TORN record at the delta-log
             # tail; without repair, new appends land AFTER the torn bytes
@@ -210,8 +217,32 @@ class WindowShardActor:
         tools = pd.Series(table["tool"].to_pylist())
         for k in range(self.n_per):
             wid = last - k
-            open_mask = (~late_mask) & (wid >= 0) & \
-                        (wid * self.slide + self.width > prefix_wm)
+            closed_k = wid * self.slide + self.width <= prefix_wm
+            if self.late_policy == "merge":
+                # merge policy: contributions to already-closed windows are
+                # not dropped — they become CORRECTION rows appended to the
+                # emitted stream (same keys; the final per-key rollup sums
+                # them), so merged results equal a batch computation and
+                # per-shard state stays bounded (corrections flush with
+                # every checkpoint delta like ordinary emissions)
+                open_mask = (wid >= 0) & ~closed_k
+                corr_mask = (wid >= 0) & closed_k
+                if corr_mask.any():
+                    sub = pd.DataFrame({
+                        "wid": wid[corr_mask], "role": roles[corr_mask],
+                        "tool": tools[corr_mask],
+                        "ok": valids[corr_mask].astype(np.int64)})
+                    g = sub.groupby(["wid", "role", "tool"], sort=False).agg(
+                        ok=("ok", "sum"), total=("ok", "size"))
+                    for (w, r, t2), row in g.iterrows():
+                        self.emitted.append({
+                            "window_id": int(w), "role": r, "tool": t2,
+                            "n_valid": int(row["ok"]),
+                            "n_rejected": int(row["total"] - row["ok"])})
+            else:
+                # route policy (default): late rows contribute to NO
+                # window; partially-late sliding contributions are dropped
+                open_mask = (~late_mask) & (wid >= 0) & ~closed_k
             if not open_mask.any():
                 continue
             sub = pd.DataFrame({"wid": wid[open_mask], "role": roles[open_mask],
@@ -287,7 +318,8 @@ def run_streaming_window_counts(input_path: str, width_us: int,
                                 validate_kwargs: dict | None = None,
                                 max_pending: int = 4,
                                 slide_us: int | None = None,
-                                checkpoint_dir: str | None = None):
+                                checkpoint_dir: str | None = None,
+                                late_policy: str = "route"):
     """Stream fragments through validator + shard actors (tumbling, or
     sliding when slide_us divides width_us).
 
@@ -314,6 +346,7 @@ def run_streaming_window_counts(input_path: str, width_us: int,
             os.remove(tmp)  # torn snapshot writes from a previous crash
         meta = {"width_us": width_us, "slide_us": slide_us,
                 "lateness_us": lateness_us, "n_shards": n_shards,
+                "late_policy": late_policy,
                 "fragments_sha": hashlib.sha256(
                     "\n".join(os.path.basename(f) for f in fragments)
                     .encode()).hexdigest()}
@@ -332,7 +365,8 @@ def run_streaming_window_counts(input_path: str, width_us: int,
                 json.dump(meta, f)
     actors = [WindowShardActor.remote(
         width_us, lateness_us, slide_us,
-        os.path.join(checkpoint_dir, f"shard-{s}.ckpt") if checkpoint_dir else None)
+        os.path.join(checkpoint_dir, f"shard-{s}.ckpt") if checkpoint_dir else None,
+        late_policy)
         for s in range(n_shards)]
     vk_ref = ray.put(validate_kwargs)
 

@@ -191,3 +191,104 @@ def test_streaming_deterministic(fixture_dir, streamed):
         wc1.sort_values(key).reset_index(drop=True),
         wc2.sort_values(key).reset_index(drop=True))
     assert len(late1) == len(late2)
+
+
+def _batch_window_counts(fixture_dir, entity_codes, slide_us=None):
+    """Expected merge-policy result: EVERY validated row counted into all
+    windows covering it, lateness irrelevant — a plain batch aggregation."""
+    turns = pq.ParquetDataset(fixture_dir["turns"]).read()
+    turns = turns.set_column(turns.schema.get_field_index("ts"), "ts",
+                             turns["ts"].cast(pa.int64()))
+    rows = oracle.validate_table(turns.to_pylist(), entity_codes=entity_codes)
+    slide = slide_us or HOUR_US
+    n_per = HOUR_US // slide
+    recs = []
+    for r in rows:
+        last = r["ts"] // slide
+        for k in range(n_per):
+            wid = last - k
+            if wid >= 0:
+                recs.append((wid, r["role"], r["tool"], bool(r["valid"])))
+    df = pd.DataFrame(recs, columns=["window_id", "role", "tool", "ok"])
+    g = df.groupby(["window_id", "role", "tool"], as_index=False).agg(
+        n_valid=("ok", "sum"), n_rejected=("ok", lambda s: int((~s).sum())))
+    g["n_valid"] = g["n_valid"].astype(int)
+    return g
+
+
+def test_streaming_merge_policy_equals_batch(fixture_dir, streamed):
+    """late_policy="merge": late/partially-late contributions become
+    correction rows, so the final rollup must equal the batch computation
+    exactly — for tumbling AND sliding windows."""
+    _, _, _, codes = streamed
+    for slide in (None, HOUR_US // 4):
+        wc, late, _ = run_streaming_window_counts(
+            fixture_dir["turns"], HOUR_US, LATENESS_US, n_shards=N_SHARDS,
+            slide_us=slide, late_policy="merge",
+            validate_kwargs={"entity_codes": sorted(codes)})
+        exp = _batch_window_counts(fixture_dir, codes, slide)
+        key = ["window_id", "role", "tool"]
+        got = wc.sort_values(key).reset_index(drop=True)
+        exp = exp.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+        if slide is None:  # tumbling: fixture is known to produce late rows
+            assert len(late) > 0  # still reported (merged, not dropped)
+
+
+def test_streaming_merge_policy_checkpoint_resume(fixture_dir, streamed, tmp_path):
+    """Merge-policy corrections ride the ordinary delta-log commit path, so
+    crash-resume under merge converges to the same batch-equal answer."""
+    import os
+
+    import pyarrow.compute as pc_
+    import pyarrow.parquet as pq_
+    import ray
+
+    from lauchy_ray.sources.stream import list_fragments
+    from lauchy_ray.stages.validator import Validator
+    from lauchy_ray.state.streaming import WindowShardActor, _shard_tables
+
+    _, _, _, codes = streamed
+    ckpt = str(tmp_path / "ckpt_merge")
+    os.makedirs(ckpt)
+    frags = list_fragments(fixture_dir["turns"])
+    actors = [WindowShardActor.remote(HOUR_US, LATENESS_US, None,
+                                      os.path.join(ckpt, f"shard-{s}.ckpt"),
+                                      "merge")
+              for s in range(N_SHARDS)]
+    v = Validator(entity_codes=sorted(codes))
+    for seq, frag in enumerate(frags[:2]):
+        t = pq_.read_table(frag)
+        shards = _shard_tables(v(t.filter(pc_.is_valid(t["text"]))), N_SHARDS)
+        ray.get([actors[s].ingest.remote(tab, seq) for s, tab in shards.items()])
+    for a in actors:
+        ray.kill(a)
+
+    wc, _, _ = run_streaming_window_counts(
+        fixture_dir["turns"], HOUR_US, LATENESS_US, n_shards=N_SHARDS,
+        late_policy="merge", checkpoint_dir=ckpt,
+        validate_kwargs={"entity_codes": sorted(codes)})
+    exp = _batch_window_counts(fixture_dir, codes)
+    key = ["window_id", "role", "tool"]
+    pd.testing.assert_frame_equal(
+        wc.sort_values(key).reset_index(drop=True)[["window_id", "role", "tool",
+                                                    "n_valid", "n_rejected"]],
+        exp.sort_values(key).reset_index(drop=True), check_dtype=False)
+
+
+def test_streaming_late_policy_config_guard(fixture_dir, streamed, tmp_path):
+    """A checkpoint dir written under one late_policy must refuse replay
+    under another (silent policy mixing would corrupt counts)."""
+    import pytest as pytest_
+
+    _, _, _, codes = streamed
+    ckpt = str(tmp_path / "ckpt_guard")
+    run_streaming_window_counts(
+        fixture_dir["turns"], HOUR_US, LATENESS_US, n_shards=N_SHARDS,
+        late_policy="merge", checkpoint_dir=ckpt,
+        validate_kwargs={"entity_codes": sorted(codes)})
+    with pytest_.raises(ValueError):
+        run_streaming_window_counts(
+            fixture_dir["turns"], HOUR_US, LATENESS_US, n_shards=N_SHARDS,
+            late_policy="route", checkpoint_dir=ckpt,
+            validate_kwargs={"entity_codes": sorted(codes)})
