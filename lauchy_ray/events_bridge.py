@@ -69,7 +69,13 @@ def _derive_batch(df: pd.DataFrame) -> pd.DataFrame:
     uid = df["user_id"].to_numpy()
     etype = df["event_type"]
 
-    conv_id = pd.Series(uid).map(lambda u: f"CONV_{u:06d}").to_numpy()
+    # vectorized CONV_%06d (hot path — a Python format lambda per row was
+    # the turns-derive bottleneck). pandas str.zfill, NOT np.char.zfill:
+    # np.char's fixed-itemsize output TRUNCATES ids past 6 digits, while
+    # str.zfill matches printf %06d (pads, never truncates) — the
+    # adversarial wide-id fixture exists to catch exactly this
+    conv_id = ("CONV_" + pd.Series(uid).astype("str").str.zfill(6)) \
+        .to_numpy(dtype=object)
 
     # .fillna defaults mirror the SQL CASE ELSE arms exactly: an event_type
     # outside the five known values must derive identically on both sides
