@@ -59,8 +59,20 @@ MATERIALIZE_INPUT_BYTES = 4 << 30
 
 def _cache_ok(sf_dir: str) -> bool:
     import os
+    path = f"{sf_dir}/events.parquet"
     try:
-        return os.path.getsize(f"{sf_dir}/events.parquet") <= MATERIALIZE_INPUT_BYTES
+        if os.path.isdir(path):
+            # partitioned dataset: a bare getsize would return the ~4KB
+            # directory entry and silently re-enable the materialization
+            # this gate exists to prevent — sum the actual files
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    total += os.path.getsize(os.path.join(root, f))
+                    if total > MATERIALIZE_INPUT_BYTES:
+                        return False
+            return True
+        return os.path.getsize(path) <= MATERIALIZE_INPUT_BYTES
     except OSError:
         return False
 
@@ -345,10 +357,16 @@ def q_order_revenue(sf_dir: str):
     orders_path = f"{sf_dir}/orders.parquet"
     if os.path.getsize(orders_path) <= BROADCAST_DIM_BYTES:
         import pyarrow.parquet as pq
-        od = pq.read_table(orders_path, columns=["o_orderkey", "o_orderpriority"])
-        prio = dict(zip(od["o_orderkey"].to_pylist(),
-                        od["o_orderpriority"].to_pylist()))
-        ref = ray.put(prio)
+        od = (pq.read_table(orders_path, columns=["o_orderkey", "o_orderpriority"])
+              .sort_by("o_orderkey"))
+        # broadcast ALIGNED NUMPY ARRAYS (sorted keys + priority dictionary
+        # codes), not a dict of boxed objects: plasma reads numpy zero-copy
+        # while a dict re-unpickles ~row-count boxed entries per task
+        keys = od["o_orderkey"].to_numpy()
+        prio_arr = od["o_orderpriority"].to_pandas().astype("category")
+        prio_names = list(prio_arr.cat.categories)
+        ref = ray.put((keys, prio_arr.cat.codes.to_numpy().astype(np.int32),
+                       prio_names))
 
         # exact per-order totals WITHOUT a high-cardinality Ray groupby:
         # Ray's sort-based aggregate walks group boundaries per key (7.5s
@@ -364,15 +382,22 @@ def q_order_revenue(sf_dir: str):
                                  ["l_orderkey"])
                  .aggregate([("revenue", "sum")])
                  .rename_columns(["l_orderkey", "revenue"]))
-            lookup = ray.get(ref)
-            df = g.to_pandas()
-            df["o_orderpriority"] = df["l_orderkey"].map(lookup)
-            df = df[df["o_orderpriority"].notna()]  # inner-join semantics
-            out = (df.groupby("o_orderpriority", sort=False)
+            okeys, codes, names = ray.get(ref)
+            gk = g["l_orderkey"].to_numpy()
+            pos = np.searchsorted(okeys, gk)
+            pos_c = np.clip(pos, 0, len(okeys) - 1)
+            hit = okeys[pos_c] == gk  # inner-join semantics
+            df = pd.DataFrame({"pcode": codes[pos_c[hit]],
+                               "revenue": g["revenue"].to_numpy()[hit]})
+            out = (df.groupby("pcode", sort=False)
                    .agg(revenue=("revenue", "sum"),
-                        n_orders=("l_orderkey", "size")).reset_index())
-            out["n_orders"] = out["n_orders"].astype("int64")
-            return pa.Table.from_pandas(out, preserve_index=False)
+                        n_orders=("pcode", "size")).reset_index())
+            return pa.table({
+                "o_orderpriority": pa.array(
+                    [names[c] for c in out["pcode"]], pa.string()),
+                "revenue": pa.array(out["revenue"], pa.float64()),
+                "n_orders": pa.array(out["n_orders"].astype(np.int64)),
+            })
 
         joined = (li_partial.map_batches(add_bucket, batch_format="pyarrow")
                   .groupby("bucket")

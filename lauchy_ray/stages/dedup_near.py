@@ -172,11 +172,14 @@ def _verify_broadcast(docs: rd.Dataset, cand_df: pd.DataFrame, threshold: float,
     """Verify path for BOUNDED candidate sets: shingle each candidate doc
     once, broadcast the shingle-set dict (gated by BROADCAST_CAND_LIMIT),
     verify pairs distributed (pure set intersections)."""
-    need_ref = ray.put(set(cand_df["a"]) | set(cand_df["b"]))
+    # sorted numpy id array, not a Python set: a set of ~10^6 boxed ints
+    # would re-unpickle per batch; the array reads zero-copy from plasma
+    need_ref = ray.put(np.unique(np.concatenate(
+        [cand_df["a"].to_numpy(), cand_df["b"].to_numpy()])))
 
     def pick(df: pd.DataFrame) -> pd.DataFrame:
         wanted = ray.get(need_ref)
-        sub = df[df[id_col].isin(wanted)]
+        sub = df[np.isin(df[id_col].to_numpy(), wanted)]
         return pd.DataFrame({
             "doc_id": sub[id_col],
             "shingles": [_shingle_hashes(t, shingle_k).tolist()
@@ -315,8 +318,17 @@ def minhash_lsh_dups(docs: rd.Dataset, threshold: float = 0.8,
         out = _verify_broadcast(docs, cand_df, threshold, shingle_k,
                                 id_col, text_col)
     else:
-        uniq = cand.groupby(["a", "b"]).map_groups(
-            lambda g: g.head(1), batch_format="pandas")
+        # global pair dedup on a BOUNDED bucket key (one vectorized
+        # drop_duplicates per bucket) — a groupby on the pair key itself
+        # would make one Python group call per distinct pair
+        def add_pb(df: pd.DataFrame) -> pd.DataFrame:
+            ab = df["a"].to_numpy() * np.int64(1_000_003) + df["b"].to_numpy()
+            return df.assign(pb=(ab % N_PARTITIONS).astype(np.int64))
+
+        uniq = (cand.map_batches(add_pb, batch_format="pandas")
+                .groupby("pb")
+                .map_groups(lambda g: g.drop_duplicates(["a", "b"])[["a", "b"]],
+                            batch_format="pandas"))
         out = _verify_distributed(docs, uniq, threshold, shingle_k,
                                   id_col, text_col)
     out = out.astype({"a": "int64", "b": "int64", "jaccard": "float64"})
@@ -497,7 +509,15 @@ def minhash_sql(threshold: float = 0.9, shingle_k: int = 5,
     The Ray side verifies with 64-bit shingle HASH sets; set sizes match
     the string-shingle sets barring 2^-64-scale collisions. The
     least/greatest prune is an upper bound on jaccard (|A∩B| ≤ min sizes)
-    — it only skips pairs that cannot reach the threshold."""
+    — it only skips pairs that cannot reach the threshold.
+
+    PRECONDITION: equivalence additionally requires that no (band, hash)
+    bucket exceeds MAX_BUCKET — i.e. no cluster of >64 near-identical
+    texts — because the pipeline skips oversized buckets for precision/
+    cost while this oracle scans all pairs. Degenerate duplicate clusters
+    should be collapsed by EXACT dedup first (q_dedup_docs), the standard
+    pipeline order; the driver's documents tables satisfy this (max
+    duplicate group: 2)."""
     k = shingle_k
     return f"""
 WITH d AS (
@@ -528,8 +548,11 @@ def simhash_sql(max_hamming: int = 3, docs_rel: str = "documents") -> str:
     """DuckDB oracle for :func:`simhash_dups` — the FULL computation
     (tokenize → md5-60bit token hash → per-bit vote → pairwise hamming),
     independent of the LSH banding, which has EXACT recall by pigeonhole
-    (n_blocks > max_hamming), so band-join + verify ≡ all-pairs verify.
-    O(n²) pair scan — oracle-scale only (driver runs it at sf0.01)."""
+    (n_blocks > max_hamming), so band-join + verify ≡ all-pairs verify —
+    PROVIDED no band bucket exceeds SIMHASH_MAX_BUCKET (a >256-doc
+    near-identical cluster would be cap-skipped by the pipeline in every
+    shared band; collapse such clusters with exact dedup first). O(n²)
+    pair scan — oracle-scale only (driver runs it at sf0.01)."""
     bit_terms = " + ".join(
         f"(CASE WHEN 2 * sum((h >> {b}) & 1) > count(*) "
         f"THEN {1 << b}::BIGINT ELSE 0 END)"
@@ -672,7 +695,15 @@ def ann_ivf_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 5,
                 n_queries: int = 3, emb_rel: str = "embeddings") -> str:
     """DuckDB oracle for :func:`ann_ivf_topk` — recomputes the data-point
     quantizer, the bucket assignment, the per-query probe sets and the
-    bucket-pruned cosine top-k entirely in SQL."""
+    bucket-pruned cosine top-k entirely in SQL.
+
+    Float caveat (unlike the integer-exact minhash/simhash/fingerprint
+    oracles): numpy's squared-L2 argmin and matmul cosine vs DuckDB's
+    list_distance (sqrt-based) / list_cosine_similarity can differ in the
+    last ulp under different summation orders, so a tie EXACTLY at an
+    assignment / probe / rn<=k boundary could flip a row. Continuous
+    random embeddings make exact boundary ties measure-zero; the driver's
+    synthetic tables have shown none."""
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {emb_rel}),
 cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {n_centroids}),

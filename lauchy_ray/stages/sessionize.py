@@ -50,7 +50,9 @@ def _conv_stats_group(group: pd.DataFrame, gap_us: int) -> pd.DataFrame:
     so a second conv-keyed shuffle to aggregate sessions would be pure
     waste (round-1 judge finding: session_stats paid two shuffles)."""
     ts = group["ts"].astype("int64").sort_values(kind="stable").to_numpy()
-    n_sessions = 1 + int((np.diff(ts) > gap_us).sum()) if len(ts) else 0
+    # map_groups never passes empty groups — no zero-row guard needed (a
+    # half-guard that still divided by n_sessions=0 was worse than none)
+    n_sessions = 1 + int((np.diff(ts) > gap_us).sum())
     total = len(ts)
     return pd.DataFrame({
         "conv_id": [group["conv_id"].iloc[0]],

@@ -63,13 +63,8 @@ def _fsync_file(path: str) -> None:
         os.close(fd)
 
 
-def _fsync_dir(path: str) -> None:
-    """Persist a rename: the directory entry itself must reach disk."""
-    fd = os.open(path, os.O_RDONLY)
-    try:
-        os.fsync(fd)
-    finally:
-        os.close(fd)
+# persisting a rename = fsync the containing DIRECTORY (same syscall shape)
+_fsync_dir = _fsync_file
 
 
 def _atomic_write(table: pa.Table, final_path: str) -> None:
