@@ -92,6 +92,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="snapshot shard state per micro-batch; rerun with "
                          "the same dir to resume exactly-once")
 
+    ss = sub.add_parser("stream-sessions", parents=[common],
+                        help="watermark-driven streaming SESSION windows "
+                             "(conv_id ts-gap close)")
+    ss.add_argument("--input", required=True)
+    ss.add_argument("--out", required=True)
+    ss.add_argument("--gap-min", type=int, default=30)
+    ss.add_argument("--lateness-min", type=int, default=5)
+    ss.add_argument("--shards", type=int, default=8)
+    ss.add_argument("--checkpoint-dir", default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "generate":
@@ -105,7 +115,8 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     try:
-        if args.cmd in ("validate", "stream", "sessions", "windows"):
+        if args.cmd in ("validate", "stream", "stream-sessions", "sessions",
+                        "windows"):
             from .sources.stream import list_fragments
             if not list_fragments(args.input):
                 print(json.dumps({"error": f"no parquet fragments under {args.input}"}),
@@ -164,6 +175,23 @@ def main(argv: list[str] | None = None) -> int:
             pq.write_table(pa.Table.from_pandas(late),
                            os.path.join(args.out, "late.parquet"))
             print(json.dumps({"out": args.out, "windows": len(wc),
+                              "late_rows": len(late),
+                              "watermarks": [int(w) for w in wms]}))
+        elif args.cmd == "stream-sessions":
+            import os
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from .state.streaming import run_streaming_sessions
+            sess, late, wms = run_streaming_sessions(
+                args.input, args.gap_min * 60 * 1_000_000,
+                args.lateness_min * 60 * 1_000_000, n_shards=args.shards,
+                checkpoint_dir=args.checkpoint_dir)
+            os.makedirs(args.out, exist_ok=True)
+            pq.write_table(pa.Table.from_pandas(sess),
+                           os.path.join(args.out, "sessions.parquet"))
+            pq.write_table(pa.Table.from_pandas(late),
+                           os.path.join(args.out, "late.parquet"))
+            print(json.dumps({"out": args.out, "sessions": len(sess),
                               "late_rows": len(late),
                               "watermarks": [int(w) for w in wms]}))
     finally:

@@ -215,6 +215,67 @@ def streaming_window_counts_rows(rows: list[dict], width_us: int,
     return counts, late, wm
 
 
+def streaming_sessions_rows(rows: list[dict], gap_us: int, lateness_us: int,
+                            n_shards: int):
+    """Single-threaded mirror of state.streaming.SessionShardActor: per-
+    shard sequential scan in arrival order; a row is LATE when even its
+    singleton session would already be closed (ts + gap ≤ shard wm before
+    the row); an on-time row merges into every open session within gap
+    (bridging transitively); a session emits exactly once when wm passes
+    end + gap. → (sessions list, late list, wms)."""
+    neg_inf = -(1 << 62)
+    wm = [neg_inf] * n_shards
+    open_s: list[dict] = [dict() for _ in range(n_shards)]  # conv → [[s,e,n]]
+    emitted: list[dict] = []
+    late: list[dict] = []
+
+    def close_due(s: int, conv: str, bound: int) -> None:
+        lst = open_s[s].get(conv)
+        if not lst:
+            return
+        keep = []
+        for seg in lst:
+            if seg[1] + gap_us <= bound:
+                emitted.append({"conv_id": conv, "start_us": seg[0],
+                                "end_us": seg[1], "n_turns": seg[2]})
+            else:
+                keep.append(seg)
+        if keep:
+            open_s[s][conv] = keep
+        else:
+            del open_s[s][conv]
+
+    for row in rows:
+        s = shard_of(row["conv_id"], n_shards)
+        ts = row["ts"]
+        if ts + gap_us <= wm[s]:
+            late.append({"conv_id": row["conv_id"],
+                         "turn_idx": row["turn_idx"], "ts": ts})
+        else:
+            close_due(s, row["conv_id"], wm[s])
+            lst = open_s[s].setdefault(row["conv_id"], [])
+            lo, hi, n = ts, ts, 1
+            keep = []
+            for seg in lst:
+                if seg[0] - gap_us <= ts <= seg[1] + gap_us:
+                    lo, hi, n = min(lo, seg[0]), max(hi, seg[1]), n + seg[2]
+                else:
+                    keep.append(seg)
+            keep.append([lo, hi, n])
+            keep.sort(key=lambda seg: seg[0])
+            open_s[s][row["conv_id"]] = keep
+        if ts - lateness_us > wm[s]:
+            wm[s] = ts - lateness_us
+            for conv in list(open_s[s]):
+                close_due(s, conv, wm[s])
+    for s in range(n_shards):
+        for conv in sorted(open_s[s]):
+            for seg in open_s[s][conv]:
+                emitted.append({"conv_id": conv, "start_us": seg[0],
+                                "end_us": seg[1], "n_turns": seg[2]})
+    return emitted, late, wm
+
+
 def late_rows(rows: list[dict], lateness_us: int = 5 * 60 * 1_000_000) -> list[dict]:
     """Watermark late-flagging per conv: a row is late if its ts is older
     than (conv's running max ts at arrival) - lateness. Arrival order =

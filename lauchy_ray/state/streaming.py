@@ -45,34 +45,22 @@ from ..sources.stream import list_fragments
 NEG_INF = -(1 << 62)
 
 
-@ray.remote
-class WindowShardActor:
-    """One shard of streaming window-count state. Supports tumbling
-    (slide == width, the default) and sliding windows (width a multiple of
-    slide): a row belongs to width/slide windows; window w covers
-    [w*slide, w*slide + width) and closes when wm ≥ its END."""
+class ShardActorBase:
+    """Shared shard-actor state machinery: watermark, emitted/late delta
+    buffers, and the delta-log + snapshot exactly-once commit protocol.
+    Subclasses define ``_core_state()`` / ``_restore_core(core)`` for
+    their bounded open-state (open windows / open sessions)."""
 
-    def __init__(self, width_us: int, lateness_us: int, slide_us: int | None = None,
-                 checkpoint_path: str | None = None, late_policy: str = "route"):
-        self.width = width_us
-        self.slide = slide_us or width_us
-        assert width_us % self.slide == 0
-        if late_policy not in ("route", "merge"):
-            raise ValueError(f"late_policy must be 'route' or 'merge', "
-                             f"got {late_policy!r}")
-        self.late_policy = late_policy
-        self.n_per = width_us // self.slide
-        self.lateness = lateness_us
+    def _init_shard_state(self, checkpoint_path: str | None, config: tuple) -> None:
         self.wm = NEG_INF                    # shard watermark (epoch us)
-        self.open: dict[tuple, list[int]] = {}   # (wid, role, tool) → [ok, rej]
         # emitted/late hold only the CURRENT delta (since last checkpoint)
         # when checkpointing: full history lives in the append-only delta
-        # log so snapshot size stays O(open windows), never O(stream life)
+        # log so snapshot size stays O(open state), never O(stream life)
         self.emitted: list[dict] = []
         self.late: list[dict] = []
         self.seq = -1                        # highest micro-batch seq applied
         self.checkpoint_path = checkpoint_path
-        self._config = (width_us, self.slide, lateness_us, late_policy)
+        self._config = config
         if checkpoint_path:
             # a crash mid-append can leave a TORN record at the delta-log
             # tail; without repair, new appends land AFTER the torn bytes
@@ -84,18 +72,25 @@ class WindowShardActor:
             import pickle
             try:
                 with open(checkpoint_path, "rb") as f:
-                    cfg, self.wm, self.open, self.seq = pickle.load(f)
+                    cfg, self.wm, core, self.seq = pickle.load(f)
             except Exception:
                 # torn/corrupt snapshot (crash before fsync'd rename landed):
                 # fresh state + full replay still converges exactly-once —
                 # the delta log dedupes by seq at read time
-                self.wm, self.open, self.seq = NEG_INF, {}, -1
+                self.wm, self.seq = NEG_INF, -1
             else:
                 if cfg != self._config:
                     raise ValueError(
                         f"checkpoint at {checkpoint_path} was written with "
-                        f"window config {cfg}, current run uses {self._config}"
+                        f"config {cfg}, current run uses {self._config}"
                         " — delete the checkpoint dir or match the config")
+                self._restore_core(core)
+
+    def _core_state(self):
+        raise NotImplementedError
+
+    def _restore_core(self, core) -> None:
+        raise NotImplementedError
 
     def _delta_path(self) -> str:
         return self.checkpoint_path + ".deltas.pkl"
@@ -135,7 +130,7 @@ class WindowShardActor:
            (fsync'd); duplicates from replay-after-crash are dropped at
            read time by keeping the FIRST record per seq;
         2. atomically (write+fsync+rename) snapshot the BOUNDED core state
-           (config, wm, open windows, seq).
+           (config, wm, open windows/sessions, seq).
         A crash between the two replays the seq against the pre-apply
         snapshot and appends a duplicate delta — deduped on read."""
         if not self.checkpoint_path:
@@ -149,7 +144,7 @@ class WindowShardActor:
         self.emitted, self.late = [], []
         tmp = f"{self.checkpoint_path}.tmp-{os.getpid()}"
         with open(tmp, "wb") as f:
-            pickle.dump((self._config, self.wm, self.open, self.seq), f)
+            pickle.dump((self._config, self.wm, self._core_state(), self.seq), f)
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, self.checkpoint_path)
@@ -173,6 +168,35 @@ class WindowShardActor:
                     emitted.extend(rec["emitted"])
                     late.extend(rec["late"])
         return emitted, late
+
+
+@ray.remote
+class WindowShardActor(ShardActorBase):
+    """One shard of streaming window-count state. Supports tumbling
+    (slide == width, the default) and sliding windows (width a multiple of
+    slide): a row belongs to width/slide windows; window w covers
+    [w*slide, w*slide + width) and closes when wm ≥ its END."""
+
+    def __init__(self, width_us: int, lateness_us: int, slide_us: int | None = None,
+                 checkpoint_path: str | None = None, late_policy: str = "route"):
+        self.width = width_us
+        self.slide = slide_us or width_us
+        assert width_us % self.slide == 0
+        if late_policy not in ("route", "merge"):
+            raise ValueError(f"late_policy must be 'route' or 'merge', "
+                             f"got {late_policy!r}")
+        self.late_policy = late_policy
+        self.n_per = width_us // self.slide
+        self.lateness = lateness_us
+        self.open: dict[tuple, list[int]] = {}   # (wid, role, tool) → [ok, rej]
+        self._init_shard_state(checkpoint_path,
+                               (width_us, self.slide, lateness_us, late_policy))
+
+    def _core_state(self):
+        return self.open
+
+    def _restore_core(self, core) -> None:
+        self.open = core
 
     def ingest(self, table: pa.Table, seq: int | None = None) -> int:
         """One micro-batch for this shard, rows in arrival order. ``seq``
@@ -285,6 +309,155 @@ class WindowShardActor:
                 "late": hist_late + self.late, "watermark": self.wm}
 
 
+@ray.remote
+class SessionShardActor(ShardActorBase):
+    """One shard of streaming SESSION-window state (north_star: session
+    windows keyed on conv_id with ts-gap close, watermark-driven emission).
+
+    State per conv: a sorted list of open sessions ``[start, end, n]``,
+    pairwise separated by > gap. A session closes (emits exactly once)
+    when the watermark passes ``end + gap`` — no future on-time row can
+    extend it, because extension needs ``ts ≤ end + gap ≤ wm`` while
+    on-time means ``ts + gap > wm``. Closure is decided per ROW against
+    the PREFIX watermark, so results are independent of micro-batch
+    boundaries (the same property the window engine gets from its
+    prefix-max formulation). Late rows (``ts + gap ≤ prefix wm`` — even a
+    singleton session would already be closed) are routed to the late
+    output, never merged (the window engine's route policy).
+
+    State is O(open sessions), bounded by lateness × arrival rate; the
+    emit scan is O(open convs) per micro-batch (a min-close heap is the
+    known refinement when shards hold millions of concurrently open
+    conversations)."""
+
+    def __init__(self, gap_us: int, lateness_us: int,
+                 checkpoint_path: str | None = None):
+        self.gap = gap_us
+        self.lateness = lateness_us
+        self.open: dict[str, list[list[int]]] = {}  # conv → [[start, end, n]...]
+        self._init_shard_state(checkpoint_path, (gap_us, lateness_us))
+
+    def _core_state(self):
+        return self.open
+
+    def _restore_core(self, core) -> None:
+        self.open = core
+
+    def _close_conv(self, conv: str, wm: int) -> None:
+        lst = self.open.get(conv)
+        if not lst:
+            return
+        keep = []
+        for s in lst:
+            if s[1] + self.gap <= wm:
+                self.emitted.append({"conv_id": conv, "start_us": s[0],
+                                     "end_us": s[1], "n_turns": s[2]})
+            else:
+                keep.append(s)
+        if keep:
+            self.open[conv] = keep
+        else:
+            del self.open[conv]
+
+    def _merge_row(self, conv: str, ts: int) -> None:
+        """Insert one on-time row: extend/merge every session within gap
+        (a row can bridge two sessions separated by ≤ 2·gap)."""
+        lst = self.open.setdefault(conv, [])
+        lo, hi, n = ts, ts, 1
+        keep = []
+        for s in lst:
+            if s[0] - self.gap <= ts <= s[1] + self.gap:
+                lo = min(lo, s[0])
+                hi = max(hi, s[1])
+                n += s[2]
+            else:
+                keep.append(s)
+        keep.append([lo, hi, n])
+        keep.sort(key=lambda s: s[0])
+        self.open[conv] = keep
+
+    def ingest(self, table: pa.Table, seq: int | None = None) -> int:
+        if seq is not None and seq <= self.seq:
+            return 0  # replay of an already-checkpointed micro-batch
+        n = table.num_rows
+        if n == 0:
+            if seq is not None:
+                self.seq = seq
+                self._checkpoint()
+            return 0
+        ts = table["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        convs = table["conv_id"].to_pylist()
+        idxs = table["turn_idx"].to_numpy(zero_copy_only=False)
+
+        # prefix watermark per row (arrival order), as in WindowShardActor
+        wm_cand = ts - self.lateness
+        cm = np.maximum.accumulate(wm_cand)
+        prefix_wm = np.empty(n, dtype=np.int64)
+        prefix_wm[0] = self.wm
+        if n > 1:
+            np.maximum(self.wm, cm[:-1], out=prefix_wm[1:])
+
+        late_mask = ts + np.int64(self.gap) <= prefix_wm
+        for i in range(n):
+            conv = convs[i]
+            if late_mask[i]:
+                self.late.append({"conv_id": conv, "turn_idx": int(idxs[i]),
+                                  "ts": int(ts[i])})
+                continue
+            # close THIS conv's due sessions before merging (per-row prefix
+            # closure — see class docstring); other convs close below
+            self._close_conv(conv, int(prefix_wm[i]))
+            self._merge_row(conv, int(ts[i]))
+        if cm[-1] > self.wm:
+            self.wm = int(cm[-1])
+        for conv in list(self.open):
+            self._close_conv(conv, self.wm)
+        if seq is not None:
+            self.seq = seq
+            self._checkpoint()
+        return n
+
+    def finalize(self) -> dict:
+        for conv in sorted(self.open):
+            for s in self.open[conv]:
+                self.emitted.append({"conv_id": conv, "start_us": s[0],
+                                     "end_us": s[1], "n_turns": s[2]})
+        self.open.clear()
+        hist_emitted, hist_late = self._read_deltas()
+        return {"emitted": hist_emitted + self.emitted,
+                "late": hist_late + self.late, "watermark": self.wm}
+
+
+def run_streaming_sessions(input_path: str, gap_us: int, lateness_us: int,
+                           n_shards: int = 8,
+                           validate_kwargs: dict | None = None,
+                           max_pending: int = 4,
+                           checkpoint_dir: str | None = None):
+    """Stream fragments through validator + session shard actors.
+
+    → (sessions DataFrame (conv_id, start_us, end_us, n_turns),
+       late DataFrame, per-shard watermarks). With lateness → ∞ no row is
+    ever late and every session flushes at finalize, so the result equals
+    batch sessionization of the same rows exactly (tested invariant)."""
+    fragments = list_fragments(input_path)
+    meta = {"kind": "sessions", "gap_us": gap_us, "lateness_us": lateness_us,
+            "n_shards": n_shards}
+    _guard_checkpoint_dir(checkpoint_dir, meta, fragments)
+    actors = [SessionShardActor.remote(
+        gap_us, lateness_us,
+        os.path.join(checkpoint_dir, f"shard-{s}.ckpt") if checkpoint_dir else None)
+        for s in range(n_shards)]
+    finals = _pump_fragments(actors, fragments, n_shards,
+                             validate_kwargs, max_pending)
+    emitted = [row for f in finals for row in f["emitted"]]
+    late = [row for f in finals for row in f["late"]]
+    sess = (pd.DataFrame(emitted) if emitted else
+            pd.DataFrame(columns=["conv_id", "start_us", "end_us", "n_turns"]))
+    late_df = (pd.DataFrame(late) if late else
+               pd.DataFrame(columns=["conv_id", "turn_idx", "ts"]))
+    return sess, late_df, [f["watermark"] for f in finals]
+
+
 def _shard_tables(table: pa.Table, n_shards: int) -> dict[int, pa.Table]:
     """Split one fragment by conv shard. crc32 runs once per DISTINCT
     conv_id (factorize first), not once per row — this sits on the
@@ -318,63 +491,44 @@ def _prepare_fragment(path: str, n_shards: int, validate_kwargs) -> list:
     return [ray.put(shards[s]) if s in shards else None for s in range(n_shards)]
 
 
-def run_streaming_window_counts(input_path: str, width_us: int,
-                                lateness_us: int, n_shards: int = 8,
-                                validate_kwargs: dict | None = None,
-                                max_pending: int = 4,
-                                slide_us: int | None = None,
-                                checkpoint_dir: str | None = None,
-                                late_policy: str = "route"):
-    """Stream fragments through validator + shard actors (tumbling, or
-    sliding when slide_us divides width_us).
+def _guard_checkpoint_dir(checkpoint_dir: str | None, config_meta: dict,
+                          fragments: list[str]) -> None:
+    """Prepare a checkpoint dir: clean torn snapshot temps and refuse to
+    replay against a dir written under a different config or input set."""
+    if not checkpoint_dir:
+        return
+    import glob
+    import hashlib
+    import json
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    for tmp in glob.glob(os.path.join(checkpoint_dir, "*.tmp-*")):
+        os.remove(tmp)  # torn snapshot writes from a previous crash
+    meta = dict(config_meta)
+    meta["fragments_sha"] = hashlib.sha256(
+        "\n".join(os.path.basename(f) for f in fragments).encode()).hexdigest()
+    meta_path = os.path.join(checkpoint_dir, "_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prev = json.load(f)
+        if prev != meta:
+            raise ValueError(
+                f"checkpoint dir {checkpoint_dir} was written by a run "
+                f"with different config/inputs ({prev} != {meta}); "
+                "replaying against it would corrupt results — delete "
+                "the dir or rerun with the original config and input")
+    else:
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
 
-    Fragment preparation (read + validate + shard split) runs as PARALLEL
-    tasks a bounded window ahead; the driver then forwards each fragment's
-    shard slices to the actors IN FRAGMENT ORDER, so per-shard arrival
-    order — and therefore watermark evolution — stays deterministic while
-    the embarrassingly-parallel work overlaps.
 
-    With ``checkpoint_dir``, each shard snapshots its state (watermark,
-    open windows, emitted, late, seq) atomically after every applied
-    micro-batch; a rerun with the same dir restores the snapshots and
-    REPLAYS the whole fragment sequence — already-applied seqs are skipped,
-    so a crash anywhere (including mid-snapshot) converges exactly-once.
-
-    → (window_counts DataFrame, late DataFrame, per-shard watermarks)."""
-    fragments = list_fragments(input_path)
-    if checkpoint_dir:
-        import glob
-        import hashlib
-        import json
-        os.makedirs(checkpoint_dir, exist_ok=True)
-        for tmp in glob.glob(os.path.join(checkpoint_dir, "*.tmp-*")):
-            os.remove(tmp)  # torn snapshot writes from a previous crash
-        meta = {"width_us": width_us, "slide_us": slide_us,
-                "lateness_us": lateness_us, "n_shards": n_shards,
-                "late_policy": late_policy,
-                "fragments_sha": hashlib.sha256(
-                    "\n".join(os.path.basename(f) for f in fragments)
-                    .encode()).hexdigest()}
-        meta_path = os.path.join(checkpoint_dir, "_meta.json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                prev = json.load(f)
-            if prev != meta:
-                raise ValueError(
-                    f"checkpoint dir {checkpoint_dir} was written by a run "
-                    f"with different config/inputs ({prev} != {meta}); "
-                    "replaying against it would corrupt results — delete "
-                    "the dir or rerun with the original config and input")
-        else:
-            with open(meta_path, "w") as f:
-                json.dump(meta, f)
-    actors = [WindowShardActor.remote(
-        width_us, lateness_us, slide_us,
-        os.path.join(checkpoint_dir, f"shard-{s}.ckpt") if checkpoint_dir else None,
-        late_policy)
-        for s in range(n_shards)]
+def _pump_fragments(actors: list, fragments: list[str], n_shards: int,
+                    validate_kwargs: dict | None, max_pending: int) -> list[dict]:
+    """The shared driver loop: parallel fragment prepare (read + validate +
+    shard split) a bounded window ahead, shard slices forwarded to the
+    actors IN FRAGMENT ORDER (deterministic per-shard arrival ⇒
+    deterministic watermark evolution), bounded in-flight ingests for
+    backpressure. Returns each actor's finalize() dict."""
     vk_ref = ray.put(validate_kwargs)
-
     prep_window = max_pending * 4
     preps: list = []   # fragment-ordered queue of _prepare_fragment futures
     pending: list = []  # in-flight ingest futures (backpressure)
@@ -403,8 +557,44 @@ def run_streaming_window_counts(input_path: str, width_us: int,
                 pending, num_returns=len(pending) - max_pending * n_shards)
             ray.get(ready)
     ray.get(pending)
+    return ray.get([a.finalize.remote() for a in actors])
 
-    finals = ray.get([a.finalize.remote() for a in actors])
+
+def run_streaming_window_counts(input_path: str, width_us: int,
+                                lateness_us: int, n_shards: int = 8,
+                                validate_kwargs: dict | None = None,
+                                max_pending: int = 4,
+                                slide_us: int | None = None,
+                                checkpoint_dir: str | None = None,
+                                late_policy: str = "route"):
+    """Stream fragments through validator + shard actors (tumbling, or
+    sliding when slide_us divides width_us).
+
+    Fragment preparation (read + validate + shard split) runs as PARALLEL
+    tasks a bounded window ahead; the driver then forwards each fragment's
+    shard slices to the actors IN FRAGMENT ORDER, so per-shard arrival
+    order — and therefore watermark evolution — stays deterministic while
+    the embarrassingly-parallel work overlaps.
+
+    With ``checkpoint_dir``, each shard snapshots its state (watermark,
+    open windows, emitted, late, seq) atomically after every applied
+    micro-batch; a rerun with the same dir restores the snapshots and
+    REPLAYS the whole fragment sequence — already-applied seqs are skipped,
+    so a crash anywhere (including mid-snapshot) converges exactly-once.
+
+    → (window_counts DataFrame, late DataFrame, per-shard watermarks)."""
+    fragments = list_fragments(input_path)
+    meta = {"width_us": width_us, "slide_us": slide_us,
+            "lateness_us": lateness_us, "n_shards": n_shards,
+            "late_policy": late_policy}
+    _guard_checkpoint_dir(checkpoint_dir, meta, fragments)
+    actors = [WindowShardActor.remote(
+        width_us, lateness_us, slide_us,
+        os.path.join(checkpoint_dir, f"shard-{s}.ckpt") if checkpoint_dir else None,
+        late_policy)
+        for s in range(n_shards)]
+    finals = _pump_fragments(actors, fragments, n_shards,
+                             validate_kwargs, max_pending)
     emitted = [row for f in finals for row in f["emitted"]]
     late = [row for f in finals for row in f["late"]]
     wc = (pd.DataFrame(emitted) if emitted else

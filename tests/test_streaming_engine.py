@@ -292,3 +292,100 @@ def test_streaming_late_policy_config_guard(fixture_dir, streamed, tmp_path):
             fixture_dir["turns"], HOUR_US, LATENESS_US, n_shards=N_SHARDS,
             late_policy="route", checkpoint_dir=ckpt,
             validate_kwargs={"entity_codes": sorted(codes)})
+
+
+GAP_US = 30 * 60 * 1_000_000
+
+
+def test_streaming_sessions_match_oracle(fixture_dir, streamed):
+    """Streaming session windows (conv_id ts-gap close, watermark-driven
+    emission) == the single-threaded per-shard oracle simulation."""
+    from lauchy_ray.state.streaming import run_streaming_sessions
+
+    _, _, _, codes = streamed
+    sess, late, wms = run_streaming_sessions(
+        fixture_dir["turns"], GAP_US, LATENESS_US, n_shards=N_SHARDS,
+        validate_kwargs={"entity_codes": sorted(codes)})
+    turns = pq.ParquetDataset(fixture_dir["turns"]).read()
+    turns = turns.set_column(turns.schema.get_field_index("ts"), "ts",
+                             turns["ts"].cast(pa.int64()))
+    rows = oracle.validate_table(turns.to_pylist(), entity_codes=codes)
+    exp_sess, exp_late, exp_wms = oracle.streaming_sessions_rows(
+        rows, GAP_US, LATENESS_US, N_SHARDS)
+    got = set(map(tuple, sess[["conv_id", "start_us", "end_us", "n_turns"]]
+                  .itertuples(index=False)))
+    exp = {(r["conv_id"], r["start_us"], r["end_us"], r["n_turns"])
+           for r in exp_sess}
+    assert got == exp
+    assert len(late) == len(exp_late)
+    assert sorted(wms) == sorted(exp_wms)
+    # conservation: every row is in exactly one session or routed late
+    assert int(sess["n_turns"].sum()) + len(late) == turns.num_rows
+
+
+def test_streaming_sessions_infinite_lateness_equals_batch(fixture_dir, streamed):
+    """With lateness → ∞ nothing is ever late, so streaming sessionization
+    must equal the BATCH sessionize over the same rows exactly."""
+    import ray.data as rd_
+
+    from lauchy_ray.stages.sessionize import sessionize
+    from lauchy_ray.state.streaming import run_streaming_sessions
+
+    _, _, _, codes = streamed
+    huge = 1 << 60
+    sess, late, _ = run_streaming_sessions(
+        fixture_dir["turns"], GAP_US, huge, n_shards=N_SHARDS,
+        validate_kwargs={"entity_codes": sorted(codes)})
+    assert len(late) == 0
+    batch = sessionize(rd_.read_parquet(fixture_dir["turns"]), GAP_US).to_pandas()
+    got = set(map(tuple, sess[["conv_id", "start_us", "end_us", "n_turns"]]
+                  .itertuples(index=False)))
+    exp = set(zip(batch["conv_id"],
+                  batch["start_ts"].astype("int64") // 1000,
+                  batch["end_ts"].astype("int64") // 1000,
+                  batch["n_turns"]))
+    assert got == exp
+
+
+def test_streaming_sessions_checkpoint_resume(fixture_dir, streamed, tmp_path):
+    """Session shard actors share the delta-log + snapshot commit protocol:
+    crash after 2 fragments, resume-replay must equal the clean run."""
+    import os
+
+    import pyarrow.compute as pc_
+    import pyarrow.parquet as pq_
+    import ray
+
+    from lauchy_ray.sources.stream import list_fragments
+    from lauchy_ray.stages.validator import Validator
+    from lauchy_ray.state.streaming import (
+        SessionShardActor, _shard_tables, run_streaming_sessions)
+
+    _, _, _, codes = streamed
+    sess_full, late_full, wms_full = run_streaming_sessions(
+        fixture_dir["turns"], GAP_US, LATENESS_US, n_shards=N_SHARDS,
+        validate_kwargs={"entity_codes": sorted(codes)})
+
+    ckpt = str(tmp_path / "ckpt_sess")
+    os.makedirs(ckpt)
+    frags = list_fragments(fixture_dir["turns"])
+    actors = [SessionShardActor.remote(GAP_US, LATENESS_US,
+                                       os.path.join(ckpt, f"shard-{s}.ckpt"))
+              for s in range(N_SHARDS)]
+    v = Validator(entity_codes=sorted(codes))
+    for seq, frag in enumerate(frags[:2]):
+        t = pq_.read_table(frag)
+        shards = _shard_tables(v(t.filter(pc_.is_valid(t["text"]))), N_SHARDS)
+        ray.get([actors[s].ingest.remote(tab, seq) for s, tab in shards.items()])
+    for a in actors:
+        ray.kill(a)
+
+    sess, late, wms = run_streaming_sessions(
+        fixture_dir["turns"], GAP_US, LATENESS_US, n_shards=N_SHARDS,
+        validate_kwargs={"entity_codes": sorted(codes)}, checkpoint_dir=ckpt)
+    key = ["conv_id", "start_us", "end_us"]
+    pd.testing.assert_frame_equal(
+        sess.sort_values(key).reset_index(drop=True),
+        sess_full.sort_values(key).reset_index(drop=True))
+    assert len(late) == len(late_full)
+    assert sorted(wms) == sorted(wms_full)
