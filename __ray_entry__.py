@@ -25,8 +25,9 @@ from lauchy_ray.events_bridge import validated_cte, turns_cte  # noqa: E402
 from lauchy_ray.pipelines import queries as Q  # noqa: E402
 from lauchy_ray.rules import rules_sql_cte  # noqa: E402
 from lauchy_ray.stages.dedup_near import (  # noqa: E402
-    ann_ivf_sql, minhash_sql, simhash_sql)
-from lauchy_ray.stages.textops import fingerprint_sql, lang_id_sql  # noqa: E402
+    ann_ivf_sql, embedding_near_dups_ivf_sql, minhash_sql, simhash_sql)
+from lauchy_ray.stages.textops import (  # noqa: E402
+    fingerprint_sql, lang_id_sql, pii_scrub_sql)
 
 
 def entry() -> Any:
@@ -66,8 +67,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": Q.q_doc_sample,
         "doc_split": Q.q_doc_split,
         "token_counts": Q.q_token_counts,
+        "pii_scrub": Q.q_pii_scrub,
         "turn_lag": Q.q_turn_lag,
         "embed_near_dups": Q.q_embed_near_dups,
+        "embed_near_dups_ivf": Q.q_embed_near_dups_ivf,
         # rows-only (no SQL-expressible oracle; driver records row counts)
         "lang_id": Q.q_lang_id,
         "fingerprint": Q.q_fingerprint,
@@ -263,12 +266,16 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dups": minhash_sql(threshold=0.9),
         # function-word vote re-derived from the same _LANG_PROFILES constant
         "lang_id": lang_id_sql(),
+        # same patterns, same order, byte-identical redacted text
+        "pii_scrub": pii_scrub_sql(),
         # full winnowing fingerprint (md5-60bit token hashes, uint64-wrap
         # rolling windows, keep-smallest, md5 digest) re-derived in SQL
         "fingerprint": fingerprint_sql(),
         # full IVF (data-point quantizer → assignment → probe sets →
         # bucket-pruned cosine top-k) re-derived in SQL
         "ann_ivf": ann_ivf_sql(),
+        # IVF-blocked near-dup: identical multiprobe blocking in SQL
+        "embed_near_dups_ivf": embedding_near_dups_ivf_sql(threshold=0.5),
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
                        FROM embeddings WHERE vec_id < 3),

@@ -548,6 +548,14 @@ def q_lang_id(sf_dir: str):
                            batch_format="pandas")
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII redaction over documents (emails / card-like digit runs /
+    phone numbers), SQL-checked byte-for-byte (textops.pii_scrub_sql)."""
+    from ..stages.textops import pii_scrub_batch
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(pii_scrub_batch, batch_format="pandas")
+
+
 def q_fingerprint(sf_dir: str):
     """Winnowing-style rolling-hash document fingerprints, SQL-checked
     bit-for-bit (textops.fingerprint_sql re-derives every hash)."""
@@ -584,6 +592,15 @@ def q_embed_near_dups(sf_dir: str):
     pdf = out.to_pandas()
     return pdf[["a", "b"]] if len(pdf) else pd.DataFrame({"a": pd.Series(dtype="int64"),
                                                           "b": pd.Series(dtype="int64")})
+
+
+def q_embed_near_dups_ivf(sf_dir: str):
+    """IVF-BLOCKED embedding near-dup (the scale path: pairs scanned only
+    within multiprobe-assigned centroid buckets), SQL-checked with the
+    identical blocking re-derived in DuckDB."""
+    from ..stages.dedup_near import embedding_near_dups_ivf
+    emb, _, _ = _load_embeddings(sf_dir)
+    return embedding_near_dups_ivf(rd.from_arrow(emb), threshold=0.5)
 
 
 def q_ann_ivf(sf_dir: str):

@@ -614,6 +614,97 @@ def embedding_near_dups(emb_ds: rd.Dataset, corpus_ids: np.ndarray,
                               batch_format="pandas", concurrency=(1, 8))
 
 
+class _IvfPairScan:
+    """map_groups stage over one bucket: all-pairs cosine WITHIN the
+    bucket (one matmul), emit pairs ≥ threshold with a < b."""
+
+    def __init__(self, threshold: float):
+        self.threshold = threshold
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id")  # multiprobe: same vec twice in a bucket
+        ids = g["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        emb = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        sims = en @ en.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = sims[ii, jj] >= self.threshold
+        return pd.DataFrame({
+            "a": np.minimum(ids[ii[keep]], ids[jj[keep]]).astype(np.int64),
+            "b": np.maximum(ids[ii[keep]], ids[jj[keep]]).astype(np.int64)})
+
+
+def embedding_near_dups_ivf(emb_ds: rd.Dataset, threshold: float = 0.98,
+                            n_centroids: int = 16,
+                            nassign: int = 2) -> pd.DataFrame:
+    """IVF-BLOCKED embedding near-dup: the scale path the brute-force
+    :func:`embedding_near_dups` baseline names for 10^9 vectors. Each
+    vector is assigned to its ``nassign`` nearest data-point centroids
+    (multiprobe assignment — near-dup pairs that straddle one bucket
+    boundary still co-occur in the other), pairs are scanned only WITHIN
+    buckets (groupby over the bounded centroid space, one matmul per
+    bucket), and cross-bucket duplicates are dropped. Compute per bucket
+    is O((corpus/C)²·nassign²) instead of O(corpus²); recall < 1 only for
+    pairs separated in ALL assigned buckets (pytest-checked ≥ planted
+    recall; SQL oracle re-derives the exact same blocking).
+    → DataFrame (a, b)."""
+    cents_df = (emb_ds.filter(expr=f"vec_id < {n_centroids}")
+                .to_pandas().sort_values("vec_id"))
+    cents = np.stack(cents_df["embedding"].to_numpy()).astype(np.float64)
+    cents_ref = ray.put(cents)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cents_ref)
+        emb = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        d = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        near = np.argsort(d, axis=1, kind="stable")[:, :nassign]
+        n = len(df)
+        return pd.DataFrame({
+            "bucket": near.T.reshape(-1).astype(np.int64),
+            "vec_id": np.tile(df["vec_id"].to_numpy(), nassign),
+            "embedding": np.tile(df["embedding"].to_numpy(), nassign),
+        })
+
+    assigned = emb_ds.map_batches(assign, batch_format="pandas")
+    scan = _IvfPairScan(threshold)
+    pairs = (assigned.groupby("bucket")
+             .map_groups(lambda g: scan(g), batch_format="pandas")
+             .to_pandas())
+    if len(pairs) == 0:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+    pairs = pairs.drop_duplicates().astype({"a": "int64", "b": "int64"})
+    return pairs.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def embedding_near_dups_ivf_sql(threshold: float = 0.98, n_centroids: int = 16,
+                                nassign: int = 2,
+                                emb_rel: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`embedding_near_dups_ivf` — identical
+    blocking (nassign nearest data-point centroids, ties by cid) and the
+    same within-bucket cosine threshold, so the result INCLUDES the
+    blocking's recall loss by construction (float-tie caveat as in
+    ann_ivf_sql)."""
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {emb_rel}),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {n_centroids}),
+assign AS (
+  SELECT vec_id, cid AS bucket FROM (
+    SELECT a.vec_id, c.cid, row_number() OVER (
+      PARTITION BY a.vec_id ORDER BY list_distance(a.v, c.cv), c.cid) AS rn
+    FROM e a CROSS JOIN cents c) WHERE rn <= {nassign})
+SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+FROM assign x
+JOIN assign y USING (bucket)
+JOIN e ex ON ex.vec_id = x.vec_id
+JOIN e ey ON ey.vec_id = y.vec_id
+WHERE x.vec_id < y.vec_id
+  AND list_cosine_similarity(ex.v, ey.v) >= {threshold}"""
+
+
 # ---------------------------------------------------------------- ANN IVF
 
 class _IvfSearch:

@@ -202,6 +202,47 @@ SELECT doc_id,
 FROM w"""
 
 
+# PII redaction patterns — RE2 ∩ Python-re safe (no lookarounds, ASCII
+# classes, leftmost-greedy equivalence) so the SQL oracle's nested
+# regexp_replace(..., 'g') produces byte-identical clean text. Applied in
+# THIS order; counts are taken on the ORIGINAL text per pattern.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("cc", r"[0-9]{13,16}", "<CC>"),
+    ("phone", r"[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+]
+_PII_COMPILED = [(name, re.compile(pat), tok) for name, pat, tok in PII_PATTERNS]
+
+
+def pii_scrub_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Redact emails / card-like digit runs / phone numbers from document
+    text (the standard pre-training privacy pass), vectorized pandas str
+    kernels. → (doc_id, clean_text, n_email, n_cc, n_phone)."""
+    text = df[text_col]
+    out = {"doc_id": df["doc_id"]}
+    clean = text
+    for name, pat, tok in _PII_COMPILED:
+        out[f"n_{name}"] = text.str.count(pat).astype("int64")
+        clean = clean.str.replace(pat, tok, regex=True)
+    out["clean_text"] = clean
+    return pd.DataFrame(out)
+
+
+def pii_scrub_sql(docs_rel: str = "documents") -> str:
+    """DuckDB oracle for :func:`pii_scrub_batch` — same patterns, same
+    application order, counts from the original text."""
+    clean = "text"
+    counts = []
+    for name, pat, tok in PII_PATTERNS:
+        esc = pat.replace("'", "''")
+        counts.append(
+            f"CAST(len(regexp_extract_all(text, '{esc}')) AS BIGINT) AS n_{name}")
+        clean = f"regexp_replace({clean}, '{esc}', '{tok}', 'g')"
+    return f"""
+SELECT doc_id, {', '.join(counts)}, {clean} AS clean_text
+FROM {docs_rel}"""
+
+
 def doc_text_ops(ds: rd.Dataset) -> dict[str, rd.Dataset]:
     """Convenience: all four analyses over a documents Dataset."""
     return {

@@ -151,6 +151,27 @@ def test_embedding_near_dups_and_ivf_recall():
     assert hits / 15 >= 0.6, f"IVF recall too low: {hits}/15"
 
 
+def test_embedding_near_dups_ivf_blocking():
+    """IVF-blocked near-dup (the 10^9-vector scale path): planted
+    near-identical pairs must survive the multiprobe blocking, and every
+    reported pair must also be a brute-force pair (no false positives)."""
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(400, 32))
+    mat[300:320] = mat[0:20] + rng.normal(scale=0.01, size=(20, 32))
+    ids = np.arange(400)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(mat.astype(np.float32))})
+    ds = rd.from_pandas(df)
+
+    blocked = dedup_near.embedding_near_dups_ivf(ds, threshold=0.98,
+                                                 n_centroids=16, nassign=2)
+    found = set(zip(blocked["a"], blocked["b"]))
+    planted = {(i, i + 300) for i in range(20)}
+    assert len(planted & found) >= 18, f"blocking recall too low: {len(planted & found)}/20"
+    brute = dedup_near.embedding_near_dups(ds, ids, mat, threshold=0.98).to_pandas()
+    brute_set = set(zip(brute["a"], brute["b"]))
+    assert found <= brute_set  # blocking can only LOSE pairs, never invent
+
+
 def test_textops_deterministic_and_sane():
     df = pd.DataFrame({"doc_id": [0, 1, 2],
                        "text": ["The quick brown fox. And the dog!",
@@ -216,3 +237,31 @@ def test_broadcast_join():
     out = broadcast_join(rd.from_pandas(df), lookup, "k",
                          {"kname": "name"}).to_pandas()
     assert out.sort_values("k")["kname"].tolist() == ["A", "B", None]
+
+
+def test_pii_scrub_redaction():
+    """PII redaction: emails/CC-runs/phones replaced in order, counts from
+    the ORIGINAL text, and the SQL oracle is byte-identical."""
+    import duckdb
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["contact me at alice.b+spam@example.co.uk or 555-123-4567",
+                 "card 4111111111111111 exp 12/26; backup 12345678901234",
+                 "no pii here, just words and 12 digits: 123456789012",
+                 "bob@x.io and carol@y.org share 555-000-1111"],
+    })
+    out = textops.pii_scrub_batch(df)
+    assert out.loc[0, "n_email"] == 1 and out.loc[0, "n_phone"] == 1
+    assert "<EMAIL>" in out.loc[0, "clean_text"]
+    assert "<PHONE>" in out.loc[0, "clean_text"]
+    assert out.loc[1, "n_cc"] == 2
+    assert out.loc[1, "clean_text"].count("<CC>") == 2
+    assert out.loc[2, "n_cc"] == 0  # 12 digits: below the 13-digit floor
+    assert out.loc[3, "n_email"] == 2
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute(textops.pii_scrub_sql()).fetchdf()
+    g = out.sort_values("doc_id").reset_index(drop=True)
+    x = exp.sort_values("doc_id").reset_index(drop=True)[g.columns]
+    pd.testing.assert_frame_equal(g, x, check_dtype=False)
