@@ -206,8 +206,9 @@ def _verify_broadcast(docs: rd.Dataset, cand_df: pd.DataFrame, threshold: float,
         out = df.assign(jaccard=jac)
         return out[out["jaccard"] >= threshold]
 
-    return rd.from_pandas(cand_df).map_batches(
+    out = rd.from_pandas(cand_df).map_batches(
         verify, batch_format="pandas", batch_size=16384).to_pandas()
+    return out if len(out) else _empty_pairs()  # all-filtered loses columns
 
 
 def _verify_distributed(docs: rd.Dataset, cand: rd.Dataset, threshold: float,
@@ -284,20 +285,130 @@ def _verify_distributed(docs: rd.Dataset, cand: rd.Dataset, threshold: float,
                              "jaccard": np.asarray(out_j, dtype=np.float64)})
 
     out = attached.groupby("pbucket").map_groups(
-        bucket_jaccard, batch_format="pandas")
-    return out.to_pandas()
+        bucket_jaccard, batch_format="pandas").to_pandas()
+    return out if len(out) else _empty_pairs()  # all-filtered loses columns
+
+
+def _collapse_exact(docs: rd.Dataset, id_col: str, text_col: str):
+    """Collapse exact-duplicate texts to one representative per distinct
+    text BEFORE near-dup detection — the standard pipeline order, and the
+    structural fix for the bucket-cap divergence: a crawl with a 10^5-copy
+    boilerplate page otherwise floods every LSH band bucket past the cap.
+
+    Grouping is by the FULL 128-bit md5 of the text (60 bits would
+    collide at 10^9 docs), sharded on a bounded bucket key with one
+    vectorized pass per bucket. Returns (reps Dataset with one
+    (doc_id, text) row per distinct text, multi_members DataFrame
+    (rep, doc_id) covering only groups of size ≥ 2 — bounded by the
+    duplicate mass, which is itself a lower bound on the output size the
+    caller must materialize anyway)."""
+    def key_rows(df: pd.DataFrame) -> pd.DataFrame:
+        tk = [hashlib.md5(t.encode()).hexdigest() for t in df[text_col]]
+        bucket = np.array([int(k[:8], 16) for k in tk],
+                          dtype=np.int64) % N_PARTITIONS
+        return pd.DataFrame({"bucket": bucket, "tkey": tk,
+                             "doc_id": df[id_col].to_numpy(),
+                             "text": df[text_col].to_numpy()})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="stable")
+        first = ~g.duplicated("tkey")
+        reps = g[first]
+        rep_of = dict(zip(reps["tkey"], reps["doc_id"]))
+        sizes = g["tkey"].map(g["tkey"].value_counts())
+        multi = g[(sizes >= 2).to_numpy()]
+        rep_rows = pd.DataFrame({
+            "kind": "rep", "doc_id": reps["doc_id"].to_numpy(),
+            "text": reps["text"].to_numpy(),
+            "rep": np.int64(-1)})
+        mem_rows = pd.DataFrame({
+            "kind": "mem", "doc_id": multi["doc_id"].to_numpy(),
+            "text": "",
+            "rep": multi["tkey"].map(rep_of).to_numpy(dtype=np.int64)})
+        return pd.concat([rep_rows, mem_rows], ignore_index=True)
+
+    out = (docs.map_batches(key_rows, batch_format="pandas")
+           .groupby("bucket").map_groups(per_bucket, batch_format="pandas"))
+
+    def pick_reps(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["kind"] == "rep"]
+        return pd.DataFrame({id_col: sub["doc_id"].to_numpy(),
+                             text_col: sub["text"].to_numpy()})
+
+    def pick_mems(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["kind"] == "mem"]
+        return sub[["rep", "doc_id"]]
+
+    reps_ds = out.map_batches(pick_reps, batch_format="pandas")
+    multi_members = out.map_batches(pick_mems, batch_format="pandas").to_pandas()
+    if len(multi_members) == 0:  # dup-free corpus loses columns in to_pandas
+        multi_members = pd.DataFrame({"rep": pd.Series(dtype="int64"),
+                                      "doc_id": pd.Series(dtype="int64")})
+    return reps_ds, multi_members
+
+
+def _expand_groups(rep_pairs: pd.DataFrame, multi_members: pd.DataFrame,
+                   extra_cols: list[str]) -> pd.DataFrame:
+    """Expand representative-level near-dup pairs back over duplicate
+    groups: intra-group pairs (identical texts — distance 0 / jaccard 1,
+    carried as the identity value of each extra col) plus the cross
+    product of member sets for every rep pair (identical texts ⇒ the rep
+    pair's distance applies to every member pair). Driver-side, but
+    bounded by the OUTPUT size."""
+    members: dict[int, list[int]] = {}
+    for rep, doc in zip(multi_members["rep"], multi_members["doc_id"]):
+        members.setdefault(int(rep), []).append(int(doc))
+    rows_a, rows_b, extras = [], [], {c: [] for c in extra_cols}
+    # intra-group: all pairs of identical docs
+    for rep, ids in members.items():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                rows_a.append(ids[i])
+                rows_b.append(ids[j])
+                for c in extra_cols:
+                    extras[c].append(1.0 if c == "jaccard" else 0)
+    # cross-group: every member pair inherits the rep pair's value
+    for t in rep_pairs.itertuples(index=False):
+        ids_a = members.get(int(t.a), [int(t.a)])
+        ids_b = members.get(int(t.b), [int(t.b)])
+        for x in ids_a:
+            for y in ids_b:
+                rows_a.append(min(x, y))
+                rows_b.append(max(x, y))
+                for c in extra_cols:
+                    extras[c].append(getattr(t, c))
+    out = pd.DataFrame({"a": np.asarray(rows_a, dtype=np.int64),
+                        "b": np.asarray(rows_b, dtype=np.int64),
+                        **{c: extras[c] for c in extra_cols}})
+    return out.drop_duplicates(["a", "b"])
 
 
 def minhash_lsh_dups(docs: rd.Dataset, threshold: float = 0.8,
                      num_perm: int = 128, bands: int = 32, shingle_k: int = 5,
                      id_col: str = "doc_id", text_col: str = "text",
-                     verify: str = "auto") -> pd.DataFrame:
+                     verify: str = "auto",
+                     collapse_exact: bool = True) -> pd.DataFrame:
     """→ DataFrame (a, b, jaccard) of verified near-dup pairs, a < b.
 
     verify: "auto" broadcasts candidate shingle sets while the candidate
     count is ≤ BROADCAST_CAND_LIMIT and falls back to the shuffle-based
     distributed path beyond it; "broadcast" / "distributed" force a path.
+
+    collapse_exact (default on): exact-duplicate texts are collapsed to
+    one representative before LSH and the pairs expanded back afterwards
+    — mathematically identical output, but a 10^5-copy boilerplate
+    cluster costs O(output) instead of flooding every band bucket past
+    MAX_BUCKET (where the cap would silently drop its pairs).
     """
+    if collapse_exact:
+        reps_ds, multi = _collapse_exact(docs, id_col, text_col)
+        rep_pairs = minhash_lsh_dups(reps_ds, threshold, num_perm, bands,
+                                     shingle_k, id_col, text_col, verify,
+                                     collapse_exact=False)
+        out = _expand_groups(rep_pairs, multi, ["jaccard"])
+        out = out.astype({"a": "int64", "b": "int64", "jaccard": "float64"})
+        return out.sort_values(["a", "b"]).reset_index(drop=True)
     bander = MinHashBander(num_perm, bands, shingle_k, id_col, text_col)
     band_rows = docs.map_batches(bander, batch_format="pandas")
     band_rows = band_rows.map_batches(
@@ -452,7 +563,9 @@ def _simhash_partition_pairs(g: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
 
 
 def simhash_dups(docs: rd.Dataset, max_hamming: int = 3,
-                 n_blocks: int = 4) -> pd.DataFrame:
+                 n_blocks: int = 4, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 collapse_exact: bool = True) -> pd.DataFrame:
     """Near-dup pairs by SimHash, fully distributed (round-1 judge fix:
     no driver-side signature materialization, no Python pair loops):
 
@@ -473,6 +586,16 @@ def simhash_dups(docs: rd.Dataset, max_hamming: int = 3,
             f"larger n_blocks")
     if SIMHASH_BITS % n_blocks != 0:
         raise ValueError(f"n_blocks must divide {SIMHASH_BITS} (got {n_blocks})")
+    if collapse_exact:
+        # identical texts ⇒ identical simhash ⇒ hamming 0 within a group
+        # and the rep pair's hamming across groups — same collapse/expand
+        # as minhash (see minhash_lsh_dups docstring)
+        reps_ds, multi = _collapse_exact(docs, id_col, text_col)
+        rep_pairs = simhash_dups(reps_ds, max_hamming, n_blocks, id_col,
+                                 text_col, collapse_exact=False)
+        out = _expand_groups(rep_pairs, multi, [])
+        out = out.astype({"a": "int64", "b": "int64"})
+        return out.sort_values(["a", "b"]).reset_index(drop=True)
     width = SIMHASH_BITS // n_blocks
     mask = np.uint64((1 << width) - 1)
 
@@ -496,7 +619,11 @@ def simhash_dups(docs: rd.Dataset, max_hamming: int = 3,
     pairs_ds = band_rows.groupby("part").map_groups(
         lambda g: _simhash_partition_pairs(g, max_hamming),
         batch_format="pandas")
-    pdf = pairs_ds.to_pandas().drop_duplicates()  # cross-block dup pairs
+    pdf = pairs_ds.to_pandas()
+    if len(pdf) == 0:  # empty result loses columns through to_pandas
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+    pdf = pdf.drop_duplicates()  # cross-block dup pairs
     return pdf.sort_values(["a", "b"]).reset_index(drop=True)
 
 
@@ -511,13 +638,13 @@ def minhash_sql(threshold: float = 0.9, shingle_k: int = 5,
     least/greatest prune is an upper bound on jaccard (|A∩B| ≤ min sizes)
     — it only skips pairs that cannot reach the threshold.
 
-    PRECONDITION: equivalence additionally requires that no (band, hash)
-    bucket exceeds MAX_BUCKET — i.e. no cluster of >64 near-identical
-    texts — because the pipeline skips oversized buckets for precision/
-    cost while this oracle scans all pairs. Degenerate duplicate clusters
-    should be collapsed by EXACT dedup first (q_dedup_docs), the standard
-    pipeline order; the driver's documents tables satisfy this (max
-    duplicate group: 2)."""
+    Bucket-cap note: the pipeline skips (band, hash) buckets holding
+    >MAX_BUCKET DISTINCT texts for precision/cost, which this all-pairs
+    oracle cannot see. Exact-duplicate clusters of any size are handled
+    exactly by the default collapse_exact pre-pass (tested with a 70-copy
+    cluster), so the residual divergence needs >64 near-identical-but-
+    distinct texts sharing a band — document it if such a corpus is in
+    play."""
     k = shingle_k
     return f"""
 WITH d AS (
@@ -549,10 +676,10 @@ def simhash_sql(max_hamming: int = 3, docs_rel: str = "documents") -> str:
     (tokenize → md5-60bit token hash → per-bit vote → pairwise hamming),
     independent of the LSH banding, which has EXACT recall by pigeonhole
     (n_blocks > max_hamming), so band-join + verify ≡ all-pairs verify —
-    PROVIDED no band bucket exceeds SIMHASH_MAX_BUCKET (a >256-doc
-    near-identical cluster would be cap-skipped by the pipeline in every
-    shared band; collapse such clusters with exact dedup first). O(n²)
-    pair scan — oracle-scale only (driver runs it at sf0.01)."""
+    provided no band bucket exceeds SIMHASH_MAX_BUCKET distinct texts
+    (exact-duplicate clusters of any size are collapsed by the default
+    collapse_exact pre-pass). O(n²) pair scan — oracle-scale only (driver
+    runs it at sf0.01)."""
     bit_terms = " + ".join(
         f"(CASE WHEN 2 * sum((h >> {b}) & 1) > count(*) "
         f"THEN {1 << b}::BIGINT ELSE 0 END)"

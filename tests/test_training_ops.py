@@ -265,3 +265,52 @@ def test_pii_scrub_redaction():
     g = out.sort_values("doc_id").reset_index(drop=True)
     x = exp.sort_values("doc_id").reset_index(drop=True)[g.columns]
     pd.testing.assert_frame_equal(g, x, check_dtype=False)
+
+
+def test_exact_collapse_degenerate_cluster_matches_oracle():
+    """A 70-copy identical-text cluster exceeds MAX_BUCKET (64): without
+    exact-duplicate collapse the cap silently drops all C(70,2) pairs and
+    the pipeline diverges from the all-pairs SQL oracle; with the default
+    collapse the cluster costs O(output) and matches the oracle exactly.
+    Same for simhash (cluster > SIMHASH_MAX_BUCKET would need 257 docs,
+    so simhash is checked for collapse==no-collapse equivalence here)."""
+    import duckdb
+
+    rng = np.random.default_rng(11)
+    words = "alpha beta gamma delta epsilon zeta".split()
+    texts = [" ".join(rng.choice(words, size=30)) for _ in range(30)]
+    texts += ["the same boilerplate page body repeated verbatim"] * 70
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = rd.from_pandas(df)
+
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute(dedup_near.minhash_sql(threshold=0.9)).fetchdf()
+    exp_set = set(zip(exp["a"], exp["b"]))
+    assert len(exp_set) >= 70 * 69 // 2
+
+    got = dedup_near.minhash_lsh_dups(ds, threshold=0.9)  # collapse default
+    assert set(zip(got["a"], got["b"])) == exp_set
+    assert (got["jaccard"] >= 0.9).all()
+
+    # without collapse, the cap drops the cluster — the documented
+    # divergence this feature exists to remove
+    raw = dedup_near.minhash_lsh_dups(ds, threshold=0.9, collapse_exact=False)
+    assert len(raw) < len(got)
+
+    sh_c = dedup_near.simhash_dups(ds)
+    sh_exp = con.execute(dedup_near.simhash_sql(max_hamming=3)).fetchdf()
+    assert set(zip(sh_c["a"], sh_c["b"])) == set(zip(sh_exp["a"], sh_exp["b"]))
+
+
+def test_exact_collapse_equivalence_on_normal_corpus(docs_ds):
+    """On a corpus whose duplicate groups are under the caps, collapse
+    on/off must be pair-identical (it is a pure optimization)."""
+    ds, _ = docs_ds
+    on = dedup_near.minhash_lsh_dups(ds, threshold=0.8, collapse_exact=True)
+    off = dedup_near.minhash_lsh_dups(ds, threshold=0.8, collapse_exact=False)
+    assert set(zip(on["a"], on["b"])) == set(zip(off["a"], off["b"]))
+    s_on = dedup_near.simhash_dups(ds, max_hamming=6, n_blocks=10)
+    s_off = dedup_near.simhash_dups(ds, max_hamming=6, n_blocks=10,
+                                    collapse_exact=False)
+    assert set(zip(s_on["a"], s_on["b"])) == set(zip(s_off["a"], s_off["b"]))
