@@ -387,8 +387,12 @@ def q_order_revenue(sf_dir: str):
             pos = np.searchsorted(okeys, gk)
             pos_c = np.clip(pos, 0, len(okeys) - 1)
             hit = okeys[pos_c] == gk  # inner-join semantics
-            df = pd.DataFrame({"pcode": codes[pos_c[hit]],
-                               "revenue": g["revenue"].to_numpy()[hit]})
+            pcodes = codes[pos_c[hit]]
+            revs = g["revenue"].to_numpy()[hit]
+            known = pcodes >= 0  # null priority → cat code -1: drop (as the
+            # dict-map path did via notna), never wrap to names[-1]
+            df = pd.DataFrame({"pcode": pcodes[known],
+                               "revenue": revs[known]})
             out = (df.groupby("pcode", sort=False)
                    .agg(revenue=("revenue", "sum"),
                         n_orders=("pcode", "size")).reset_index())

@@ -339,6 +339,10 @@ def _collapse_exact(docs: rd.Dataset, id_col: str, text_col: str):
         sub = df[df["kind"] == "mem"]
         return sub[["rep", "doc_id"]]
 
+    # materialize ONCE: reps_ds and multi_members share this lineage, and
+    # the caller's bander/verify passes consume reps_ds again — without
+    # this, the full-corpus md5 + bucket shuffle would re-run per consumer
+    out = out.materialize()
     reps_ds = out.map_batches(pick_reps, batch_format="pandas")
     multi_members = out.map_batches(pick_mems, batch_format="pandas").to_pandas()
     if len(multi_members) == 0:  # dup-free corpus loses columns in to_pandas
@@ -599,7 +603,7 @@ def simhash_dups(docs: rd.Dataset, max_hamming: int = 3,
     width = SIMHASH_BITS // n_blocks
     mask = np.uint64((1 << width) - 1)
 
-    sh = docs.map_batches(SimHasher(), batch_format="pandas")
+    sh = docs.map_batches(SimHasher(id_col, text_col), batch_format="pandas")
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
@@ -780,6 +784,12 @@ def embedding_near_dups_ivf(emb_ds: rd.Dataset, threshold: float = 0.98,
     → DataFrame (a, b)."""
     cents_df = (emb_ds.filter(expr=f"vec_id < {n_centroids}")
                 .to_pandas().sort_values("vec_id"))
+    if len(cents_df) == 0:
+        raise ValueError(
+            f"no data-point centroids: the corpus has no vec_id < "
+            f"{n_centroids} (the quantizer seeds are the first "
+            f"n_centroids ids by convention)")
+    nassign = min(nassign, len(cents_df))  # fewer centroids than probes
     cents = np.stack(cents_df["embedding"].to_numpy()).astype(np.float64)
     cents_ref = ray.put(cents)
 
@@ -788,7 +798,6 @@ def embedding_near_dups_ivf(emb_ds: rd.Dataset, threshold: float = 0.98,
         emb = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         d = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(-1)
         near = np.argsort(d, axis=1, kind="stable")[:, :nassign]
-        n = len(df)
         return pd.DataFrame({
             "bucket": near.T.reshape(-1).astype(np.int64),
             "vec_id": np.tile(df["vec_id"].to_numpy(), nassign),
@@ -797,6 +806,8 @@ def embedding_near_dups_ivf(emb_ds: rd.Dataset, threshold: float = 0.98,
 
     assigned = emb_ds.map_batches(assign, batch_format="pandas")
     scan = _IvfPairScan(threshold)
+    # lambda wrapper is REQUIRED: Ray's map_groups reads fn.__name__,
+    # which a callable instance lacks
     pairs = (assigned.groupby("bucket")
              .map_groups(lambda g: scan(g), batch_format="pandas")
              .to_pandas())
