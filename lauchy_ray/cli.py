@@ -102,6 +102,16 @@ def main(argv: list[str] | None = None) -> int:
     ss.add_argument("--shards", type=int, default=8)
     ss.add_argument("--checkpoint-dir", default=None)
 
+    sd = sub.add_parser("stream-dedup", parents=[common],
+                        help="streaming exactly-once dedup by key with "
+                             "watermark-TTL state")
+    sd.add_argument("--input", required=True)
+    sd.add_argument("--out", required=True)
+    sd.add_argument("--retention-min", type=int, default=60)
+    sd.add_argument("--lateness-min", type=int, default=5)
+    sd.add_argument("--shards", type=int, default=8)
+    sd.add_argument("--checkpoint-dir", default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "generate":
@@ -115,8 +125,8 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     try:
-        if args.cmd in ("validate", "stream", "stream-sessions", "sessions",
-                        "windows"):
+        if args.cmd in ("validate", "stream", "stream-sessions",
+                        "stream-dedup", "sessions", "windows"):
             from .sources.stream import list_fragments
             if not list_fragments(args.input):
                 print(json.dumps({"error": f"no parquet fragments under {args.input}"}),
@@ -194,6 +204,16 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"out": args.out, "sessions": len(sess),
                               "late_rows": len(late),
                               "watermarks": [int(w) for w in wms]}))
+        elif args.cmd == "stream-dedup":
+            from .state.streaming import run_streaming_dedup
+            summary = run_streaming_dedup(
+                args.input, args.out,
+                retention_us=args.retention_min * 60 * 1_000_000,
+                lateness_us=args.lateness_min * 60 * 1_000_000,
+                n_shards=args.shards, checkpoint_dir=args.checkpoint_dir)
+            print(json.dumps({"out": args.out,
+                              "rows_out": summary["rows_out"],
+                              "state_keys": summary["state_keys"]}))
     finally:
         ray.shutdown()
     return 0

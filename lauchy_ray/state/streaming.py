@@ -458,6 +458,120 @@ def run_streaming_sessions(input_path: str, gap_us: int, lateness_us: int,
     return sess, late_df, [f["watermark"] for f in finals]
 
 
+@ray.remote
+class DedupShardActor(ShardActorBase):
+    """Streaming exactly-once dedup by key (north_star core op: "dedup by
+    key") with watermark-TTL'd state.
+
+    Per shard: ``seen`` maps key → first-arrival event ts. A micro-batch's
+    FIRST occurrence of each key is accepted and written as the shard's
+    ``part-<seq>.parquet`` (write → fsync → atomic rename, then snapshot
+    (seen, wm, seq)); re-arrivals are dropped. On crash-replay the seq is
+    either skipped (snapshot survived) or recomputed deterministically and
+    the rename overwrite is idempotent — the same commit discipline as
+    state/sink.py.
+
+    State is BOUNDED by ``retention_us``: keys whose first arrival is
+    older than wm - retention are evicted (amortized sweep), so a
+    duplicate arriving later than the retention horizon passes through —
+    the standard bounded-state tradeoff; set retention ≥ the producer
+    retry horizon for exact dedup. Eviction is safe for correctness of
+    ACCEPTED rows (an evicted key's first occurrence was already
+    emitted)."""
+
+    def __init__(self, key_cols: list[str], retention_us: int,
+                 lateness_us: int, out_dir: str | None = None,
+                 checkpoint_path: str | None = None):
+        self.key_cols = list(key_cols)
+        self.retention = retention_us
+        self.lateness = lateness_us
+        self.out_dir = out_dir
+        self.seen: dict[tuple, int] = {}
+        self._evict_mark = 64  # amortized sweep threshold
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+        self._init_shard_state(checkpoint_path,
+                               ("dedup", tuple(key_cols), retention_us,
+                                lateness_us))
+
+    def _core_state(self):
+        return self.seen
+
+    def _restore_core(self, core) -> None:
+        self.seen = core
+
+    def ingest(self, table: pa.Table, seq: int | None = None) -> int:
+        if seq is not None and seq <= self.seq:
+            return 0
+        n = table.num_rows
+        accepted_idx: list[int] = []
+        if n:
+            ts = table["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            key_arrays = [table[c].to_pylist() for c in self.key_cols]
+            for i in range(n):
+                key = tuple(arr[i] for arr in key_arrays)
+                if key not in self.seen:
+                    self.seen[key] = int(ts[i])
+                    accepted_idx.append(i)
+            wm_new = int(ts.max()) - self.lateness
+            if wm_new > self.wm:
+                self.wm = wm_new
+            if len(self.seen) > self._evict_mark:
+                horizon = self.wm - self.retention
+                self.seen = {k: t for k, t in self.seen.items() if t > horizon}
+                self._evict_mark = max(64, 2 * len(self.seen))
+        out = table.take(pa.array(accepted_idx, pa.int64()))
+        if self.out_dir is not None and seq is not None:
+            path = os.path.join(self.out_dir, f"part-{seq:06d}.parquet")
+            tmp = f"{path}.tmp-{os.getpid()}"
+            pq.write_table(out, tmp)
+            with open(tmp, "rb") as f:
+                os.fsync(f.fileno())
+            os.rename(tmp, path)
+        if seq is not None:
+            self.seq = seq
+            self._checkpoint()
+        return out.num_rows
+
+    def finalize(self) -> dict:
+        return {"emitted": [], "late": [], "watermark": self.wm,
+                "state_keys": len(self.seen)}
+
+
+def run_streaming_dedup(input_path: str, out_dir: str,
+                        key_cols: list[str] | None = None,
+                        retention_us: int = 3600 * 1_000_000,
+                        lateness_us: int = 5 * 60 * 1_000_000,
+                        n_shards: int = 8,
+                        validate_kwargs: dict | None = None,
+                        max_pending: int = 4,
+                        checkpoint_dir: str | None = None) -> dict:
+    """Streaming dedup-by-key over the fragment stream, writing the
+    deduplicated stream as per-shard parquet parts (exactly-once: output
+    part names are (shard, seq)-deterministic, replay skips applied seqs).
+    → summary dict {rows_out, state_keys, watermarks}."""
+    key_cols = key_cols or ["conv_id", "turn_idx"]
+    fragments = list_fragments(input_path)
+    meta = {"kind": "dedup", "key_cols": key_cols,
+            "retention_us": retention_us, "lateness_us": lateness_us,
+            "n_shards": n_shards}
+    _guard_checkpoint_dir(checkpoint_dir, meta, fragments)
+    actors = [DedupShardActor.remote(
+        key_cols, retention_us, lateness_us,
+        os.path.join(out_dir, f"shard-{s:03d}"),
+        os.path.join(checkpoint_dir, f"shard-{s}.ckpt") if checkpoint_dir else None)
+        for s in range(n_shards)]
+    finals = _pump_fragments(actors, fragments, n_shards,
+                             validate_kwargs, max_pending)
+    import glob
+    total = 0
+    for f in glob.glob(os.path.join(out_dir, "shard-*", "part-*.parquet")):
+        total += pq.ParquetFile(f).metadata.num_rows
+    return {"rows_out": total,
+            "state_keys": sum(f["state_keys"] for f in finals),
+            "watermarks": [f["watermark"] for f in finals]}
+
+
 def _shard_tables(table: pa.Table, n_shards: int) -> dict[int, pa.Table]:
     """Split one fragment by conv shard. crc32 runs once per DISTINCT
     conv_id (factorize first), not once per row — this sits on the
