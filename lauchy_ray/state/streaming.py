@@ -359,14 +359,13 @@ class SessionShardActor(ShardActorBase):
         else:
             del self.open[conv]
 
-    def _merge_row(self, conv: str, ts: int) -> None:
-        """Insert one on-time row: extend/merge every session within gap
-        (a row can bridge two sessions separated by ≤ 2·gap)."""
+    def _merge_seg(self, conv: str, lo: int, hi: int, n: int) -> None:
+        """Insert one session segment: extend/merge every session within
+        gap (a segment can bridge two sessions separated by ≤ 2·gap)."""
         lst = self.open.setdefault(conv, [])
-        lo, hi, n = ts, ts, 1
         keep = []
         for s in lst:
-            if s[0] - self.gap <= ts <= s[1] + self.gap:
+            if s[0] - self.gap <= hi and lo <= s[1] + self.gap:
                 lo = min(lo, s[0])
                 hi = max(hi, s[1])
                 n += s[2]
@@ -375,6 +374,44 @@ class SessionShardActor(ShardActorBase):
         keep.append([lo, hi, n])
         keep.sort(key=lambda s: s[0])
         self.open[conv] = keep
+
+    def _merge_row(self, conv: str, ts: int) -> None:
+        self._merge_seg(conv, ts, ts, 1)
+
+    def _segments_of(self, on: np.ndarray, convs: list, ts: np.ndarray):
+        """Vectorized mini-sessions of the batch's on-time rows: sort by
+        (conv, ts), break on conv change or ts gap; → (conv_of_seg,
+        lo, hi, n) arrays."""
+        sub_convs = np.asarray(convs, dtype=object)[on]
+        sub_ts = ts[on]
+        uniq, codes = np.unique(sub_convs, return_inverse=True)
+        order = np.lexsort((sub_ts, codes))
+        sc, st = codes[order], sub_ts[order]
+        brk = np.ones(len(order), dtype=bool)
+        if len(order) > 1:
+            brk[1:] = (sc[1:] != sc[:-1]) | (np.diff(st) > self.gap)
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(order)) - 1
+        return uniq[sc[starts]], st[starts], st[ends], (ends - starts + 1)
+
+    def _slow_convs(self, segs, final_cm: int) -> set:
+        """Convs whose per-row close-before-merge interleave could matter
+        this batch: any of their segments (open session or new mini) could
+        close against a prefix watermark (all prefix wms ≤ final_cm).
+        Closure and merging are PER-CONV operations reading only the
+        precomputed prefix wms, so every other conv can merge vectorized
+        and order-independently."""
+        bound = final_cm - self.gap
+        slow = {conv for conv, lst in self.open.items()
+                for s in lst if s[1] <= bound}
+        seg_conv, seg_lo, _hi, _n = segs
+        # the weakest INTERMEDIATE per-row state of a new segment is a
+        # just-created singleton at some row ts ≥ lo, so a segment is
+        # provably non-closable only when its MIN ts clears the bound
+        # (checking the final hi misses mid-batch closures of partial
+        # sessions — caught by a 153-session divergence at 8M rows)
+        slow.update(seg_conv[seg_lo <= bound])
+        return slow
 
     def ingest(self, table: pa.Table, seq: int | None = None) -> int:
         if seq is not None and seq <= self.seq:
@@ -398,18 +435,32 @@ class SessionShardActor(ShardActorBase):
             np.maximum(self.wm, cm[:-1], out=prefix_wm[1:])
 
         late_mask = ts + np.int64(self.gap) <= prefix_wm
-        for i in range(n):
-            conv = convs[i]
-            if late_mask[i]:
-                self.late.append({"conv_id": conv, "turn_idx": int(idxs[i]),
-                                  "ts": int(ts[i])})
-                continue
-            # close THIS conv's due sessions before merging (per-row prefix
-            # closure — see class docstring); other convs close below
-            self._close_conv(conv, int(prefix_wm[i]))
-            self._merge_row(conv, int(ts[i]))
-        if cm[-1] > self.wm:
-            self.wm = int(cm[-1])
+        for i in np.flatnonzero(late_mask):
+            self.late.append({"conv_id": convs[i], "turn_idx": int(idxs[i]),
+                              "ts": int(ts[i])})
+        final_cm = int(cm[-1])
+        on = np.flatnonzero(~late_mask)
+        if len(on):
+            segs = self._segments_of(on, convs, ts)
+            slow = self._slow_convs(segs, final_cm)
+            # FAST PATH (the overwhelmingly common conv): no segment of
+            # the conv can close against any prefix watermark, so the
+            # per-row close-before-merge interleave is a no-op and its
+            # merging is ORDER-INDEPENDENT (connected components under
+            # the gap relation) — merge the vectorized mini-sessions.
+            for conv, lo, hi, cnt in zip(*segs):
+                if conv not in slow:
+                    self._merge_seg(conv, int(lo), int(hi), int(cnt))
+            if slow:
+                # rare interleaved convs: exact per-row replay with
+                # close-before-merge at each row's prefix watermark
+                for i in on:
+                    conv = convs[i]
+                    if conv in slow:
+                        self._close_conv(conv, int(prefix_wm[i]))
+                        self._merge_row(conv, int(ts[i]))
+        if final_cm > self.wm:
+            self.wm = final_cm
         for conv in list(self.open):
             self._close_conv(conv, self.wm)
         if seq is not None:

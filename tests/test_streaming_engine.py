@@ -509,3 +509,38 @@ def test_streaming_dedup_retention_eviction(tmp_path):
     n3 = ray.get(a.ingest.remote(tab([("K", 0, 190_000_000)])))
     assert n3 == 1  # original K evicted: the late duplicate passes through
     ray.kill(a)
+
+
+def test_streaming_sessions_fastpath_oracle_at_scale(tmp_path):
+    """The vectorized session fast path must equal the row-at-a-time
+    oracle on a corpus large enough to exercise mid-batch closures and
+    the per-conv slow/fast mix (the small fixture cannot: a 153-session
+    divergence at 8M rows was caught only at scale)."""
+    import pyarrow.parquet as pq_
+
+    from lauchy_ray.datagen import write_fixture
+    from lauchy_ray.sources.stream import list_fragments
+    from lauchy_ray.state.streaming import run_streaming_sessions
+
+    paths = write_fixture(str(tmp_path / "fx"), n_turns=200_000, n_convs=800,
+                          seed=13, n_fragments=16)
+    codes = pq_.read_table(paths["entities"])["code"].to_pylist()
+    sess, late, wms = run_streaming_sessions(
+        paths["turns"], GAP_US, LATENESS_US, n_shards=4,
+        validate_kwargs={"entity_codes": sorted(codes)})
+    rows = []
+    for f in list_fragments(paths["turns"]):
+        t = pq_.read_table(f)
+        t = t.set_column(t.schema.get_field_index("ts"), "ts",
+                         t["ts"].cast(pa.int64()))
+        rows.extend(oracle.validate_table(t.to_pylist(), entity_codes=set(codes)))
+    exp_sess, exp_late, exp_wms = oracle.streaming_sessions_rows(
+        rows, GAP_US, LATENESS_US, 4)
+    got = set(map(tuple, sess[["conv_id", "start_us", "end_us", "n_turns"]]
+                  .itertuples(index=False)))
+    exp = {(r["conv_id"], r["start_us"], r["end_us"], r["n_turns"])
+           for r in exp_sess}
+    assert got == exp
+    assert len(got) > 5000  # closures genuinely exercised
+    assert len(late) == len(exp_late)
+    assert sorted(wms) == sorted(exp_wms)
