@@ -32,12 +32,30 @@ def _first_arrival_in_conv(group: pd.DataFrame, key: list[str]) -> pd.DataFrame:
     return group.drop_duplicates(subset=key, keep="first")
 
 
-def dedup_exact(ds: rd.Dataset, key: list[str] | None = None) -> rd.Dataset:
+def dedup_exact(ds: rd.Dataset, key: list[str] | None = None,
+                salt: int = 1) -> rd.Dataset:
     """Shuffle groups by key[0] ONLY (e.g. conv_id): correctness needs just
     co-location of equal full keys, and thousands of conv groups beat
     millions of (conv, turn) groups on per-group overhead. Vectorized
-    drop_duplicates inside each group."""
+    drop_duplicates inside each group.
+
+    salt (explicit hot-key skew handling, north_star): with salt > 1 the
+    shuffle key becomes (key[0], key[1] % salt) — still a pure function
+    of the FULL key, so equal keys co-locate, but a hot conversation's
+    group splits ``salt`` ways instead of serializing one map_groups
+    call. Leave at 1 for corpora without degenerate hot keys (more groups
+    cost per-group overhead)."""
     key = key or KEY
     ds = ds.map_batches(lambda b: _partial_dedup(b, key), batch_format="pandas")
+    if salt > 1 and len(key) > 1:
+        sub = key[1]
+
+        def add_salt(b: pd.DataFrame) -> pd.DataFrame:
+            return b.assign(_salt=(b[sub].astype("int64") % salt))
+
+        return (ds.map_batches(add_salt, batch_format="pandas")
+                .groupby([key[0], "_salt"])
+                .map_groups(lambda g: _first_arrival_in_conv(g, key)
+                            .drop(columns=["_salt"]), batch_format="pandas"))
     return ds.groupby(key[0]).map_groups(
         lambda g: _first_arrival_in_conv(g, key), batch_format="pandas")

@@ -170,8 +170,7 @@ class ShardActorBase:
         return emitted, late
 
 
-@ray.remote
-class WindowShardActor(ShardActorBase):
+class WindowShardCore(ShardActorBase):
     """One shard of streaming window-count state. Supports tumbling
     (slide == width, the default) and sliding windows (width a multiple of
     slide): a row belongs to width/slide windows; window w covers
@@ -309,8 +308,7 @@ class WindowShardActor(ShardActorBase):
                 "late": hist_late + self.late, "watermark": self.wm}
 
 
-@ray.remote
-class SessionShardActor(ShardActorBase):
+class SessionShardCore(ShardActorBase):
     """One shard of streaming SESSION-window state (north_star: session
     windows keyed on conv_id with ts-gap close, watermark-driven emission).
 
@@ -509,8 +507,7 @@ def run_streaming_sessions(input_path: str, gap_us: int, lateness_us: int,
     return sess, late_df, [f["watermark"] for f in finals]
 
 
-@ray.remote
-class DedupShardActor(ShardActorBase):
+class DedupShardCore(ShardActorBase):
     """Streaming exactly-once dedup by key (north_star core op: "dedup by
     key") with watermark-TTL'd state.
 
@@ -654,6 +651,14 @@ def _prepare_fragment(path: str, n_shards: int, validate_kwargs) -> list:
     validated = validator(_drop_null_text(table))
     shards = _shard_tables(validated, n_shards)
     return [ray.put(shards[s]) if s in shards else None for s in range(n_shards)]
+
+
+# Ray actor wrappers around the plain cores — the cores stay directly
+# instantiable for single-process tests (hypothesis drives the state
+# machines against the oracle without actor-spawn latency)
+WindowShardActor = ray.remote(WindowShardCore)
+SessionShardActor = ray.remote(SessionShardCore)
+DedupShardActor = ray.remote(DedupShardCore)
 
 
 def _guard_checkpoint_dir(checkpoint_dir: str | None, config_meta: dict,

@@ -51,3 +51,99 @@ def test_engine_matches_oracle_on_random_transcripts(rows):
     exp = exp.sort_values(key, kind="stable").reset_index(drop=True)
     for col in ["valid", "reject_reason", "side", "text"]:
         assert got[col].tolist() == exp[col].tolist(), f"{col} mismatch"
+
+
+# ---------------------------------------------------------- streaming cores
+
+# adversarial event-time streams: tight ts range + large lateness/gap
+# ratios force late routing, mid-batch closures, session bridging and
+# fast/slow-path interleavings the fixtures rarely hit
+_stream_row = st.tuples(
+    st.sampled_from(["CA", "CB", "CC"]),          # conv
+    st.integers(0, 1000),                          # ts (small units)
+    st.sampled_from(["user", "tool"]),             # role
+)
+
+
+def _to_table(rows, valid=True):
+    return pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array(list(range(len(rows))), pa.int32()),
+        "role": pa.array([r[2] for r in rows]),
+        "tool": pa.array(["TOOL_X"] * len(rows)),
+        "valid": pa.array([valid] * len(rows)),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })
+
+
+@settings(max_examples=60, deadline=None)
+@given(rows=st.lists(_stream_row, min_size=1, max_size=80),
+       n_batches=st.integers(1, 5),
+       gap=st.sampled_from([10, 50, 200]),
+       lateness=st.sampled_from([0, 20, 100]))
+def test_session_core_matches_oracle_property(rows, n_batches, gap, lateness):
+    """SessionShardCore (vectorized fast path + per-row fallback) must
+    equal the row-at-a-time oracle for ANY arrival order, batching, gap
+    and lateness — single shard, so sharding is out of the picture."""
+    from lauchy_ray import oracle as O
+    from lauchy_ray.state.streaming import SessionShardCore
+
+    core = SessionShardCore(gap, lateness)
+    bounds = [round(i * len(rows) / n_batches) for i in range(n_batches + 1)]
+    for b in range(n_batches):
+        chunk = rows[bounds[b]:bounds[b + 1]]
+        if chunk:
+            core.ingest(_to_table(chunk))
+    got = core.finalize()
+
+    dict_rows = [{"conv_id": r[0], "turn_idx": i, "ts": r[1]}
+                 for i, r in enumerate(rows)]
+    exp_sess, exp_late, exp_wms = O.streaming_sessions_rows(
+        dict_rows, gap, lateness, 1)
+
+    got_sess = {(e["conv_id"], e["start_us"], e["end_us"], e["n_turns"])
+                for e in got["emitted"]}
+    exp_set = {(e["conv_id"], e["start_us"], e["end_us"], e["n_turns"])
+               for e in exp_sess}
+    assert got_sess == exp_set
+    assert len(got["late"]) == len(exp_late)
+    # conservation: every row in exactly one session or late
+    assert sum(e["n_turns"] for e in got["emitted"]) + len(got["late"]) == len(rows)
+
+
+@settings(max_examples=40, deadline=None)
+@given(rows=st.lists(_stream_row, min_size=1, max_size=80),
+       n_batches=st.integers(1, 4),
+       width=st.sampled_from([16, 64]),
+       lateness=st.sampled_from([0, 32]))
+def test_window_core_matches_oracle_property(rows, n_batches, width, lateness):
+    """WindowShardCore's vectorized prefix-watermark formulation must
+    equal the row-at-a-time oracle for any arrival order and batching."""
+    from lauchy_ray import oracle as O
+    from lauchy_ray.state.streaming import WindowShardCore
+
+    core = WindowShardCore(width, lateness)
+    bounds = [round(i * len(rows) / n_batches) for i in range(n_batches + 1)]
+    for b in range(n_batches):
+        chunk = rows[bounds[b]:bounds[b + 1]]
+        if chunk:
+            core.ingest(_to_table(chunk))
+    got = core.finalize()
+
+    dict_rows = [{"conv_id": r[0], "turn_idx": i, "ts": r[1], "role": r[2],
+                  "tool": "TOOL_X", "valid": True}
+                 for i, r in enumerate(rows)]
+    exp_counts, exp_late, exp_wms = O.streaming_window_counts_rows(
+        dict_rows, width, lateness, 1)
+
+    def roll(entries):
+        agg = {}
+        for e in entries:
+            k = (e["window_id"], e["role"], e["tool"])
+            v = agg.setdefault(k, [0, 0])
+            v[0] += e["n_valid"]
+            v[1] += e["n_rejected"]
+        return {k: tuple(v) for k, v in agg.items()}
+
+    assert roll(got["emitted"]) == roll(exp_counts)
+    assert len(got["late"]) == len(exp_late)

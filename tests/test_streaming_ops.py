@@ -143,3 +143,20 @@ def test_parallelism_invariance(small_fixture_dir):
             ["window_id", "role", "tool"]).reset_index(drop=True)
         results.append(counts)
     pd.testing.assert_frame_equal(results[0], results[1])
+
+
+def test_dedup_salting_equivalence(fixture_dir):
+    """Hot-key salting (groupby on (conv_id, turn_idx % salt)) must be a
+    pure repartitioning: identical dedup result as the unsalted path."""
+    import pyarrow.parquet as pq_
+    import ray.data as rd_
+
+    from lauchy_ray.stages.dedup import dedup_exact
+
+    ds = rd_.read_parquet(fixture_dir["turns"])
+    key = ["conv_id", "turn_idx"]
+    plain = dedup_exact(ds, salt=1).to_pandas().sort_values(key).reset_index(drop=True)
+    salted = dedup_exact(ds, salt=4).to_pandas().sort_values(key).reset_index(drop=True)
+    assert list(salted.columns) == list(plain.columns)
+    import pandas as pd_
+    pd_.testing.assert_frame_equal(salted, plain)
