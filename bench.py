@@ -73,6 +73,51 @@ def run_headline(paths: dict[str, str]) -> dict:
             "turns_per_sec": n_turns / elapsed, "window_cells": len(wc)}
 
 
+def run_streaming(paths: dict[str, str]) -> dict:
+    """Steady-state throughput of the three STREAMING engines (micro-batch
+    CEP over fragment arrival order): tumbling window counts, session
+    windows, dedup-by-key — one warm pass each, then one timed pass."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from lauchy_ray.state.streaming import (
+        run_streaming_dedup, run_streaming_sessions,
+        run_streaming_window_counts)
+
+    codes = sorted(pq.read_table(paths["entities"], columns=["code"])
+                   ["code"].to_pylist())
+    vk = {"entity_codes": codes}
+    hour = 3600 * 1_000_000
+    gap = 30 * 60 * 1_000_000
+    late = 5 * 60 * 1_000_000
+    out = {}
+
+    def timed(name, fn):
+        fn()  # warm (page cache + worker pool)
+        t0 = time.time()
+        r = fn()
+        out[name] = {"sec": round(time.time() - t0, 3),
+                     "turns_per_sec": round(BENCH_TURNS / (time.time() - t0))}
+        return r
+
+    timed("cep_windows", lambda: run_streaming_window_counts(
+        paths["turns"], hour, late, n_shards=8, validate_kwargs=vk))
+    timed("cep_sessions", lambda: run_streaming_sessions(
+        paths["turns"], gap, late, n_shards=8, validate_kwargs=vk))
+
+    dd = "/tmp/lauchy_bench/stream_dedup_out"
+
+    def dedup_once():
+        if os.path.isdir(dd):
+            shutil.rmtree(dd)
+        return run_streaming_dedup(paths["turns"], dd, n_shards=8,
+                                   validate_kwargs=vk)
+
+    timed("cep_dedup", dedup_once)
+    return out
+
+
 def run_queries(sf_dir: str) -> dict[str, float]:
     import __ray_entry__ as em
     out = {}
@@ -98,6 +143,7 @@ def single_run() -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     paths = ensure_bench_fixture()
     headline = run_headline(paths)
+    streaming = run_streaming(paths)
     queries = run_queries(sf_dir)
     result = {
         "metric": "turns/sec validation+window-agg on synthetic transcript stream",
@@ -109,6 +155,7 @@ def single_run() -> dict:
         "bench_turns": headline["turns"],
         "turns_per_sec": round(headline["turns_per_sec"]),
         "queries_total_sec": round(sum(queries.values()), 3),
+        "streaming": streaming,
     }
     ray.shutdown()
     return result
