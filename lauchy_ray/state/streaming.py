@@ -41,6 +41,7 @@ import ray
 
 from ..oracle import shard_of
 from ..sources.stream import list_fragments
+from .sink import _atomic_write
 
 NEG_INF = -(1 << 62)
 
@@ -136,12 +137,17 @@ class ShardActorBase:
         if not self.checkpoint_path:
             return
         import pickle
-        with open(self._delta_path(), "ab") as f:
-            pickle.dump({"seq": self.seq, "emitted": self.emitted,
-                         "late": self.late}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        self.emitted, self.late = [], []
+        if self.emitted or self.late:
+            # empty deltas carry nothing (_read_deltas only accumulates) —
+            # skipping them saves one synchronous fsync barrier per quiet
+            # micro-batch and keeps actors with no delta output (dedup)
+            # from growing a log they never read
+            with open(self._delta_path(), "ab") as f:
+                pickle.dump({"seq": self.seq, "emitted": self.emitted,
+                             "late": self.late}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            self.emitted, self.late = [], []
         tmp = f"{self.checkpoint_path}.tmp-{os.getpid()}"
         with open(tmp, "wb") as f:
             pickle.dump((self._config, self.wm, self._core_state(), self.seq), f)
@@ -538,15 +544,21 @@ class DedupShardCore(ShardActorBase):
         self._evict_mark = 64  # amortized sweep threshold
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
+        # out_dir is part of the guarded config: resuming into a DIFFERENT
+        # output dir would skip applied seqs whose parts live elsewhere
         self._init_shard_state(checkpoint_path,
                                ("dedup", tuple(key_cols), retention_us,
-                                lateness_us))
+                                lateness_us, out_dir))
 
     def _core_state(self):
-        return self.seen
+        # _evict_mark rides the snapshot: a resume that reset it to the
+        # initial threshold would sweep earlier than the clean run and
+        # could accept a duplicate the clean run dropped (replay must be
+        # byte-identical)
+        return (self.seen, self._evict_mark)
 
     def _restore_core(self, core) -> None:
-        self.seen = core
+        self.seen, self._evict_mark = core
 
     def ingest(self, table: pa.Table, seq: int | None = None) -> int:
         if seq is not None and seq <= self.seq:
@@ -570,12 +582,12 @@ class DedupShardCore(ShardActorBase):
                 self._evict_mark = max(64, 2 * len(self.seen))
         out = table.take(pa.array(accepted_idx, pa.int64()))
         if self.out_dir is not None and seq is not None:
-            path = os.path.join(self.out_dir, f"part-{seq:06d}.parquet")
-            tmp = f"{path}.tmp-{os.getpid()}"
-            pq.write_table(out, tmp)
-            with open(tmp, "rb") as f:
-                os.fsync(f.fileno())
-            os.rename(tmp, path)
+            # sink.py's write→fsync(file)→rename→fsync(dir) discipline: the
+            # snapshot below is the commit record, so the part's directory
+            # entry must be durable FIRST or a power loss could make the
+            # snapshot skip a seq whose part never landed
+            _atomic_write(out, os.path.join(self.out_dir,
+                                            f"part-{seq:06d}.parquet"))
         if seq is not None:
             self.seq = seq
             self._checkpoint()
@@ -598,11 +610,18 @@ def run_streaming_dedup(input_path: str, out_dir: str,
     deduplicated stream as per-shard parquet parts (exactly-once: output
     part names are (shard, seq)-deterministic, replay skips applied seqs).
     → summary dict {rows_out, state_keys, watermarks}."""
+    import glob as _glob
     key_cols = key_cols or ["conv_id", "turn_idx"]
     fragments = list_fragments(input_path)
+    if checkpoint_dir is None and _glob.glob(
+            os.path.join(out_dir, "shard-*", "part-*.parquet")):
+        raise ValueError(
+            f"out_dir {out_dir} already holds dedup parts; a fresh "
+            "(uncheckpointed) run would interleave two datasets — delete "
+            "the dir or resume with the original checkpoint_dir")
     meta = {"kind": "dedup", "key_cols": key_cols,
             "retention_us": retention_us, "lateness_us": lateness_us,
-            "n_shards": n_shards}
+            "n_shards": n_shards, "out_dir": out_dir}
     _guard_checkpoint_dir(checkpoint_dir, meta, fragments)
     actors = [DedupShardActor.remote(
         key_cols, retention_us, lateness_us,

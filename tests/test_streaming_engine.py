@@ -544,3 +544,17 @@ def test_streaming_sessions_fastpath_oracle_at_scale(tmp_path):
     assert len(got) > 5000  # closures genuinely exercised
     assert len(late) == len(exp_late)
     assert sorted(wms) == sorted(exp_wms)
+
+
+def test_streaming_dedup_refuses_dirty_out_dir(fixture_dir, streamed, tmp_path):
+    """A fresh (uncheckpointed) run into an out_dir that already holds
+    parts must refuse — it would interleave two datasets."""
+    from lauchy_ray.state.streaming import run_streaming_dedup
+
+    _, _, _, codes = streamed
+    out = str(tmp_path / "dedup_dirty")
+    run_streaming_dedup(fixture_dir["turns"], out, n_shards=2,
+                        validate_kwargs={"entity_codes": sorted(codes)})
+    with pytest.raises(ValueError):
+        run_streaming_dedup(fixture_dir["turns"], out, n_shards=2,
+                            validate_kwargs={"entity_codes": sorted(codes)})
