@@ -58,10 +58,14 @@ _LNK_POOL = ["[]", "bad value!", "person_link-2", "person_link-3"]
 
 # ---------------------------------------------------------------- Ray side
 
-def _rank_group(g: pd.DataFrame) -> pd.DataFrame:
-    g = g.sort_values(["ts", "event_id"], kind="stable").copy()
-    g["turn_idx"] = np.arange(len(g), dtype=np.int32)
-    return g
+def _rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-conversation rank for EVERY user in one collocated bucket,
+    vectorized: one sort by (user_id, ts, event_id), ranks via cumcount —
+    O(buckets) Python calls instead of one per user (the scale-safe form
+    for millions of conversations)."""
+    g = g.sort_values(["user_id", "ts", "event_id"], kind="stable").copy()
+    g["turn_idx"] = g.groupby("user_id", sort=False).cumcount().astype(np.int32)
+    return g.drop(columns=["__bucket"])
 
 
 def _derive_batch(df: pd.DataFrame) -> pd.DataFrame:
@@ -152,9 +156,15 @@ def _derive_batch(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def derive_turns(events: rd.Dataset) -> rd.Dataset:
-    """events Dataset → canonical turns Dataset (one groupby shuffle for the
-    per-conversation rank; everything else stays vectorized + streaming)."""
-    ranked = events.groupby("user_id").map_groups(_rank_group, batch_format="pandas")
+    """events Dataset → canonical turns Dataset. The per-conversation rank
+    shuffles on a BOUNDED bucket of user_id (co-locating each user's rows)
+    and ranks all users of a bucket in one vectorized pass — never one
+    Python group call per conversation."""
+    from .stages.bucketing import with_bucket
+    bucketed = events.map_batches(lambda df: with_bucket(df, "user_id"),
+                                  batch_format="pandas")
+    ranked = bucketed.groupby("__bucket").map_groups(_rank_bucket,
+                                                    batch_format="pandas")
     return ranked.map_batches(_derive_batch, batch_format="pandas")
 
 

@@ -26,27 +26,31 @@ def _partial_dedup(batch: pd.DataFrame, key: list[str]) -> pd.DataFrame:
     return batch.drop_duplicates(subset=key, keep="first")
 
 
-def _first_arrival_in_conv(group: pd.DataFrame, key: list[str]) -> pd.DataFrame:
+def _first_arrival_in_bucket(group: pd.DataFrame, key: list[str]) -> pd.DataFrame:
+    """Keep-first for EVERY key collocated in one bucket, vectorized: one
+    stable sort by arrival, one drop_duplicates over the full key."""
     if "arrival_idx" in group.columns:
         group = group.sort_values("arrival_idx", kind="stable")
-    return group.drop_duplicates(subset=key, keep="first")
+    return group.drop_duplicates(subset=key, keep="first") \
+        .drop(columns=["__bucket"])
 
 
 def dedup_exact(ds: rd.Dataset, key: list[str] | None = None,
                 salt: int = 1) -> rd.Dataset:
-    """Shuffle groups by key[0] ONLY (e.g. conv_id): correctness needs just
-    co-location of equal full keys, and thousands of conv groups beat
-    millions of (conv, turn) groups on per-group overhead. Vectorized
-    drop_duplicates inside each group.
+    """Shuffle on a BOUNDED hash bucket of key[0] (e.g. conv_id):
+    correctness needs only co-location of equal full keys, and O(buckets)
+    vectorized group passes beat one Python call per conversation (the
+    scale-safe form for millions of keys). Vectorized drop_duplicates
+    inside each bucket.
 
     salt (explicit hot-key skew handling, north_star): with salt > 1 the
-    shuffle key becomes (key[0], key[1] % salt) — still a pure function
+    shuffle key becomes (bucket, key[1] % salt) — still a pure function
     of the FULL key, so equal keys co-locate, but a hot conversation's
-    group splits ``salt`` ways instead of serializing one map_groups
-    call. Leave at 1 for corpora without degenerate hot keys (more groups
-    cost per-group overhead)."""
+    rows split ``salt`` ways instead of serializing in one bucket."""
+    from .bucketing import with_bucket
     key = key or KEY
     ds = ds.map_batches(lambda b: _partial_dedup(b, key), batch_format="pandas")
+    ds = ds.map_batches(lambda b: with_bucket(b, key[0]), batch_format="pandas")
     if salt > 1 and len(key) > 1:
         sub = key[1]
 
@@ -54,8 +58,8 @@ def dedup_exact(ds: rd.Dataset, key: list[str] | None = None,
             return b.assign(_salt=(b[sub].astype("int64") % salt))
 
         return (ds.map_batches(add_salt, batch_format="pandas")
-                .groupby([key[0], "_salt"])
-                .map_groups(lambda g: _first_arrival_in_conv(g, key)
+                .groupby(["__bucket", "_salt"])
+                .map_groups(lambda g: _first_arrival_in_bucket(g, key)
                             .drop(columns=["_salt"]), batch_format="pandas"))
-    return ds.groupby(key[0]).map_groups(
-        lambda g: _first_arrival_in_conv(g, key), batch_format="pandas")
+    return ds.groupby("__bucket").map_groups(
+        lambda g: _first_arrival_in_bucket(g, key), batch_format="pandas")
