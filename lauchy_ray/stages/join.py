@@ -49,18 +49,33 @@ def broadcast_join(ds: rd.Dataset, lookup: dict, key: str,
                           batch_format="pandas", concurrency=concurrency)
 
 
-def _with_prev(group: pd.DataFrame) -> pd.DataFrame:
-    g = group.sort_values(["turn_idx", "ts"], kind="stable").copy()
+def _with_prev_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    """Predecessor join for EVERY conversation in one bucket, vectorized:
+    one sort by (conv, turn_idx, ts), previous-row columns masked at
+    conversation boundaries — O(buckets) Python calls, never one per conv
+    (the scale-safe form for millions of conversations)."""
+    g = group.sort_values(["conv_id", "turn_idx", "ts"], kind="stable").copy()
+    conv = g["conv_id"].to_numpy()
     ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-    g["prev_role"] = g["role"].shift(1).fillna("")
+    first = np.ones(len(g), dtype=bool)
+    if len(g) > 1:
+        first[1:] = conv[1:] != conv[:-1]
+    prev_role = g["role"].shift(1).fillna("").to_numpy(dtype=object)
+    prev_role[first] = ""
     prev_ts = np.empty(len(g), dtype=np.int64)
-    prev_ts[0] = -1
-    prev_ts[1:] = ts[:-1]
-    gap = np.where(prev_ts < 0, -1, ts - prev_ts)
+    if len(g):
+        prev_ts[0] = 0
+        prev_ts[1:] = ts[:-1]
+    gap = np.where(first, np.int64(-1), ts - prev_ts)
+    g["prev_role"] = prev_role
     g["gap_us"] = gap
-    return g
+    return g.drop(columns=["__bucket"])
 
 
 def ordered_conv_join(turns: rd.Dataset) -> rd.Dataset:
     """turns → turns + (prev_role, gap_us) in stable per-conv turn order."""
-    return turns.groupby("conv_id").map_groups(_with_prev, batch_format="pandas")
+    from .bucketing import with_bucket
+    bucketed = turns.map_batches(lambda b: with_bucket(b, "conv_id"),
+                                 batch_format="pandas")
+    return bucketed.groupby("__bucket").map_groups(_with_prev_bucket,
+                                                   batch_format="pandas")

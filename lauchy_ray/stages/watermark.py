@@ -25,22 +25,33 @@ import ray.data as rd
 DEFAULT_LATENESS_US = 5 * 60 * 1_000_000
 
 
-def _flag_group(group: pd.DataFrame, lateness_us: int) -> pd.DataFrame:
-    g = group.sort_values("arrival_idx", kind="stable").copy()
-    ts = g["ts"].astype("int64").to_numpy()
-    # running max of ts over prior arrivals (exclusive of the current row)
-    prev_max = np.empty(len(ts), dtype=np.int64)
-    prev_max[0] = np.iinfo(np.int64).min // 2  # no prior arrival → never late
-    if len(ts) > 1:
-        np.maximum.accumulate(ts[:-1], out=prev_max[1:])
-    g["late"] = ts < prev_max - lateness_us
-    return g
+def _flag_bucket(group: pd.DataFrame, lateness_us: int) -> pd.DataFrame:
+    """Late-flag EVERY conversation in one bucket, vectorized: one sort by
+    (conv, arrival), per-conv running max via pandas' C-level groupby
+    cummax shifted one row (masked at conv boundaries) — O(buckets)
+    Python calls, never one per conversation."""
+    g = group.sort_values(["conv_id", "arrival_idx"], kind="stable").copy()
+    ts = g["ts"].astype("int64")
+    conv = g["conv_id"].to_numpy()
+    first = np.ones(len(g), dtype=bool)
+    if len(g) > 1:
+        first[1:] = conv[1:] != conv[:-1]
+    # cummax WITHIN conv; previous row's value = running max over prior
+    # arrivals of the same conv (exclusive); conv-first rows never late
+    cmax = ts.groupby(g["conv_id"], sort=False).cummax()
+    prev_max = cmax.shift(1).to_numpy()
+    prev_max[first] = np.iinfo(np.int64).min // 2
+    g["late"] = ts.to_numpy() < prev_max.astype(np.int64) - lateness_us
+    return g.drop(columns=["__bucket"])
 
 
 def flag_late(ds: rd.Dataset, lateness_us: int = DEFAULT_LATENESS_US) -> rd.Dataset:
     """turns (with arrival_idx) → turns + late:bool."""
-    return ds.groupby("conv_id").map_groups(
-        lambda g: _flag_group(g, lateness_us), batch_format="pandas")
+    from .bucketing import with_bucket
+    bucketed = ds.map_batches(lambda b: with_bucket(b, "conv_id"),
+                              batch_format="pandas")
+    return bucketed.groupby("__bucket").map_groups(
+        lambda g: _flag_bucket(g, lateness_us), batch_format="pandas")
 
 
 def late_split(ds: rd.Dataset, lateness_us: int = DEFAULT_LATENESS_US):
