@@ -160,8 +160,9 @@ def derive_turns(events: rd.Dataset) -> rd.Dataset:
     shuffles on a BOUNDED bucket of user_id (co-locating each user's rows)
     and ranks all users of a bucket in one vectorized pass — never one
     Python group call per conversation."""
-    from .stages.bucketing import with_bucket
-    bucketed = events.map_batches(lambda df: with_bucket(df, "user_id"),
+    from .stages.bucketing import n_buckets_for, with_bucket
+    nb = n_buckets_for(events)
+    bucketed = events.map_batches(lambda df: with_bucket(df, "user_id", nb),
                                   batch_format="pandas")
     ranked = bucketed.groupby("__bucket").map_groups(_rank_bucket,
                                                     batch_format="pandas")

@@ -3,15 +3,24 @@
 Ray's ``groupby(key).map_groups(fn)`` makes ONE Python call per distinct
 key — fine for a thousand conversations, ruinous for millions (the
 per-group overhead dominates long before the data does). The scale-safe
-form keys the shuffle on a BOUNDED hash-bucket space and runs a
-vectorized multi-group pass inside each collocated bucket: sort by the
-real key, find segment boundaries, process all groups in numpy/pandas at
-once. The same number of rows moves; the Python-call count drops from
+form keys the shuffle on a hash-bucket space and runs a vectorized
+multi-group pass inside each collocated bucket: sort by the real key,
+find segment boundaries, process all groups in numpy/pandas at once.
+The same number of rows moves; the Python-call count drops from
 O(distinct keys) to O(buckets).
 
-Used by the turns rank derivation, exact dedup and sessionization; the
-near-dup candidate generation (dedup_near N_PARTITIONS) and the
-order_revenue per-order aggregation follow the same pattern locally.
+Bucket-count sizing: a FIXED count would either re-create the per-group
+overhead (too many) or make each group O(corpus/N) and cap reduce-side
+parallelism (too few). ``n_buckets_for`` scales the count with the
+dataset's byte size (one bucket ≈ TARGET_BUCKET_BYTES, clamped), falling
+back to a multiple of the cluster's CPU count when no size estimate is
+available — so per-bucket state stays bounded at the 10^12-turn envelope
+and parallelism grows with the cluster.
+
+Used by the turns rank derivation, exact dedup, sessionization, the
+ordered conv join and late flagging; the near-dup candidate generation
+(dedup_near N_PARTITIONS) and the order_revenue per-order aggregation
+follow the same pattern locally.
 """
 
 from __future__ import annotations
@@ -21,16 +30,50 @@ import zlib
 import numpy as np
 import pandas as pd
 
-N_GROUP_BUCKETS = 64
+MIN_BUCKETS = 64
+MAX_BUCKETS = 65536
+TARGET_BUCKET_BYTES = 64 << 20
 
 
-def key_bucket(values, n_buckets: int = N_GROUP_BUCKETS) -> np.ndarray:
-    """Deterministic bucket ids for a key column. Strings hash with crc32
-    (never Python's process-salted hash()), computed once per DISTINCT
-    value; integers bucket by modulo."""
+def n_buckets_for(ds=None) -> int:
+    """Bucket count scaled to the input: ≈ size_bytes / 64MB, clamped to
+    [MIN_BUCKETS, MAX_BUCKETS]; when the dataset carries no size estimate
+    (post-transform lineage), fall back to 8 × cluster CPUs so reduce
+    parallelism still tracks the cluster."""
+    size = None
+    if ds is not None:
+        try:
+            size = ds.size_bytes()
+        except Exception:
+            size = None
+    if size:
+        want = size // TARGET_BUCKET_BYTES + 1
+    else:
+        try:
+            import ray
+            want = int(ray.cluster_resources().get("CPU", 8)) * 8
+        except Exception:
+            want = MIN_BUCKETS
+    return int(min(MAX_BUCKETS, max(MIN_BUCKETS, want)))
+
+
+def key_bucket(values, n_buckets: int) -> np.ndarray:
+    """Deterministic bucket ids for a key column, STABLE across the
+    dtype presentations one logical key can arrive in (int64 vs the
+    float64 a null-bearing fragment promotes to): integral values always
+    bucket by modulo of their integer value; strings/objects hash with
+    crc32 (never Python's process-salted hash()), computed once per
+    DISTINCT value."""
     arr = np.asarray(values)
     if arr.dtype.kind in "iu":
         return (arr.astype(np.int64) % n_buckets).astype(np.int64)
+    if arr.dtype.kind == "f":
+        as_int = arr.astype(np.int64)
+        if np.array_equal(as_int.astype(arr.dtype), arr):
+            return (as_int % n_buckets).astype(np.int64)
+        raise TypeError(
+            "key_bucket: non-integral float key column — cast to a stable "
+            "key type before bucketing (equal keys must co-locate)")
     obj = arr.astype(object)
     uniq, inv = np.unique(obj, return_inverse=True)
     codes = np.array([zlib.crc32(str(u).encode()) % n_buckets for u in uniq],
@@ -38,6 +81,6 @@ def key_bucket(values, n_buckets: int = N_GROUP_BUCKETS) -> np.ndarray:
     return codes[inv]
 
 
-def with_bucket(df: pd.DataFrame, key: str,
+def with_bucket(df: pd.DataFrame, key: str, n_buckets: int,
                 col: str = "__bucket") -> pd.DataFrame:
-    return df.assign(**{col: key_bucket(df[key].to_numpy())})
+    return df.assign(**{col: key_bucket(df[key].to_numpy(), n_buckets)})

@@ -47,10 +47,12 @@ def dedup_exact(ds: rd.Dataset, key: list[str] | None = None,
     shuffle key becomes (bucket, key[1] % salt) — still a pure function
     of the FULL key, so equal keys co-locate, but a hot conversation's
     rows split ``salt`` ways instead of serializing in one bucket."""
-    from .bucketing import with_bucket
+    from .bucketing import n_buckets_for, with_bucket
     key = key or KEY
+    nb = n_buckets_for(ds)
     ds = ds.map_batches(lambda b: _partial_dedup(b, key), batch_format="pandas")
-    ds = ds.map_batches(lambda b: with_bucket(b, key[0]), batch_format="pandas")
+    ds = ds.map_batches(lambda b: with_bucket(b, key[0], nb),
+                        batch_format="pandas")
     if salt > 1 and len(key) > 1:
         sub = key[1]
 

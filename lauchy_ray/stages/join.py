@@ -8,12 +8,12 @@ Two faces:
 - ``broadcast_join``: the small side (rules / dimension table) is shipped
   once via ray.put and looked up per batch in actor state — no shuffle
   (≙ the Infinispan dictionary cache, minus the per-record RPC).
-- ``ordered_conv_join``: hash-shuffle turns by conv_id, buffer each conv
-  sorted by turn_idx, and emit turns WITH previous-turn context
-  (prev_role, prev_ts, gap) in stable turn order — the stateful
-  sorted-buffer join. Ray Data's groupby supplies the hash partitioning;
-  the sort inside the group is the "sorted turn_idx buffer". State per
-  group is O(conv length), never O(total rows).
+- ``ordered_conv_join``: shuffle turns on a hash BUCKET of conv_id
+  (stages/bucketing), sort each bucket by (conv, turn_idx) — the "sorted
+  turn_idx buffer", one per conv, all held contiguously — and emit turns
+  WITH previous-turn context (prev_role, gap) via boundary-masked shifts.
+  Per-task state is one bucket (~TARGET_BUCKET_BYTES of rows); the
+  Python-call count is O(buckets), not O(conversations).
 """
 
 from __future__ import annotations
@@ -74,8 +74,9 @@ def _with_prev_bucket(group: pd.DataFrame) -> pd.DataFrame:
 
 def ordered_conv_join(turns: rd.Dataset) -> rd.Dataset:
     """turns → turns + (prev_role, gap_us) in stable per-conv turn order."""
-    from .bucketing import with_bucket
-    bucketed = turns.map_batches(lambda b: with_bucket(b, "conv_id"),
+    from .bucketing import n_buckets_for, with_bucket
+    nb = n_buckets_for(turns)
+    bucketed = turns.map_batches(lambda b: with_bucket(b, "conv_id", nb),
                                  batch_format="pandas")
     return bucketed.groupby("__bucket").map_groups(_with_prev_bucket,
                                                    batch_format="pandas")

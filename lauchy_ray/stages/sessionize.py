@@ -1,15 +1,16 @@
 """Session windows per conversation (north_star: session windows keyed on
 conv_id with ts-gap close).
 
-`groupby("conv_id").map_groups(...)`: hash-shuffle on conv_id, then a
-vectorized per-group pass — sort by (ts, turn_idx), break a session where
-the gap to the previous turn exceeds ``gap``. Matches oracle.sessionize_rows.
+Shuffle on a hash BUCKET of conv_id (stages/bucketing — bucket count
+scales with input size, one bucket ≈ TARGET_BUCKET_BYTES), then ONE
+vectorized pass per bucket: sort by (conv, ts, turn_idx), break a session
+at a conv change or a ts gap > ``gap``. Matches oracle.sessionize_rows.
+Python-call count is O(buckets), never O(conversations).
 
-Skew note (SURVEY.md §7.4): a conversation's turns must fit one group —
-state per group is O(turns-in-conv), never O(total rows). Hot conversations
-serialize their own group only; other groups proceed in parallel. For
-degenerate single-conv inputs, pre-split by ts-range would bound the group
-(documented limit, not implemented).
+Skew note (SURVEY.md §7.4): a conversation's turns must land in one
+bucket; a degenerate hot conversation therefore bounds its bucket's size
+from below — pre-splitting such a conv by ts-range inside the bucket pass
+would cap it (documented limit, not implemented).
 """
 
 from __future__ import annotations
@@ -29,14 +30,14 @@ def _sessionize_bucket(group: pd.DataFrame, gap_us: int) -> pd.DataFrame:
     g = group.sort_values(["conv_id", "ts", "turn_idx"], kind="stable")
     conv = g["conv_id"].to_numpy()
     ts = g["ts"].astype("int64").to_numpy()
-    brk = np.ones(len(g), dtype=bool)
-    if len(g) > 1:
-        brk[1:] = (conv[1:] != conv[:-1]) | (np.diff(ts) > gap_us)
-    # per-conv session ordinal: global segment id minus the conv's first
-    seg = np.cumsum(brk) - 1
     first_of_conv = np.ones(len(g), dtype=bool)
     if len(g) > 1:
         first_of_conv[1:] = conv[1:] != conv[:-1]
+    brk = first_of_conv.copy()
+    if len(g) > 1:
+        brk[1:] |= np.diff(ts) > gap_us
+    # per-conv session ordinal: global segment id minus the conv's first
+    seg = np.cumsum(brk) - 1
     conv_base = np.maximum.accumulate(np.where(first_of_conv, seg, -1))
     sid = seg - conv_base
     out = pd.DataFrame({"conv_id": conv, "session_id": sid, "ts": ts})
@@ -51,8 +52,9 @@ def _sessionize_bucket(group: pd.DataFrame, gap_us: int) -> pd.DataFrame:
 
 def sessionize(ds: rd.Dataset, gap_us: int = DEFAULT_GAP_US) -> rd.Dataset:
     """turns → (conv_id, session_id, start_ts, end_ts, n_turns)."""
-    from .bucketing import with_bucket
-    bucketed = ds.map_batches(lambda b: with_bucket(b, "conv_id"),
+    from .bucketing import n_buckets_for, with_bucket
+    nb = n_buckets_for(ds)
+    bucketed = ds.map_batches(lambda b: with_bucket(b, "conv_id", nb),
                               batch_format="pandas")
     return bucketed.groupby("__bucket").map_groups(
         lambda g: _sessionize_bucket(g.drop(columns=["__bucket"]), gap_us),
@@ -86,8 +88,9 @@ def sessionize_conv_stats(ds: rd.Dataset,
     bucket shuffle. Session count is the number of gap breaks over the
     conv's sorted timestamps (conv-change rows count as breaks, giving
     the +1) — session boundaries never materialize."""
-    from .bucketing import with_bucket
-    bucketed = ds.map_batches(lambda b: with_bucket(b, "conv_id"),
+    from .bucketing import n_buckets_for, with_bucket
+    nb = n_buckets_for(ds)
+    bucketed = ds.map_batches(lambda b: with_bucket(b, "conv_id", nb),
                               batch_format="pandas")
     return bucketed.groupby("__bucket").map_groups(
         lambda g: _conv_stats_bucket(g.drop(columns=["__bucket"]), gap_us),

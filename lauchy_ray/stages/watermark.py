@@ -6,10 +6,12 @@ arrival* — arrival order being the deterministic (fragment, row) sequence
 from sources.stream.read_stream (≙ Kafka per-partition offset order).
 
 Distributed shape: the running max only involves rows of the SAME conv_id,
-so hash-shuffling by conv_id and scanning each group in arrival order is
-exactly equivalent to the reference's per-partition watermark tracker —
-and deterministic under any Ray scheduling. State per group is O(1)
-(a running max), never O(total rows).
+so shuffling on a hash BUCKET of conv_id (stages/bucketing — bucket count
+scales with input size) co-locates each conversation and a single
+vectorized pass flags every conv in the bucket — equivalent to the
+reference's per-partition watermark tracker and deterministic under any
+Ray scheduling. Per-task state is one bucket (~TARGET_BUCKET_BYTES of
+rows), and the per-conv running max is a C-level grouped cummax.
 
 ``late_split`` routes late rows to their own sink (out/late/) per policy;
 ``watermark_of`` reports the global low-watermark = min over conv maxima −
@@ -37,18 +39,24 @@ def _flag_bucket(group: pd.DataFrame, lateness_us: int) -> pd.DataFrame:
     if len(g) > 1:
         first[1:] = conv[1:] != conv[:-1]
     # cummax WITHIN conv; previous row's value = running max over prior
-    # arrivals of the same conv (exclusive); conv-first rows never late
-    cmax = ts.groupby(g["conv_id"], sort=False).cummax()
-    prev_max = cmax.shift(1).to_numpy()
+    # arrivals of the same conv (exclusive); conv-first rows never late.
+    # INT64 end-to-end: Series.shift would promote to float64 (NaN fill)
+    # and round timestamps past 2^53 — slice with numpy instead.
+    cmax = ts.groupby(g["conv_id"], sort=False).cummax().to_numpy()
+    prev_max = np.empty(len(g), dtype=np.int64)
+    if len(g):
+        prev_max[0] = 0
+        prev_max[1:] = cmax[:-1]
     prev_max[first] = np.iinfo(np.int64).min // 2
-    g["late"] = ts.to_numpy() < prev_max.astype(np.int64) - lateness_us
+    g["late"] = ts.to_numpy() < prev_max - lateness_us
     return g.drop(columns=["__bucket"])
 
 
 def flag_late(ds: rd.Dataset, lateness_us: int = DEFAULT_LATENESS_US) -> rd.Dataset:
     """turns (with arrival_idx) → turns + late:bool."""
-    from .bucketing import with_bucket
-    bucketed = ds.map_batches(lambda b: with_bucket(b, "conv_id"),
+    from .bucketing import n_buckets_for, with_bucket
+    nb = n_buckets_for(ds)
+    bucketed = ds.map_batches(lambda b: with_bucket(b, "conv_id", nb),
                               batch_format="pandas")
     return bucketed.groupby("__bucket").map_groups(
         lambda g: _flag_bucket(g, lateness_us), batch_format="pandas")
