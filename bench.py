@@ -23,6 +23,17 @@ import time
 BENCH_TURNS = int(os.environ.get("LAUCHY_BENCH_TURNS", 8_000_000))
 BENCH_CONVS = max(100, BENCH_TURNS // 50)
 SEED = 42
+# Headline/streaming numbers are the MEDIAN of this many timed passes (after
+# one untimed warm pass); raw samples are recorded in the JSON so a noisy
+# sandbox run is visible instead of silently becoming the official number
+# (round-2 driver record swung 2.13x on a single-sample bench).
+BENCH_PASSES = max(1, int(os.environ.get("LAUCHY_BENCH_PASSES", 3)))
+
+
+def _median(xs: list[float]) -> float:
+    ys = sorted(xs)
+    n = len(ys)
+    return ys[n // 2] if n % 2 else (ys[n // 2 - 1] + ys[n // 2]) / 2
 
 
 def ensure_bench_fixture() -> dict[str, str]:
@@ -63,13 +74,19 @@ def run_headline(paths: dict[str, str]) -> dict:
 
     # one untimed pass warms the OS page cache AND the Ray worker pool
     # (process spawn + code unpickle), so the measurement is steady-state
-    # throughput — what a long-running stream job actually sees.
+    # throughput — what a long-running stream job actually sees. Then
+    # BENCH_PASSES timed passes; the reported number is their median and
+    # every raw sample ships in the JSON.
     one_pass()
-    t0 = time.time()
-    wc = one_pass()
-    elapsed = time.time() - t0
+    samples = []
+    wc = None
+    for _ in range(BENCH_PASSES):
+        t0 = time.time()
+        wc = one_pass()
+        samples.append(round(time.time() - t0, 3))
+    elapsed = _median(samples)
     n_turns = int(wc["n_valid"].sum() + wc["n_rejected"].sum())
-    return {"sec": elapsed, "turns": n_turns,
+    return {"sec": elapsed, "turns": n_turns, "samples": samples,
             "turns_per_sec": n_turns / elapsed, "window_cells": len(wc)}
 
 
@@ -95,13 +112,16 @@ def run_streaming(paths: dict[str, str]) -> dict:
 
     def timed(name, fn, pre=None):
         fn()  # warm (page cache + worker pool)
-        if pre:
-            pre()  # untimed setup (e.g. output cleanup) stays OUT of the
-            # measured region — one elapsed value feeds both fields
-        t0 = time.time()
-        fn()
-        elapsed = time.time() - t0
-        out[name] = {"sec": round(elapsed, 3),
+        samples = []
+        for _ in range(BENCH_PASSES):
+            if pre:
+                pre()  # untimed setup (e.g. output cleanup) stays OUT of
+                # the measured region
+            t0 = time.time()
+            fn()
+            samples.append(round(time.time() - t0, 3))
+        elapsed = _median(samples)
+        out[name] = {"sec": round(elapsed, 3), "samples": samples,
                      "turns_per_sec": round(BENCH_TURNS / elapsed)}
 
     timed("cep_windows", lambda: run_streaming_window_counts(
@@ -148,8 +168,12 @@ def single_run() -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     paths = ensure_bench_fixture()
     headline = run_headline(paths)
-    streaming = run_streaming(paths)
-    queries = run_queries(sf_dir)
+    # Scaling subprocesses only need the headline (efficiency is computed
+    # from it); skipping streaming+queries keeps --scaling tractable at
+    # median-of-3.
+    headline_only = os.environ.get("LAUCHY_BENCH_HEADLINE_ONLY") == "1"
+    streaming = {} if headline_only else run_streaming(paths)
+    queries = {} if headline_only else run_queries(sf_dir)
     result = {
         "metric": "turns/sec validation+window-agg on synthetic transcript stream",
         "value": round(headline["sec"], 3),
@@ -158,6 +182,8 @@ def single_run() -> dict:
         "sf": sf_dir,
         "num_cpus": ncpu,
         "bench_turns": headline["turns"],
+        "headline_samples": headline["samples"],
+        "bench_passes": BENCH_PASSES,
         "turns_per_sec": round(headline["turns_per_sec"]),
         "queries_total_sec": round(sum(queries.values()), 3),
         "streaming": streaming,
@@ -168,7 +194,8 @@ def single_run() -> dict:
 
 def scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   LAUCHY_BENCH_HEADLINE_ONLY="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__)))
@@ -179,6 +206,8 @@ def scaling() -> dict:
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     return {
         "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+        "samples_8": r_lo.get("headline_samples"),
+        "samples_32": r_hi.get("headline_samples"),
         "turns_per_sec_8": r_lo["turns_per_sec"],
         "turns_per_sec_32": r_hi["turns_per_sec"],
         "scaling_efficiency": round(eff, 3),
