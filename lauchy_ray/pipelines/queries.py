@@ -23,6 +23,7 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 from .. import rules as R
 from ..events_bridge import derive_turns
 from ..stages.dedup import dedup_exact
+from ..stages.dedup_near import emb_matrix
 from ..stages.sessionize import sessionize
 from ..stages.watermark import flag_late
 from ..stages.windows import window_counts
@@ -649,12 +650,25 @@ def q_simhash_dups(sf_dir: str):
     return simhash_dups(docs)
 
 
+def _emb_ds(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+
+
 def q_embed_near_dups(sf_dir: str):
     """Embedding-cosine near-dup pairs (a < b, cosine ≥ 0.5 — chosen so the
-    synthetic embeddings actually produce pairs)."""
+    synthetic embeddings actually produce pairs). The brute-force baseline
+    broadcasts the corpus MATRIX by design (documented; the IVF variant is
+    the scale path) — built here with one vectorized Arrow flatten, never
+    a per-row to_pylist, and the Dataset side streams from parquet."""
+    import pyarrow.parquet as pq
+
     from ..stages.dedup_near import embedding_near_dups
-    emb, ids, mat = _load_embeddings(sf_dir)
-    out = embedding_near_dups(rd.from_arrow(emb), ids, mat, threshold=0.5)
+    corpus = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    ids = corpus["vec_id"].to_numpy()
+    mat = emb_matrix(corpus)
+    out = embedding_near_dups(_emb_ds(sf_dir), ids, mat, threshold=0.5)
     pdf = out.to_pandas()
     return pdf[["a", "b"]] if len(pdf) else pd.DataFrame({"a": pd.Series(dtype="int64"),
                                                           "b": pd.Series(dtype="int64")})
@@ -665,8 +679,7 @@ def q_embed_near_dups_ivf(sf_dir: str):
     within multiprobe-assigned centroid buckets), SQL-checked with the
     identical blocking re-derived in DuckDB."""
     from ..stages.dedup_near import embedding_near_dups_ivf
-    emb, _, _ = _load_embeddings(sf_dir)
-    return embedding_near_dups_ivf(rd.from_arrow(emb), threshold=0.5)
+    return embedding_near_dups_ivf(_emb_ds(sf_dir), threshold=0.5)
 
 
 def q_ann_ivf(sf_dir: str):
@@ -674,10 +687,11 @@ def q_ann_ivf(sf_dir: str):
     seeds (vec_id < n_centroids), a pure function of the input, so the
     DuckDB oracle (dedup_near.ann_ivf_sql) re-derives buckets, probe sets
     and the pruned cosine top-k independently. Recall vs brute force is
-    additionally pytest-checked."""
-    from ..stages.dedup_near import ann_ivf_topk
-    emb, ids, mat = _load_embeddings(sf_dir)
-    return ann_ivf_topk(rd.from_arrow(emb), ids[ids < 3], mat[ids < 3])
+    additionally pytest-checked. Query vectors come from a pushdown-
+    filtered read (vec_id < 3) — no full-corpus driver load."""
+    from ..stages.dedup_near import ann_ivf_topk, read_vectors
+    qids, qmat = read_vectors(f"{sf_dir}/embeddings.parquet", 3)
+    return ann_ivf_topk(_emb_ds(sf_dir), qids, qmat)
 
 
 def q_media_features(sf_dir: str):
@@ -735,13 +749,13 @@ class _AnnScorer:
         norms = np.linalg.norm(qmat, axis=1, keepdims=True)
         self.qmat = qmat / norms
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        emb = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+    def __call__(self, t: pa.Table) -> pa.Table:
+        emb = emb_matrix(t)
         emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
         sims = emb @ self.qmat.T  # (batch, nq)
-        vids = batch["vec_id"].to_numpy()
+        vids = t["vec_id"].to_numpy()
         qs, vs, ss = [], [], []
-        for qi, qid in enumerate(self.qids):
+        for qi, qid in enumerate(self.qids):  # O(n_queries), not O(rows)
             idx = np.flatnonzero(vids != qid)  # self-match excluded pre-topk
             if len(idx) == 0:
                 continue
@@ -751,31 +765,22 @@ class _AnnScorer:
             qs.extend([qid] * len(sel))
             vs.extend(vids[sel])
             ss.extend(sims[sel, qi])
-        return pd.DataFrame({"qid": np.asarray(qs, dtype=np.int64),
-                             "vec_id": np.asarray(vs, dtype=np.int64),
-                             "s": np.asarray(ss, dtype=np.float64)})
-
-
-def _load_embeddings(sf_dir: str):
-    """Read embeddings ONCE; the same Arrow table serves both the broadcast
-    side (numpy matrix) and the Dataset side (rd.from_arrow)."""
-    import pyarrow.parquet as pq
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
-    ids = np.asarray(emb["vec_id"].to_pylist())
-    mat = np.stack([np.asarray(v, np.float64) for v in emb["embedding"].to_pylist()])
-    return emb, ids, mat
+        return pa.table({"qid": pa.array(np.asarray(qs, dtype=np.int64)),
+                         "vec_id": pa.array(np.asarray(vs, dtype=np.int64)),
+                         "s": pa.array(np.asarray(ss, dtype=np.float64))})
 
 
 def q_ann_topk(sf_dir: str, n_queries: int = 3, k: int = 5):
-    emb, ids, mat = _load_embeddings(sf_dir)
-    qids = ids[ids < n_queries]
-    qmat = mat[ids < n_queries]
+    """Brute-force cosine top-k: query vectors from a pushdown-filtered
+    read (never a full-corpus driver load), corpus streamed from parquet,
+    k-row partials per (query, batch) merged per query."""
+    from ..stages.dedup_near import read_vectors
+    qids, qmat = read_vectors(f"{sf_dir}/embeddings.parquet", n_queries)
     ref = ray.put((qids, qmat))
-    ds = rd.from_arrow(emb)
+    ds = _emb_ds(sf_dir)
     partials = ds.map_batches(_AnnScorer,
                               fn_constructor_kwargs={"queries_ref": ref, "k": k},
-                              batch_format="pandas", concurrency=(1, 4))
+                              batch_format="pyarrow", concurrency=(1, 4))
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         # merge of bounded per-batch partials (k rows per batch per query)
