@@ -25,7 +25,8 @@ from lauchy_ray.events_bridge import validated_cte, turns_cte  # noqa: E402
 from lauchy_ray.pipelines import queries as Q  # noqa: E402
 from lauchy_ray.rules import rules_sql_cte  # noqa: E402
 from lauchy_ray.stages.dedup_near import (  # noqa: E402
-    ann_ivf_sql, embedding_near_dups_ivf_sql, minhash_sql, simhash_sql)
+    ann_ivf_sql, embedding_near_dups_ivf_sql, minhash_clusters_sql,
+    minhash_sql, simhash_clusters_sql, simhash_sql)
 from lauchy_ray.stages.textops import (  # noqa: E402
     fingerprint_sql, lang_id_sql, pii_scrub_sql)
 
@@ -76,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": Q.q_fingerprint,
         "minhash_dups": Q.q_minhash_dups,
         "simhash_dups": Q.q_simhash_dups,
+        "minhash_clusters": Q.q_minhash_clusters,
+        "simhash_clusters": Q.q_simhash_clusters,
         "ann_ivf": Q.q_ann_ivf,
         "media_features": Q.q_media_features,
     }
@@ -264,6 +267,10 @@ def oracle_sql() -> dict[str, str]:
         # exact all-pairs k-shingle jaccard at threshold 0.9, where LSH
         # recall ≈ 1 ⇒ oracle ≡ banded+verified pipeline
         "minhash_dups": minhash_sql(threshold=0.9),
+        # LINEAR cluster-assignment contract: recursive-CTE connected
+        # components over the same pair relations (rep_id = min doc_id)
+        "minhash_clusters": minhash_clusters_sql(threshold=0.9),
+        "simhash_clusters": simhash_clusters_sql(max_hamming=3),
         # function-word vote re-derived from the same _LANG_PROFILES constant
         "lang_id": lang_id_sql(),
         # same patterns, same order, byte-identical redacted text

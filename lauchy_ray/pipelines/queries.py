@@ -650,6 +650,28 @@ def q_simhash_dups(sf_dir: str):
     return simhash_dups(docs)
 
 
+def _docs_text(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+
+def q_minhash_clusters(sf_dir: str):
+    """Scale-correct near-dup output: LINEAR (doc_id, rep_id) cluster
+    assignment over the minhash relation (threshold 0.9 — the oracle
+    validity regime), SQL-checked by a recursive-CTE connected-components
+    oracle. This, not the O(group²) pair list, is the 100-TB contract."""
+    from ..stages.dedup_near import near_dup_clusters
+    return near_dup_clusters(_docs_text(sf_dir), method="minhash",
+                             threshold=0.9)
+
+
+def q_simhash_clusters(sf_dir: str):
+    """(doc_id, rep_id) cluster assignment over the simhash hamming≤3
+    relation, SQL-checked (recursive-CTE components)."""
+    from ..stages.dedup_near import near_dup_clusters
+    return near_dup_clusters(_docs_text(sf_dir), method="simhash")
+
+
 def _emb_ds(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                            columns=["vec_id", "embedding"])

@@ -314,3 +314,60 @@ def test_exact_collapse_equivalence_on_normal_corpus(docs_ds):
     s_off = dedup_near.simhash_dups(ds, max_hamming=6, n_blocks=10,
                                     collapse_exact=False)
     assert set(zip(s_on["a"], s_on["b"])) == set(zip(s_off["a"], s_off["b"]))
+
+
+def test_near_dup_clusters_matches_pairs(docs_ds):
+    """Cluster assignment must equal union-find over the pair output."""
+    ds, df = docs_ds
+    pairs = dedup_near.minhash_lsh_dups(ds, threshold=0.9)
+    clusters = dedup_near.near_dup_clusters(ds, method="minhash",
+                                            threshold=0.9).to_pandas()
+    assert len(clusters) == len(df)
+    # reference: union-find over the expanded pair list
+    parent = {int(d): int(d) for d in df["doc_id"]}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp = {d: find(int(d)) for d in df["doc_id"]}
+    got = dict(zip(clusters["doc_id"], clusters["rep_id"]))
+    assert got == exp
+
+
+def test_near_dup_clusters_big_group_linear():
+    """A 10^5-copy exact-duplicate cluster: the pair contract would be
+    ~5e9 pairs; the cluster contract completes and is LINEAR (one row per
+    doc), with every copy assigned rep_id = the smallest doc_id."""
+    n_copies = 100_000
+    texts = ["the same boilerplate page body repeated verbatim"] * n_copies
+    texts += ["a genuinely distinct document about alpha beta gamma",
+              "another distinct document entirely unlike the others"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = dedup_near.near_dup_clusters(
+        rd.from_pandas(df), method="minhash", threshold=0.9).to_pandas()
+    assert len(out) == len(df)                      # linear output
+    copies = out[out["doc_id"] < n_copies]
+    assert (copies["rep_id"] == 0).all()            # one cluster, min id rep
+    singles = out[out["doc_id"] >= n_copies]
+    assert (singles["rep_id"] == singles["doc_id"]).all()
+
+
+def test_expand_pairs_guard_refuses_blowup():
+    """The pair-list API must refuse (not OOM) when expansion exceeds
+    max_expand_pairs, pointing at the cluster contract."""
+    texts = ["the same boilerplate page body repeated verbatim"] * 500
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = rd.from_pandas(df)
+    with pytest.raises(ValueError, match="near_dup_clusters"):
+        dedup_near.minhash_lsh_dups(ds, threshold=0.9,
+                                    max_expand_pairs=10_000)
+    # and the cluster path handles the same corpus fine
+    out = dedup_near.near_dup_clusters(ds, method="simhash").to_pandas()
+    assert len(out) == 500 and (out["rep_id"] == 0).all()
