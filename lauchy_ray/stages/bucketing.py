@@ -63,22 +63,42 @@ def key_bucket(values, n_buckets: int) -> np.ndarray:
     float64 a null-bearing fragment promotes to): integral values always
     bucket by modulo of their integer value; strings/objects hash with
     crc32 (never Python's process-salted hash()), computed once per
-    DISTINCT value."""
+    DISTINCT value.
+
+    Null/NaN keys route to bucket 0 (they co-locate like any other key
+    value; downstream per-bucket passes see them as pandas NA) — one null
+    conv_id anywhere in a 100-TB corpus must not crash the shuffle
+    (round-2 advice: the float cast of NaN is undefined, and np.unique
+    cannot sort None against str)."""
     arr = np.asarray(values)
     if arr.dtype.kind in "iu":
         return (arr.astype(np.int64) % n_buckets).astype(np.int64)
+    out = np.zeros(len(arr), dtype=np.int64)        # nulls stay bucket 0
     if arr.dtype.kind == "f":
-        as_int = arr.astype(np.int64)
-        if np.array_equal(as_int.astype(arr.dtype), arr):
-            return (as_int % n_buckets).astype(np.int64)
-        raise TypeError(
-            "key_bucket: non-integral float key column — cast to a stable "
-            "key type before bucketing (equal keys must co-locate)")
+        ok = ~np.isnan(arr)
+        sub = arr[ok]
+        as_int = sub.astype(np.int64)
+        if not np.array_equal(as_int.astype(arr.dtype), sub):
+            raise TypeError(
+                "key_bucket: non-integral float key column — cast to a "
+                "stable key type before bucketing (equal keys must "
+                "co-locate)")
+        out[ok] = as_int % n_buckets
+        return out
     obj = arr.astype(object)
-    uniq, inv = np.unique(obj, return_inverse=True)
+    ok = ~pd.isna(obj)
+    sub = obj[ok]
+    if len(sub) and all(isinstance(v, (int, np.integer))
+                        and not isinstance(v, bool) for v in sub):
+        # nullable-Int64 presentation boxes ints as objects: same logical
+        # key as the int64 path, must land in the same bucket
+        out[ok] = np.array([int(v) % n_buckets for v in sub], dtype=np.int64)
+        return out
+    uniq, inv = np.unique(sub, return_inverse=True)
     codes = np.array([zlib.crc32(str(u).encode()) % n_buckets for u in uniq],
                      dtype=np.int64)
-    return codes[inv]
+    out[ok] = codes[inv]
+    return out
 
 
 def with_bucket(df: pd.DataFrame, key: str, n_buckets: int,

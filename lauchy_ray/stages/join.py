@@ -28,15 +28,19 @@ class BroadcastLookup:
     """map_batches actor: left join a batch against a broadcast dict."""
 
     def __init__(self, lookup_ref, key: str, out_cols: dict[str, str]):
-        self.lookup = ray.get(lookup_ref)   # key -> dict of attrs
+        lookup = ray.get(lookup_ref)        # key -> dict of attrs
         self.key = key
-        self.out_cols = out_cols            # out_col -> attr name
+        # pre-invert to one flat dict per output column ONCE per actor:
+        # Series.map(dict) is a vectorized hash lookup, the row-lambda
+        # closure it replaces called .get twice per row
+        self.col_maps = {
+            out_col: {k: attrs.get(attr) for k, attrs in lookup.items()}
+            for out_col, attr in out_cols.items()}
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        for out_col, attr in self.out_cols.items():
-            df[out_col] = df[self.key].map(
-                lambda k: self.lookup.get(k, {}).get(attr))
+        for out_col, col_map in self.col_maps.items():
+            df[out_col] = df[self.key].map(col_map)
         return df
 
 

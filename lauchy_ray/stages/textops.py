@@ -153,21 +153,29 @@ def fingerprint_batch(df: pd.DataFrame, text_col: str = "text",
     :func:`fingerprint_sql`."""
     token_re = re.compile(TOKEN_RE)
     base = np.uint64(_FP_BASE)
-
-    def fp(text: str) -> str:
-        toks = token_re.findall(text.lower())
+    tok_lists = [token_re.findall(t.lower()) for t in df[text_col]]
+    # md5 each DISTINCT token ONCE per batch (natural text repeats most
+    # tokens heavily; the per-token md5 was the dominant per-doc cost)
+    vocab: dict[str, int] = {}
+    for toks in tok_lists:
+        for t in toks:
+            if t not in vocab:
+                vocab[t] = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+    outs = []
+    for toks in tok_lists:
         if len(toks) < window:
-            return hashlib.md5(" ".join(toks).encode()).hexdigest()
-        h = _token_hashes(toks)
+            outs.append(hashlib.md5(" ".join(toks).encode()).hexdigest())
+            continue
+        h = np.fromiter((vocab[t] for t in toks), dtype=np.uint64,
+                        count=len(toks))
         n_roll = len(toks) - window + 1
         acc = np.zeros(n_roll, dtype=np.uint64)
         for j in range(window):  # window is small: vector ops, not n_roll loops
             acc = acc * base + h[j:j + n_roll]
         smallest = np.sort(acc)[:keep]
-        return hashlib.md5(
-            ",".join(str(int(x)) for x in smallest).encode()).hexdigest()
-
-    return pd.DataFrame({"doc_id": df["doc_id"], "fingerprint": df[text_col].map(fp)})
+        outs.append(hashlib.md5(
+            ",".join(str(int(x)) for x in smallest).encode()).hexdigest())
+    return pd.DataFrame({"doc_id": df["doc_id"], "fingerprint": outs})
 
 
 def fingerprint_sql(window: int = 4, keep: int = 8,

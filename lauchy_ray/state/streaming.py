@@ -263,11 +263,12 @@ class WindowShardCore(ShardActorBase):
                         "ok": valids[corr_mask].astype(np.int64)})
                     g = sub.groupby(["wid", "role", "tool"], sort=False).agg(
                         ok=("ok", "sum"), total=("ok", "size"))
-                    for (w, r, t2), row in g.iterrows():
+                    for (w, r, t2), ok_v, tot in zip(
+                            g.index, g["ok"].to_numpy(), g["total"].to_numpy()):
                         self.emitted.append({
                             "window_id": int(w), "role": r, "tool": t2,
-                            "n_valid": int(row["ok"]),
-                            "n_rejected": int(row["total"] - row["ok"])})
+                            "n_valid": int(ok_v),
+                            "n_rejected": int(tot - ok_v)})
             else:
                 # route policy (default): late rows contribute to NO
                 # window; partially-late sliding contributions are dropped
@@ -279,10 +280,11 @@ class WindowShardCore(ShardActorBase):
                                 "ok": valids[open_mask].astype(np.int64)})
             g = sub.groupby(["wid", "role", "tool"], sort=False).agg(
                 ok=("ok", "sum"), total=("ok", "size"))
-            for (w, r, t2), row in g.iterrows():
+            for (w, r, t2), ok_v, tot in zip(
+                    g.index, g["ok"].to_numpy(), g["total"].to_numpy()):
                 cell = self.open.setdefault((int(w), r, t2), [0, 0])
-                cell[0] += int(row["ok"])
-                cell[1] += int(row["total"] - row["ok"])
+                cell[0] += int(ok_v)
+                cell[1] += int(tot - ok_v)
         if cm[-1] > self.wm:
             self.wm = int(cm[-1])
         self._emit_closed()
@@ -613,12 +615,24 @@ def run_streaming_dedup(input_path: str, out_dir: str,
     import glob as _glob
     key_cols = key_cols or ["conv_id", "turn_idx"]
     fragments = list_fragments(input_path)
-    if checkpoint_dir is None and _glob.glob(
+    # a run only legitimately APPENDS to a dirty out_dir when it resumes
+    # from the checkpoint that wrote those parts — i.e. checkpoint_dir
+    # holds PRIOR STATE (_meta.json, or shard ckpts from a crash that
+    # died before meta landed). A genuinely fresh checkpoint dir pointed
+    # at someone else's parts would silently interleave two datasets
+    # (round-2 advice: the meta equality guard can't see that case).
+    resuming = checkpoint_dir is not None and (
+        os.path.exists(os.path.join(checkpoint_dir, "_meta.json"))
+        or bool(_glob.glob(os.path.join(checkpoint_dir, "*.ckpt*"))))
+    if not resuming and _glob.glob(
             os.path.join(out_dir, "shard-*", "part-*.parquet")):
         raise ValueError(
-            f"out_dir {out_dir} already holds dedup parts; a fresh "
-            "(uncheckpointed) run would interleave two datasets — delete "
-            "the dir or resume with the original checkpoint_dir")
+            f"out_dir {out_dir} already holds dedup parts but this run is "
+            "not resuming from the checkpoint that wrote them "
+            f"(checkpoint_dir={checkpoint_dir!r} "
+            f"{'has no _meta.json yet' if checkpoint_dir else 'unset'}); "
+            "appending would interleave two datasets — delete the out dir "
+            "or resume with the original checkpoint_dir")
     meta = {"kind": "dedup", "key_cols": key_cols,
             "retention_us": retention_us, "lateness_us": lateness_us,
             "n_shards": n_shards, "out_dir": out_dir}

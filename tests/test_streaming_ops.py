@@ -160,3 +160,23 @@ def test_dedup_salting_equivalence(fixture_dir):
     assert list(salted.columns) == list(plain.columns)
     import pandas as pd_
     pd_.testing.assert_frame_equal(salted, plain)
+
+
+def test_dedup_out_dir_guard_fresh_checkpoint(fixture_dir, tmp_path):
+    """A fresh checkpoint_dir pointed at an out_dir holding parts from an
+    UNRELATED run must refuse (round-2 advice), while a checkpoint dir
+    with prior shard state resumes fine (covered by
+    test_streaming_dedup_checkpoint_resume)."""
+    import os
+
+    import pytest as _pytest
+
+    from lauchy_ray.state.streaming import run_streaming_dedup
+    out = tmp_path / "dirty_out" / "shard-000"
+    out.mkdir(parents=True)
+    (out / "part-000000.parquet").write_bytes(b"stale")
+    fresh_ckpt = tmp_path / "fresh_ckpt"
+    fresh_ckpt.mkdir()
+    with _pytest.raises(ValueError, match="interleave"):
+        run_streaming_dedup(fixture_dir["turns"], str(tmp_path / "dirty_out"),
+                            checkpoint_dir=str(fresh_ckpt))
