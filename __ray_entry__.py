@@ -27,6 +27,7 @@ from lauchy_ray.rules import rules_sql_cte  # noqa: E402
 from lauchy_ray.stages.dedup_near import (  # noqa: E402
     ann_ivf_sql, embedding_near_dups_ivf_sql, minhash_clusters_sql,
     minhash_sql, simhash_clusters_sql, simhash_sql)
+from lauchy_ray.stages.multimodal import media_features_sql  # noqa: E402
 from lauchy_ray.stages.textops import (  # noqa: E402
     fingerprint_sql, lang_id_sql, pii_scrub_sql)
 
@@ -72,7 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_lag": Q.q_turn_lag,
         "embed_near_dups": Q.q_embed_near_dups,
         "embed_near_dups_ivf": Q.q_embed_near_dups_ivf,
-        # rows-only (no SQL-expressible oracle; driver records row counts)
+        # hash/LSH/IVF family — every one SQL-checked via re-derived
+        # integer-exact oracles (see oracle_sql comments)
         "lang_id": Q.q_lang_id,
         "fingerprint": Q.q_fingerprint,
         "minhash_dups": Q.q_minhash_dups,
@@ -283,6 +285,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": ann_ivf_sql(),
         # IVF-blocked near-dup: identical multiprobe blocking in SQL
         "embed_near_dups_ivf": embedding_near_dups_ivf_sql(threshold=0.5),
+        # real PNG decode: oracle re-derives dims from the pure id->dims
+        # formula; the Ray side must actually parse each generated PNG
+        "media_features": media_features_sql(64),
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
                        FROM embeddings WHERE vec_id < 3),

@@ -717,11 +717,15 @@ def q_ann_ivf(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    """Rows-only: multimodal decode plumbing over a deterministic synthetic
-    media table (stubbed decode — libs absent; Ray-side wiring is real)."""
+    """REAL image decode, SQL-checked: generate_media writes actual
+    grayscale PNGs whose dims are a pure function of media_id
+    (media_dims); the Ray side must inflate+unfilter each PNG to report
+    (width, height), and the DuckDB oracle (media_features_sql) re-derives
+    the same dims from the formula over range(n). strict=True: any
+    undecodable payload raises instead of falling back to the stub."""
     from ..stages.multimodal import generate_media, media_pipeline
     media = rd.from_arrow(generate_media(64, seed=42))
-    outs = media_pipeline(media)
+    outs = media_pipeline(media, strict=True)
     img = outs["image_features"].to_pandas()
     return img[["media_id", "width", "height"]]
 

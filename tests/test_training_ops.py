@@ -213,8 +213,48 @@ def test_multimodal_plumbing():
 
 
 def test_strict_mode_raises():
-    with pytest.raises(NotImplementedError):
-        multimodal.ImageDecode(strict=True)
+    """strict=True: undecodable payloads raise instead of silently taking
+    the stub path (real PNGs decode fine)."""
+    import pyarrow as pa
+    dec = multimodal.ImageDecode(strict=True)
+    bad = pa.table({"media_id": pa.array([1], pa.int64()),
+                    "payload": pa.array([b"not a png"], pa.binary())})
+    with pytest.raises(ValueError):
+        dec(bad)
+
+
+def test_png_wav_roundtrip():
+    """The pure-stdlib codecs must round-trip bit-exactly, including
+    filter types 1/2 on decode."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(21, 33), dtype=np.uint8)
+    assert np.array_equal(multimodal.png_decode_gray(
+        multimodal.png_encode_gray(px)), px)
+    # filter-1 (Sub) and filter-2 (Up) rows decode correctly
+    w = 5
+    rows = rng.integers(0, 256, size=(3, w), dtype=np.uint8)
+    raw = b"\x00" + rows[0].tobytes()
+    sub = np.diff(np.concatenate([[0], rows[1]]).astype(np.int16)) % 256
+    raw += b"\x01" + sub.astype(np.uint8).tobytes()
+    up = (rows[2].astype(np.int16) - rows[1]) % 256
+    raw += b"\x02" + up.astype(np.uint8).tobytes()
+
+    def chunk(tag, data):
+        import binascii
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", binascii.crc32(tag + data) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, 3, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert np.array_equal(multimodal.png_decode_gray(png), rows)
+
+    samples = rng.integers(-30000, 30000, size=777).astype(np.int16)
+    rate, got = multimodal.wav_decode(multimodal.wav_encode(samples))
+    assert rate == multimodal.WAV_RATE and np.array_equal(got, samples)
 
 
 def test_ordered_conv_join(fixture_dir):
