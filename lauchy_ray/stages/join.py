@@ -40,7 +40,9 @@ class BroadcastLookup:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         for out_col, col_map in self.col_maps.items():
-            df[out_col] = df[self.key].map(col_map)
+            s = df[self.key].map(col_map)
+            # missing keys stay None (left-join semantics), not float NaN
+            df[out_col] = s.astype(object).where(s.notna(), None)
         return df
 
 
