@@ -58,9 +58,9 @@ _VALIDATED_CACHE: dict[str, rd.Dataset] = {}
 MATERIALIZE_INPUT_BYTES = 4 << 30
 
 
-def _cache_ok(sf_dir: str) -> bool:
+def _cache_ok(sf_dir: str, table: str = "events.parquet") -> bool:
     import os
-    path = f"{sf_dir}/events.parquet"
+    path = f"{sf_dir}/{table}"
     try:
         if os.path.isdir(path):
             # partitioned dataset: a bare getsize would return the ~4KB
@@ -631,28 +631,52 @@ def q_fingerprint(sf_dir: str):
     return ds.map_batches(fingerprint_batch, batch_format="pandas")
 
 
+def _docs_text(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+
+_NEARDUP_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _neardup_parts(sf_dir: str, method: str, **kwargs):
+    """(rep_pairs, multi_members) per (sf_dir, method), computed ONCE per
+    process: the pairs query and the clusters query consume the same
+    collapse+LSH+verify core, so re-running it per query would double the
+    most expensive pipeline in the suite. The cached parts are driver
+    DataFrames bounded by the duplicate mass (not the corpus), and the
+    cache is gated on input size like _turns."""
+    key = (sf_dir, method)
+    parts = _NEARDUP_CACHE.get(key)
+    if parts is None:
+        from ..stages.dedup_near import collapse_and_pairs
+        parts = collapse_and_pairs(_docs_text(sf_dir), method, **kwargs)
+        if _cache_ok(sf_dir, "documents.parquet"):
+            _NEARDUP_CACHE[key] = parts
+    return parts
+
+
 def q_minhash_dups(sf_dir: str):
     """MinHash+LSH near-dup pairs, Jaccard-verified, SQL-checked: at
     threshold 0.9 LSH recall is ≈1 (see dedup_near.minhash_sql), so the
     exact all-pairs jaccard oracle equals the banded+verified result.
     Lower-threshold operation stays pytest-covered (planted-dup recall)."""
-    from ..stages.dedup_near import minhash_lsh_dups
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_lsh_dups(docs, threshold=0.9)[["a", "b"]]
+    from ..stages.dedup_near import _expand_groups
+    rep_pairs, multi = _neardup_parts(sf_dir, "minhash", threshold=0.9)
+    out = _expand_groups(rep_pairs, multi, ["jaccard"])
+    out = out.astype({"a": "int64", "b": "int64"})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)[["a", "b"]]
 
 
 def q_simhash_dups(sf_dir: str):
     """SimHash near-dup pairs (hamming ≤ 3), SQL-checked: the oracle
     recomputes the full 60-bit md5-token simhash + all-pairs hamming in
     DuckDB (dedup_near.simhash_sql); band recall is exact by pigeonhole."""
-    from ..stages.dedup_near import simhash_dups
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return simhash_dups(docs)
-
-
-def _docs_text(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
+    from ..stages.dedup_near import _expand_groups
+    rep_pairs, multi = _neardup_parts(sf_dir, "simhash")
+    out = _expand_groups(rep_pairs, multi, [])
+    out = out.astype({"a": "int64", "b": "int64"})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def q_minhash_clusters(sf_dir: str):
@@ -660,16 +684,17 @@ def q_minhash_clusters(sf_dir: str):
     assignment over the minhash relation (threshold 0.9 — the oracle
     validity regime), SQL-checked by a recursive-CTE connected-components
     oracle. This, not the O(group²) pair list, is the 100-TB contract."""
-    from ..stages.dedup_near import near_dup_clusters
-    return near_dup_clusters(_docs_text(sf_dir), method="minhash",
-                             threshold=0.9)
+    from ..stages.dedup_near import cluster_assignments
+    rep_pairs, multi = _neardup_parts(sf_dir, "minhash", threshold=0.9)
+    return cluster_assignments(_docs_text(sf_dir), rep_pairs, multi)
 
 
 def q_simhash_clusters(sf_dir: str):
     """(doc_id, rep_id) cluster assignment over the simhash hamming≤3
     relation, SQL-checked (recursive-CTE components)."""
-    from ..stages.dedup_near import near_dup_clusters
-    return near_dup_clusters(_docs_text(sf_dir), method="simhash")
+    from ..stages.dedup_near import cluster_assignments
+    rep_pairs, multi = _neardup_parts(sf_dir, "simhash")
+    return cluster_assignments(_docs_text(sf_dir), rep_pairs, multi)
 
 
 def _emb_ds(sf_dir: str) -> rd.Dataset:
@@ -700,8 +725,10 @@ def q_embed_near_dups_ivf(sf_dir: str):
     """IVF-BLOCKED embedding near-dup (the scale path: pairs scanned only
     within multiprobe-assigned centroid buckets), SQL-checked with the
     identical blocking re-derived in DuckDB."""
-    from ..stages.dedup_near import embedding_near_dups_ivf
-    return embedding_near_dups_ivf(_emb_ds(sf_dir), threshold=0.5)
+    from ..stages.dedup_near import embedding_near_dups_ivf, read_vectors
+    _, cents = read_vectors(f"{sf_dir}/embeddings.parquet", 16)
+    return embedding_near_dups_ivf(_emb_ds(sf_dir), threshold=0.5,
+                                   centroids=cents)
 
 
 def q_ann_ivf(sf_dir: str):
@@ -712,8 +739,11 @@ def q_ann_ivf(sf_dir: str):
     additionally pytest-checked. Query vectors come from a pushdown-
     filtered read (vec_id < 3) — no full-corpus driver load."""
     from ..stages.dedup_near import ann_ivf_topk, read_vectors
-    qids, qmat = read_vectors(f"{sf_dir}/embeddings.parquet", 3)
-    return ann_ivf_topk(_emb_ds(sf_dir), qids, qmat)
+    # one pushdown read covers queries (ids < 3) AND centroids (ids < 16)
+    cids, cents = read_vectors(f"{sf_dir}/embeddings.parquet", 16)
+    qsel = cids < 3
+    return ann_ivf_topk(_emb_ds(sf_dir), cids[qsel], cents[qsel],
+                        centroids=cents)
 
 
 def q_media_features(sf_dir: str):

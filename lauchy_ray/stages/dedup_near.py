@@ -459,24 +459,13 @@ def _expand_groups(rep_pairs: pd.DataFrame, multi_members: pd.DataFrame,
     return out.drop_duplicates(["a", "b"])
 
 
-def near_dup_clusters(docs: rd.Dataset, method: str = "minhash",
-                      id_col: str = "doc_id", text_col: str = "text",
-                      **kwargs) -> rd.Dataset:
-    """Scale-correct near-dup OUTPUT contract: (doc_id, rep_id) cluster
-    assignment, LINEAR in the corpus — what a 100-TB dedup consumer
-    actually wants (keep rep_id == doc_id, drop the rest), instead of the
-    O(Σ group²) pair list (round-2 judge finding on _expand_groups).
-
-    rep_id is the smallest doc_id in the connected component of the
-    near-dup relation. Exact-duplicate texts collapse first (distributed,
-    _collapse_exact); ``method`` detects near-dup pairs between the
-    DISTINCT representatives ("minhash" → minhash_lsh_dups, "simhash" →
-    simhash_dups, kwargs forwarded). The driver then union-finds over the
-    rep-level pair view — bounded by the count of verified near-dup pairs
-    between distinct texts, NOT by duplicate-group sizes — and ships the
-    (doc → root) map as sorted numpy arrays; assignment itself is one
-    distributed zero-copy pass (docs absent from the map are their own
-    singleton rep)."""
+def collapse_and_pairs(docs: rd.Dataset, method: str = "minhash",
+                       id_col: str = "doc_id", text_col: str = "text",
+                       **kwargs) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """(rep_pairs, multi_members): the bounded rep-level near-dup pair
+    view plus the exact-dup membership table — the shared core both the
+    pair-expansion and cluster-assignment outputs derive from (compute
+    once, consume twice)."""
     reps_ds, multi = _collapse_exact(docs, id_col, text_col)
     if method == "minhash":
         rep_pairs = minhash_lsh_dups(reps_ds, id_col=id_col,
@@ -487,8 +476,13 @@ def near_dup_clusters(docs: rd.Dataset, method: str = "minhash",
                                  collapse_exact=False, **kwargs)
     else:
         raise ValueError(f"unknown method {method!r} (minhash | simhash)")
+    return rep_pairs, multi
 
-    # union-find over rep nodes; O(verified rep pairs)
+
+def cluster_assignments(docs: rd.Dataset, rep_pairs: pd.DataFrame,
+                        multi: pd.DataFrame,
+                        id_col: str = "doc_id") -> rd.Dataset:
+    """(doc_id, rep_id) from precomputed parts — see near_dup_clusters."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -532,6 +526,29 @@ def near_dup_clusters(docs: rd.Dataset, method: str = "minhash",
 
     return docs.select_columns([id_col]).map_batches(
         assign, batch_format="pyarrow")
+
+
+def near_dup_clusters(docs: rd.Dataset, method: str = "minhash",
+                      id_col: str = "doc_id", text_col: str = "text",
+                      **kwargs) -> rd.Dataset:
+    """Scale-correct near-dup OUTPUT contract: (doc_id, rep_id) cluster
+    assignment, LINEAR in the corpus — what a 100-TB dedup consumer
+    actually wants (keep rep_id == doc_id, drop the rest), instead of the
+    O(Σ group²) pair list (round-2 judge finding on _expand_groups).
+
+    rep_id is the smallest doc_id in the connected component of the
+    near-dup relation. Exact-duplicate texts collapse first (distributed,
+    _collapse_exact); ``method`` detects near-dup pairs between the
+    DISTINCT representatives ("minhash" → minhash_lsh_dups, "simhash" →
+    simhash_dups, kwargs forwarded). The driver then union-finds over the
+    rep-level pair view — bounded by the count of verified near-dup pairs
+    between distinct texts, NOT by duplicate-group sizes — and ships the
+    (doc → root) map as sorted numpy arrays; assignment itself is one
+    distributed zero-copy pass (docs absent from the map are their own
+    singleton rep)."""
+    rep_pairs, multi = collapse_and_pairs(docs, method, id_col, text_col,
+                                          **kwargs)
+    return cluster_assignments(docs, rep_pairs, multi, id_col)
 
 
 def minhash_lsh_dups(docs: rd.Dataset, threshold: float = 0.8,
@@ -958,7 +975,8 @@ class _IvfPairScan:
 
 def embedding_near_dups_ivf(emb_ds: rd.Dataset, threshold: float = 0.98,
                             n_centroids: int = 16,
-                            nassign: int = 2) -> pd.DataFrame:
+                            nassign: int = 2,
+                            centroids: np.ndarray | None = None) -> pd.DataFrame:
     """IVF-BLOCKED embedding near-dup: the scale path the brute-force
     :func:`embedding_near_dups` baseline names for 10^9 vectors. Each
     vector is assigned to its ``nassign`` nearest data-point centroids
@@ -969,16 +987,24 @@ def embedding_near_dups_ivf(emb_ds: rd.Dataset, threshold: float = 0.98,
     is O((corpus/C)²·nassign²) instead of O(corpus²); recall < 1 only for
     pairs separated in ALL assigned buckets (pytest-checked ≥ planted
     recall; SQL oracle re-derives the exact same blocking).
-    → DataFrame (a, b)."""
-    cents_df = (emb_ds.filter(expr=f"vec_id < {n_centroids}")
-                .to_pandas().sort_values("vec_id"))
-    if len(cents_df) == 0:
-        raise ValueError(
-            f"no data-point centroids: the corpus has no vec_id < "
-            f"{n_centroids} (the quantizer seeds are the first "
-            f"n_centroids ids by convention)")
-    nassign = min(nassign, len(cents_df))  # fewer centroids than probes
-    cents = np.stack(cents_df["embedding"].to_numpy()).astype(np.float64)
+
+    ``centroids``: pass the (C, d) quantizer matrix directly (e.g. from a
+    pushdown read_vectors) to skip the extra Ray execution fetching it
+    from emb_ds costs. → DataFrame (a, b)."""
+    if centroids is None:
+        cents_df = (emb_ds.filter(expr=f"vec_id < {n_centroids}")
+                    .to_pandas().sort_values("vec_id"))
+        if len(cents_df) == 0:
+            raise ValueError(
+                f"no data-point centroids: the corpus has no vec_id < "
+                f"{n_centroids} (the quantizer seeds are the first "
+                f"n_centroids ids by convention)")
+        cents = np.stack(cents_df["embedding"].to_numpy()).astype(np.float64)
+    else:
+        cents = np.asarray(centroids, np.float64)
+        if len(cents) == 0:
+            raise ValueError("empty centroids matrix")
+    nassign = min(nassign, len(cents))  # fewer centroids than probes
     cents_ref = ray.put(cents)
 
     def assign(t: pa.Table) -> pa.Table:
@@ -1078,22 +1104,29 @@ class _IvfSearch:
 
 
 def ann_ivf_topk(emb_ds: rd.Dataset, query_ids: np.ndarray, query_mat: np.ndarray,
-                 n_centroids: int = 16, nprobe: int = 4, k: int = 5) -> pd.DataFrame:
+                 n_centroids: int = 16, nprobe: int = 4, k: int = 5,
+                 centroids: np.ndarray | None = None) -> pd.DataFrame:
     """IVF approximate top-k over an embedding Dataset.
 
     Assignment and bucket-pruned scoring are DISTRIBUTED (one streaming
     map_batches pass; the probe-bucket filter is what makes it IVF — only
     rows in a query's nprobe nearest buckets are scored); only bounded
-    per-batch top-k partials reach the driver. → DataFrame (qid, vec_id).
-    """
-    cents_df = (emb_ds.filter(expr=f"vec_id < {n_centroids}")
-                .to_pandas().sort_values("vec_id"))
-    if len(cents_df) == 0:
-        raise ValueError(
-            f"no data-point centroids: the corpus has no vec_id < "
-            f"{n_centroids} (the quantizer seeds are the first "
-            f"n_centroids ids by convention)")
-    cents = np.stack(cents_df["embedding"].to_numpy()).astype(np.float64)
+    per-batch top-k partials reach the driver. ``centroids``: pass the
+    quantizer matrix directly (pushdown read) to skip the fetch execution.
+    → DataFrame (qid, vec_id)."""
+    if centroids is None:
+        cents_df = (emb_ds.filter(expr=f"vec_id < {n_centroids}")
+                    .to_pandas().sort_values("vec_id"))
+        if len(cents_df) == 0:
+            raise ValueError(
+                f"no data-point centroids: the corpus has no vec_id < "
+                f"{n_centroids} (the quantizer seeds are the first "
+                f"n_centroids ids by convention)")
+        cents = np.stack(cents_df["embedding"].to_numpy()).astype(np.float64)
+    else:
+        cents = np.asarray(centroids, np.float64)
+        if len(cents) == 0:
+            raise ValueError("empty centroids matrix")
 
     # probe sets per query: nprobe nearest centroids in RAW space, ties by
     # centroid id (stable argsort == SQL ORDER BY distance, cid)
