@@ -35,17 +35,32 @@ MAX_BUCKETS = 65536
 TARGET_BUCKET_BYTES = 64 << 20
 
 
+def safe_size_bytes(ds) -> int | None:
+    """Size estimate that NEVER triggers execution of a lazy transformed
+    pipeline (Dataset.size_bytes() on transformed lineage EXECUTES the
+    whole pipeline and throws the result away — measured 9.5s on the 8M
+    bench fixture): instant for materialized datasets and for source-only
+    lineages (raw reads / in-memory inputs, metadata-backed); None for
+    anything transformed."""
+    if ds is None:
+        return None
+    try:
+        if ds._plan.has_computed_output():
+            return ds.size_bytes()
+        dag = ds._plan._logical_plan.dag
+        if not dag.input_dependencies:   # pure source op: Read / InputData
+            return ds.size_bytes()
+    except Exception:
+        return None
+    return None
+
+
 def n_buckets_for(ds=None) -> int:
     """Bucket count scaled to the input: ≈ size_bytes / 64MB, clamped to
     [MIN_BUCKETS, MAX_BUCKETS]; when the dataset carries no size estimate
     (post-transform lineage), fall back to 8 × cluster CPUs so reduce
     parallelism still tracks the cluster."""
-    size = None
-    if ds is not None:
-        try:
-            size = ds.size_bytes()
-        except Exception:
-            size = None
+    size = safe_size_bytes(ds)
     if size:
         want = size // TARGET_BUCKET_BYTES + 1
     else:

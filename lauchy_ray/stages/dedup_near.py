@@ -28,6 +28,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from .bucketing import safe_size_bytes
+
 
 def emb_matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:
     """Arrow ``list<float>`` column → (n, d) float64 matrix, VECTORIZED:
@@ -150,6 +152,19 @@ class MinHashBander:
             "doc_id": np.repeat(df[self.id_col].to_numpy(), self.bands)})
 
 
+SINGLE_TASK_BYTES = 128 << 20  # below this input estimate, the bucket-space
+# groupby's fixed sort-shuffle cost (~seconds) dwarfs the actual work, so
+# the SAME multi-key vectorized kernels run in ONE repartition(1) task —
+# the hybrid small-side rule (like broadcast joins). The distributed path
+# is unchanged above the gate; both kernels are key-agnostic so results
+# are identical.
+
+
+def _single_task_ok(ds: rd.Dataset) -> bool:
+    size = safe_size_bytes(ds)
+    return bool(size) and size <= SINGLE_TASK_BYTES
+
+
 MAX_BUCKET = 64  # LSH practice: a bucket this full is non-discriminative —
 # its members collide with everything (degenerate shared-vocabulary corpora);
 # pair expansion there is O(bucket²) for ~zero precision. Skip and log-free.
@@ -173,14 +188,18 @@ def _partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
     hot_runs = run_id[(sizes >= 2).to_numpy()]
     out_a, out_b = [], []
     for _, grp in hot.groupby(hot_runs.to_numpy(), sort=False):
-        ids = sorted(set(grp["doc_id"]))
-        if len(ids) < 2 or len(ids) > MAX_BUCKET:
+        ids = np.unique(grp["doc_id"].to_numpy())
+        m = len(ids)
+        if m < 2 or m > MAX_BUCKET:
             continue
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-    return pd.DataFrame({"a": out_a, "b": out_b})
+        ii, jj = np.triu_indices(m, k=1)   # vectorized pair expansion —
+        out_a.append(ids[ii])              # never one append per pair
+        out_b.append(ids[jj])
+    if not out_a:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+    return pd.DataFrame({"a": np.concatenate(out_a),
+                         "b": np.concatenate(out_b)})
 
 
 def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
@@ -244,8 +263,11 @@ def _verify_broadcast(docs: rd.Dataset, cand_df: pd.DataFrame, threshold: float,
         out = df.assign(jaccard=jac)
         return out[out["jaccard"] >= threshold]
 
-    out = rd.from_pandas(cand_df).map_batches(
-        verify, batch_format="pandas", batch_size=16384).to_pandas()
+    # from_pandas yields ONE block and map parallelism is per block — split
+    # so the per-pair set intersections actually fan out across the pool
+    nparts = int(max(1, min(64, len(cand_df) // 4096)))
+    out = (rd.from_pandas(cand_df).repartition(nparts).map_batches(
+        verify, batch_format="pandas", batch_size=16384).to_pandas())
     return out if len(out) else _empty_pairs()  # all-filtered loses columns
 
 
@@ -327,7 +349,8 @@ def _verify_distributed(docs: rd.Dataset, cand: rd.Dataset, threshold: float,
     return out if len(out) else _empty_pairs()  # all-filtered loses columns
 
 
-def _collapse_exact(docs: rd.Dataset, id_col: str, text_col: str):
+def _collapse_exact(docs: rd.Dataset, id_col: str, text_col: str,
+                    single_task: bool | None = None):
     """Collapse exact-duplicate texts to one representative per distinct
     text BEFORE near-dup detection — the standard pipeline order, and the
     structural fix for the bucket-cap divergence: a crawl with a 10^5-copy
@@ -365,8 +388,17 @@ def _collapse_exact(docs: rd.Dataset, id_col: str, text_col: str):
             "rep": multi["tkey"].map(rep_of).to_numpy(dtype=np.int64)})
         return pd.concat([rep_rows, mem_rows], ignore_index=True)
 
-    out = (docs.map_batches(key_rows, batch_format="pandas")
-           .groupby("bucket").map_groups(per_bucket, batch_format="pandas"))
+    keyed = docs.map_batches(key_rows, batch_format="pandas")
+    if single_task is None:
+        single_task = _single_task_ok(docs)
+    if single_task:
+        # per_bucket is key-agnostic (sorts by doc_id, dedups by tkey
+        # globally): one task below the gate, no sort shuffle
+        out = keyed.repartition(1).map_batches(
+            per_bucket, batch_format="pandas", batch_size=None)
+    else:
+        out = keyed.groupby("bucket").map_groups(
+            per_bucket, batch_format="pandas")
 
     def pick_reps(df: pd.DataFrame) -> pd.DataFrame:
         sub = df[df["kind"] == "rep"]
@@ -466,14 +498,18 @@ def collapse_and_pairs(docs: rd.Dataset, method: str = "minhash",
     view plus the exact-dup membership table — the shared core both the
     pair-expansion and cluster-assignment outputs derive from (compute
     once, consume twice)."""
-    reps_ds, multi = _collapse_exact(docs, id_col, text_col)
+    small = _single_task_ok(docs)
+    reps_ds, multi = _collapse_exact(docs, id_col, text_col,
+                                     single_task=small)
     if method == "minhash":
         rep_pairs = minhash_lsh_dups(reps_ds, id_col=id_col,
                                      text_col=text_col,
-                                     collapse_exact=False, **kwargs)
+                                     collapse_exact=False,
+                                     single_task=small, **kwargs)
     elif method == "simhash":
         rep_pairs = simhash_dups(reps_ds, id_col=id_col, text_col=text_col,
-                                 collapse_exact=False, **kwargs)
+                                 collapse_exact=False,
+                                 single_task=small, **kwargs)
     else:
         raise ValueError(f"unknown method {method!r} (minhash | simhash)")
     return rep_pairs, multi
@@ -556,7 +592,8 @@ def minhash_lsh_dups(docs: rd.Dataset, threshold: float = 0.8,
                      id_col: str = "doc_id", text_col: str = "text",
                      verify: str = "auto",
                      collapse_exact: bool = True,
-                     max_expand_pairs: int = MAX_EXPAND_PAIRS) -> pd.DataFrame:
+                     max_expand_pairs: int = MAX_EXPAND_PAIRS,
+                     single_task: bool | None = None) -> pd.DataFrame:
     """→ DataFrame (a, b, jaccard) of verified near-dup pairs, a < b.
 
     verify: "auto" broadcasts candidate shingle sets while the candidate
@@ -569,22 +606,36 @@ def minhash_lsh_dups(docs: rd.Dataset, threshold: float = 0.8,
     cluster costs O(output) instead of flooding every band bucket past
     MAX_BUCKET (where the cap would silently drop its pairs).
     """
+    if single_task is None:
+        single_task = _single_task_ok(docs)
     if collapse_exact:
-        reps_ds, multi = _collapse_exact(docs, id_col, text_col)
+        reps_ds, multi = _collapse_exact(docs, id_col, text_col,
+                                         single_task=single_task)
         rep_pairs = minhash_lsh_dups(reps_ds, threshold, num_perm, bands,
                                      shingle_k, id_col, text_col, verify,
-                                     collapse_exact=False)
+                                     collapse_exact=False,
+                                     single_task=single_task)
         out = _expand_groups(rep_pairs, multi, ["jaccard"],
                              max_pairs=max_expand_pairs)
         out = out.astype({"a": "int64", "b": "int64", "jaccard": "float64"})
         return out.sort_values(["a", "b"]).reset_index(drop=True)
     bander = MinHashBander(num_perm, bands, shingle_k, id_col, text_col)
+    if single_task:
+        # the single-task collapse left ONE block; re-split so the
+        # signature computation (the CPU-heavy stage) still fans out
+        docs = docs.repartition(16)
     band_rows = docs.map_batches(bander, batch_format="pandas")
-    band_rows = band_rows.map_batches(
-        lambda df: df.assign(part=df["band_hash"] % N_PARTITIONS),
-        batch_format="pandas")
-    cand = (band_rows.groupby("part")
-            .map_groups(_partition_pairs, batch_format="pandas"))
+    if single_task:
+        # _partition_pairs finds equal-(band, hash) runs itself — one
+        # task over all band rows, no part shuffle
+        cand = band_rows.repartition(1).map_batches(
+            _partition_pairs, batch_format="pandas", batch_size=None)
+    else:
+        band_rows = band_rows.map_batches(
+            lambda df: df.assign(part=df["band_hash"] % N_PARTITIONS),
+            batch_format="pandas")
+        cand = (band_rows.groupby("part")
+                .map_groups(_partition_pairs, batch_format="pandas"))
     # per-batch dedup, then a pair-keyed count: candidates stay a Dataset
     cand = cand.map_batches(lambda df: df.drop_duplicates(),
                             batch_format="pandas").materialize()
@@ -735,7 +786,8 @@ def simhash_dups(docs: rd.Dataset, max_hamming: int = 3,
                  n_blocks: int = 4, id_col: str = "doc_id",
                  text_col: str = "text",
                  collapse_exact: bool = True,
-                 max_expand_pairs: int = MAX_EXPAND_PAIRS) -> pd.DataFrame:
+                 max_expand_pairs: int = MAX_EXPAND_PAIRS,
+                 single_task: bool | None = None) -> pd.DataFrame:
     """Near-dup pairs by SimHash, fully distributed (round-1 judge fix:
     no driver-side signature materialization, no Python pair loops):
 
@@ -756,13 +808,17 @@ def simhash_dups(docs: rd.Dataset, max_hamming: int = 3,
             f"larger n_blocks")
     if SIMHASH_BITS % n_blocks != 0:
         raise ValueError(f"n_blocks must divide {SIMHASH_BITS} (got {n_blocks})")
+    if single_task is None:
+        single_task = _single_task_ok(docs)
     if collapse_exact:
         # identical texts ⇒ identical simhash ⇒ hamming 0 within a group
         # and the rep pair's hamming across groups — same collapse/expand
         # as minhash (see minhash_lsh_dups docstring)
-        reps_ds, multi = _collapse_exact(docs, id_col, text_col)
+        reps_ds, multi = _collapse_exact(docs, id_col, text_col,
+                                         single_task=single_task)
         rep_pairs = simhash_dups(reps_ds, max_hamming, n_blocks, id_col,
-                                 text_col, collapse_exact=False)
+                                 text_col, collapse_exact=False,
+                                 single_task=single_task)
         out = _expand_groups(rep_pairs, multi, [],
                              max_pairs=max_expand_pairs)
         out = out.astype({"a": "int64", "b": "int64"})
@@ -770,6 +826,8 @@ def simhash_dups(docs: rd.Dataset, max_hamming: int = 3,
     width = SIMHASH_BITS // n_blocks
     mask = np.uint64((1 << width) - 1)
 
+    if single_task:
+        docs = docs.repartition(16)   # re-split the single collapse block
     sh = docs.map_batches(SimHasher(id_col, text_col), batch_format="pandas")
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
@@ -787,9 +845,16 @@ def simhash_dups(docs: rd.Dataset, max_hamming: int = 3,
                              "simhash": hs.astype(np.int64)})
 
     band_rows = sh.map_batches(explode, batch_format="pandas")
-    pairs_ds = band_rows.groupby("part").map_groups(
-        lambda g: _simhash_partition_pairs(g, max_hamming),
-        batch_format="pandas")
+    if single_task:
+        # key-agnostic kernel (equal-(block, key) runs): one task below
+        # the gate, no part shuffle
+        pairs_ds = band_rows.repartition(1).map_batches(
+            lambda g: _simhash_partition_pairs(g, max_hamming),
+            batch_format="pandas", batch_size=None)
+    else:
+        pairs_ds = band_rows.groupby("part").map_groups(
+            lambda g: _simhash_partition_pairs(g, max_hamming),
+            batch_format="pandas")
     pdf = pairs_ds.to_pandas()
     if len(pdf) == 0:  # empty result loses columns through to_pandas
         return pd.DataFrame({"a": pd.Series(dtype="int64"),

@@ -180,3 +180,32 @@ def test_dedup_out_dir_guard_fresh_checkpoint(fixture_dir, tmp_path):
     with _pytest.raises(ValueError, match="interleave"):
         run_streaming_dedup(fixture_dir["turns"], str(tmp_path / "dirty_out"),
                             checkpoint_dir=str(fresh_ckpt))
+
+
+def test_sessionize_hot_conv_documented_limit():
+    """SURVEY §7.4 documented bound: a degenerate hot conversation lands
+    in ONE bucket (a conv's turns must co-locate), so the bucket task
+    holds the whole conv. Prove the vectorized bucket pass completes a
+    10^7-turn single conversation — the stated envelope — with correct
+    session structure (no per-row Python, one sort + one groupby)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lauchy_ray.stages.sessionize import sessionize
+
+    n = 10_000_000
+    gap_us = 30 * 60 * 1_000_000
+    # 100 sessions: turns 1s apart, a >gap jump every 100k turns
+    ts = np.arange(n, dtype=np.int64) * 1_000_000
+    ts += (np.arange(n, dtype=np.int64) // 100_000) * (2 * gap_us)
+    t = pa.table({
+        "conv_id": pa.array(["hot"] * n, pa.string()).dictionary_encode(),
+        "turn_idx": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+    out = sessionize(rd.from_arrow(t)).to_pandas()
+    assert len(out) == 100
+    assert out["n_turns"].sum() == n
+    assert (out.sort_values("session_id")["n_turns"] == 100_000).all()
