@@ -19,6 +19,7 @@ import os
 import subprocess
 import sys
 import time
+from statistics import median as _median
 
 BENCH_TURNS = int(os.environ.get("LAUCHY_BENCH_TURNS", 8_000_000))
 BENCH_CONVS = max(100, BENCH_TURNS // 50)
@@ -30,10 +31,27 @@ SEED = 42
 BENCH_PASSES = max(1, int(os.environ.get("LAUCHY_BENCH_PASSES", 3)))
 
 
-def _median(xs: list[float]) -> float:
-    ys = sorted(xs)
-    n = len(ys)
-    return ys[n // 2] if n % 2 else (ys[n // 2 - 1] + ys[n // 2]) / 2
+
+def calibrate() -> dict:
+    """Fixed single-thread reference work, reported with every run: the
+    sandbox's effective CPU speed swings >2x between runs (the round-2
+    driver recorded a uniformly ~2x-slower suite than the same-day
+    builder runs), so the JSON carries normalization constants — compare
+    bench numbers at comparable calibration, or scale by the ratio."""
+    import numpy as np
+    a = np.random.default_rng(0).random((1024, 1024))
+    a @ a  # warm
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.time()
+        a @ a
+        best = min(best, time.time() - t0)
+    t0 = time.time()
+    s = 0
+    for i in range(2_000_000):
+        s += i
+    return {"matmul_1024_sec": round(best, 4),
+            "pyloop_2e6_sec": round(time.time() - t0, 4)}
 
 
 def ensure_bench_fixture() -> dict[str, str]:
@@ -167,6 +185,7 @@ def single_run() -> dict:
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     paths = ensure_bench_fixture()
+    calib = calibrate()
     headline = run_headline(paths)
     # Scaling subprocesses only need the headline (efficiency is computed
     # from it); skipping streaming+queries keeps --scaling tractable at
@@ -184,6 +203,7 @@ def single_run() -> dict:
         "bench_turns": headline["turns"],
         "headline_samples": headline["samples"],
         "bench_passes": BENCH_PASSES,
+        "calibration": calib,
         "turns_per_sec": round(headline["turns_per_sec"]),
         "queries_total_sec": round(sum(queries.values()), 3),
         "streaming": streaming,
@@ -208,6 +228,8 @@ def scaling() -> dict:
         "sec_8": r_lo["value"], "sec_32": r_hi["value"],
         "samples_8": r_lo.get("headline_samples"),
         "samples_32": r_hi.get("headline_samples"),
+        "calibration_8": r_lo.get("calibration"),
+        "calibration_32": r_hi.get("calibration"),
         "turns_per_sec_8": r_lo["turns_per_sec"],
         "turns_per_sec_32": r_hi["turns_per_sec"],
         "scaling_efficiency": round(eff, 3),

@@ -636,7 +636,7 @@ def _docs_text(sf_dir: str) -> rd.Dataset:
                            columns=["doc_id", "text"])
 
 
-_NEARDUP_CACHE: dict[tuple[str, str], tuple] = {}
+_NEARDUP_CACHE: dict[tuple, tuple] = {}
 
 
 def _neardup_parts(sf_dir: str, method: str, **kwargs):
@@ -646,7 +646,7 @@ def _neardup_parts(sf_dir: str, method: str, **kwargs):
     most expensive pipeline in the suite. The cached parts are driver
     DataFrames bounded by the duplicate mass (not the corpus), and the
     cache is gated on input size like _turns."""
-    key = (sf_dir, method)
+    key = (sf_dir, method, tuple(sorted(kwargs.items())))
     parts = _NEARDUP_CACHE.get(key)
     if parts is None:
         from ..stages.dedup_near import collapse_and_pairs

@@ -103,12 +103,17 @@ def key_bucket(values, n_buckets: int) -> np.ndarray:
     obj = arr.astype(object)
     ok = ~pd.isna(obj)
     sub = obj[ok]
-    if len(sub) and all(isinstance(v, (int, np.integer))
-                        and not isinstance(v, bool) for v in sub):
+    if len(sub) and not isinstance(sub[0], bool):
         # nullable-Int64 presentation boxes ints as objects: same logical
-        # key as the int64 path, must land in the same bucket
-        out[ok] = np.array([int(v) % n_buckets for v in sub], dtype=np.int64)
-        return out
+        # key as the int64 path, must land in the same bucket. One
+        # vectorized astype + round-trip equality check, no per-row scan.
+        try:
+            as_int = sub.astype(np.int64)
+            if (as_int == sub).all():
+                out[ok] = as_int % n_buckets
+                return out
+        except (ValueError, TypeError, OverflowError):
+            pass
     uniq, inv = np.unique(sub, return_inverse=True)
     codes = np.array([zlib.crc32(str(u).encode()) % n_buckets for u in uniq],
                      dtype=np.int64)

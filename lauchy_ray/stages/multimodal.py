@@ -205,10 +205,13 @@ class ImageDecode:
             try:
                 px = png_decode_gray(p)
                 h, w = px.shape
-                hist = np.bincount(px.reshape(-1) * self.dim // 256,
-                                   minlength=self.dim).astype(np.float64)
+                # int64 BEFORE the scale: uint8 * dim wraps mod 256 and
+                # collapses every histogram into bin 0
+                hist = np.bincount(
+                    px.reshape(-1).astype(np.int64) * self.dim // 256,
+                    minlength=self.dim).astype(np.float64)
                 feat = hist / max(np.linalg.norm(hist), 1e-12)
-            except ValueError:
+            except (ValueError, zlib.error, struct.error):
                 if self.strict:
                     raise
                 w = 64 + len(p) % 512
@@ -246,10 +249,10 @@ class AudioFeatures:
                 rate, samples = wav_decode(p)
                 dur = len(samples) * 1000 // rate
                 mag = np.minimum(np.abs(samples.astype(np.int32)), 32767)
-                hist = np.bincount(mag * self.dim // 32768,
+                hist = np.bincount(mag.astype(np.int64) * self.dim // 32768,
                                    minlength=self.dim).astype(np.float64)
                 feat = hist / max(np.linalg.norm(hist), 1e-12)
-            except ValueError:
+            except (ValueError, struct.error):
                 if self.strict:
                     raise
                 dur = len(p) // 16
