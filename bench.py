@@ -50,8 +50,16 @@ def calibrate() -> dict:
     s = 0
     for i in range(2_000_000):
         s += i
+    try:
+        load1, load5, _ = os.getloadavg()
+    except OSError:
+        load1 = load5 = -1.0
+    # single-thread speed misses multi-core steal from co-tenants; the
+    # load average at bench start captures that side (32-CPU box: load >8
+    # from OUTSIDE the bench means the parallel stages are contended)
     return {"matmul_1024_sec": round(best, 4),
-            "pyloop_2e6_sec": round(time.time() - t0, 4)}
+            "pyloop_2e6_sec": round(time.time() - t0, 4),
+            "loadavg_1m": round(load1, 2), "loadavg_5m": round(load5, 2)}
 
 
 def ensure_bench_fixture() -> dict[str, str]:

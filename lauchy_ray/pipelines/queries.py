@@ -788,8 +788,9 @@ def q_doc_split(sf_dir: str):
     return ds.map_batches(assign, batch_format="pandas")
 
 
-class _AnnScorer:
-    """Brute-force cosine top-k: broadcast query matrix, numpy matmul per
+def _ann_score_batch(t: pa.Table, queries_ref, k: int) -> pa.Table:
+    """Brute-force cosine top-k partial: broadcast NORMALIZED query matrix
+    (one ray.get per task, zero-copy numpy from plasma), numpy matmul per
     batch (the baseline ANN path; the IVF variant is the scale path).
 
     Emits a PARTIAL top-k per query per batch — k rows per (query, batch),
@@ -797,49 +798,47 @@ class _AnnScorer:
     merge group is O(k × n_batches), bounded, instead of O(corpus)
     (round-1 judge finding). Exact under the (s DESC, vec_id ASC) ranking:
     any global top-k row is necessarily in its own batch's top-k."""
-
-    def __init__(self, queries_ref, k: int):
-        qids, qmat = ray.get(queries_ref)
-        self.qids = qids
-        self.k = k
-        norms = np.linalg.norm(qmat, axis=1, keepdims=True)
-        self.qmat = qmat / norms
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        emb = emb_matrix(t)
-        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-        sims = emb @ self.qmat.T  # (batch, nq)
-        vids = t["vec_id"].to_numpy()
-        qs, vs, ss = [], [], []
-        for qi, qid in enumerate(self.qids):  # O(n_queries), not O(rows)
-            idx = np.flatnonzero(vids != qid)  # self-match excluded pre-topk
-            if len(idx) == 0:
-                continue
-            s = sims[idx, qi]
-            order = np.lexsort((vids[idx], -s))[:self.k]
-            sel = idx[order]
-            qs.extend([qid] * len(sel))
-            vs.extend(vids[sel])
-            ss.extend(sims[sel, qi])
-        return pa.table({"qid": pa.array(np.asarray(qs, dtype=np.int64)),
-                         "vec_id": pa.array(np.asarray(vs, dtype=np.int64)),
-                         "s": pa.array(np.asarray(ss, dtype=np.float64))})
+    qids, qn = ray.get(queries_ref)
+    emb = emb_matrix(t)
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = emb @ qn.T  # (batch, nq)
+    vids = t["vec_id"].to_numpy()
+    qs, vs, ss = [], [], []
+    for qi, qid in enumerate(qids):  # O(n_queries), not O(rows)
+        idx = np.flatnonzero(vids != qid)  # self-match excluded pre-topk
+        if len(idx) == 0:
+            continue
+        s = sims[idx, qi]
+        order = np.lexsort((vids[idx], -s))[:k]
+        sel = idx[order]
+        qs.extend([qid] * len(sel))
+        vs.extend(vids[sel])
+        ss.extend(sims[sel, qi])
+    return pa.table({"qid": pa.array(np.asarray(qs, dtype=np.int64)),
+                     "vec_id": pa.array(np.asarray(vs, dtype=np.int64)),
+                     "s": pa.array(np.asarray(ss, dtype=np.float64))})
 
 
 def q_ann_topk(sf_dir: str, n_queries: int = 3, k: int = 5):
     """Brute-force cosine top-k: query vectors from a pushdown-filtered
     read (never a full-corpus driver load), corpus streamed from parquet,
-    k-row partials per (query, batch) merged per query."""
+    k-row partials per (query, batch) merged per query. TASK-based stage
+    (no actor pool): the broadcast state is a tiny pre-normalized matrix,
+    so per-query actor-pool spawn latency would dominate the work."""
     from ..stages.dedup_near import read_vectors
     qids, qmat = read_vectors(f"{sf_dir}/embeddings.parquet", n_queries)
-    ref = ray.put((qids, qmat))
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    ref = ray.put((qids, qn))
     ds = _emb_ds(sf_dir)
-    partials = ds.map_batches(_AnnScorer,
-                              fn_constructor_kwargs={"queries_ref": ref, "k": k},
-                              batch_format="pyarrow", concurrency=(1, 4))
+    partials = ds.map_batches(_ann_score_batch,
+                              fn_kwargs={"queries_ref": ref, "k": k},
+                              batch_format="pyarrow")
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        # merge of bounded per-batch partials (k rows per batch per query)
-        g = g.sort_values(["s", "vec_id"], ascending=[False, True]).head(k)
-        return g[["qid", "vec_id"]]
-    return partials.groupby("qid").map_groups(topk, batch_format="pandas")
+    # merge of bounded per-batch partials: nq × k × n_batches rows total —
+    # a driver-side groupby-head over that tiny set, NOT a Ray groupby
+    # (the sort shuffle's fixed cost is seconds for 3 groups of ~k rows)
+    pdf = partials.to_pandas()
+    out = (pdf.sort_values(["qid", "s", "vec_id"],
+                           ascending=[True, False, True])
+           .groupby("qid", sort=True).head(k))
+    return out[["qid", "vec_id"]].reset_index(drop=True)

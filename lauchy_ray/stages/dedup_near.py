@@ -973,30 +973,24 @@ WHERE x.doc_id < y.doc_id
 
 # ------------------------------------------------- embedding near-dup
 
-class _CosinePairs:
-    """Batch × (broadcast corpus) cosine; emits pairs above threshold with
-    a < b so each pair appears once. Arrow batches in, fully vectorized:
-    the (row, corpus) hit mask is reduced with one np.nonzero, no per-row
-    Python loop."""
-
-    def __init__(self, corpus_ref, threshold: float):
-        ids, mat = ray.get(corpus_ref)
-        self.ids = ids
-        self.mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        self.threshold = threshold
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        emb = emb_matrix(t)
-        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-        sims = emb @ self.mat.T                      # (batch, corpus)
-        batch_ids = t["vec_id"].to_numpy()
-        hit = (sims >= self.threshold) & (self.ids[None, :] > batch_ids[:, None])
-        ri, ci = np.nonzero(hit)
-        return pa.table({
-            "a": pa.array(batch_ids[ri].astype(np.int64)),
-            "b": pa.array(self.ids[ci].astype(np.int64)),
-            "cosine": pa.array(np.round(sims[ri, ci], 6)),
-        })
+def _cosine_pairs_batch(t: pa.Table, corpus_ref, threshold: float) -> pa.Table:
+    """Batch × (broadcast NORMALIZED corpus) cosine; emits pairs above
+    threshold with a < b so each pair appears once. Arrow batches in,
+    fully vectorized: the (row, corpus) hit mask is reduced with one
+    np.nonzero, no per-row Python loop. The broadcast is one ray.get per
+    task — zero-copy numpy from plasma."""
+    ids, matn = ray.get(corpus_ref)
+    emb = emb_matrix(t)
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = emb @ matn.T                          # (batch, corpus)
+    batch_ids = t["vec_id"].to_numpy()
+    hit = (sims >= threshold) & (ids[None, :] > batch_ids[:, None])
+    ri, ci = np.nonzero(hit)
+    return pa.table({
+        "a": pa.array(batch_ids[ri].astype(np.int64)),
+        "b": pa.array(ids[ci].astype(np.int64)),
+        "cosine": pa.array(np.round(sims[ri, ci], 6)),
+    })
 
 
 def embedding_near_dups(emb_ds: rd.Dataset, corpus_ids: np.ndarray,
@@ -1004,12 +998,15 @@ def embedding_near_dups(emb_ds: rd.Dataset, corpus_ids: np.ndarray,
                         threshold: float = 0.98) -> rd.Dataset:
     """Brute-force pairwise path (the baseline; at 10^9 vectors use
     ann_ivf buckets as the blocking stage instead). The corpus matrix is
-    broadcast once; each batch does one matmul against it."""
-    ref = ray.put((corpus_ids, corpus_mat))
-    return emb_ds.map_batches(_CosinePairs,
-                              fn_constructor_kwargs={"corpus_ref": ref,
-                                                     "threshold": threshold},
-                              batch_format="pyarrow", concurrency=(1, 8))
+    normalized ONCE on the driver and broadcast; each batch does one
+    matmul against it. Task-based (no actor pool): with the state
+    pre-normalized in plasma, per-batch setup is a zero-copy ray.get."""
+    matn = corpus_mat / np.linalg.norm(corpus_mat, axis=1, keepdims=True)
+    ref = ray.put((corpus_ids, matn))
+    return emb_ds.map_batches(_cosine_pairs_batch,
+                              fn_kwargs={"corpus_ref": ref,
+                                         "threshold": threshold},
+                              batch_format="pyarrow")
 
 
 class _IvfPairScan:
@@ -1125,47 +1122,40 @@ WHERE x.vec_id < y.vec_id
 
 # ---------------------------------------------------------------- ANN IVF
 
-class _IvfSearch:
-    """map_batches stage: assign each batch row to its nearest-centroid
+def _ivf_search_batch(t: pa.Table, state_ref, k: int) -> pa.Table:
+    """map_batches task: assign each batch row to its nearest-centroid
     bucket, then emit a bounded per-batch partial top-k for every query
     whose probe set contains that bucket. NO shuffle and NO driver-side
     corpus materialization (round-1 judge fix) — each batch ships only
     k rows per query; the driver merges nq × k × n_batches partials.
+    State (centroids + NORMALIZED query matrix + probe sets) is one
+    zero-copy ray.get per task.
 
     Centroids are DATA POINTS (vec_id < n_centroids), not Lloyd-refined:
     the quantizer is then a pure function of the input that the DuckDB
     oracle derives independently (IVF-Flat with sampled seeds — crude but
     honest, and recall is pytest-checked against brute force)."""
-
-    def __init__(self, state_ref, k: int):
-        cents, qids, qmat, probes = ray.get(state_ref)
-        self.cents = cents                       # (C, d) raw space
-        self.qids = qids
-        self.qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-        self.probes = probes                     # list of per-query bucket sets
-        self.k = k
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        emb = emb_matrix(t)
-        d = ((emb[:, None, :] - self.cents[None, :, :]) ** 2).sum(-1)
-        bucket = d.argmin(1)                     # ties → smallest cid (first min)
-        en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-        vids = t["vec_id"].to_numpy()
-        qs, vs, ss = [], [], []
-        for qi, qid in enumerate(self.qids):     # O(n_queries), not O(rows)
-            m = np.isin(bucket, self.probes[qi]) & (vids != qid)
-            idx = np.flatnonzero(m)
-            if len(idx) == 0:
-                continue
-            s = en[idx] @ self.qn[qi]
-            order = np.lexsort((vids[idx], -s))[:self.k]
-            sel = idx[order]
-            qs.extend([qid] * len(sel))
-            vs.extend(vids[sel])
-            ss.extend(s[order])
-        return pa.table({"qid": pa.array(np.asarray(qs, dtype=np.int64)),
-                         "vec_id": pa.array(np.asarray(vs, dtype=np.int64)),
-                         "s": pa.array(np.asarray(ss, dtype=np.float64))})
+    cents, qids, qn, probes = ray.get(state_ref)
+    emb = emb_matrix(t)
+    d = ((emb[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    bucket = d.argmin(1)                     # ties → smallest cid (first min)
+    en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    vids = t["vec_id"].to_numpy()
+    qs, vs, ss = [], [], []
+    for qi, qid in enumerate(qids):          # O(n_queries), not O(rows)
+        m = np.isin(bucket, probes[qi]) & (vids != qid)
+        idx = np.flatnonzero(m)
+        if len(idx) == 0:
+            continue
+        s = en[idx] @ qn[qi]
+        order = np.lexsort((vids[idx], -s))[:k]
+        sel = idx[order]
+        qs.extend([qid] * len(sel))
+        vs.extend(vids[sel])
+        ss.extend(s[order])
+    return pa.table({"qid": pa.array(np.asarray(qs, dtype=np.int64)),
+                     "vec_id": pa.array(np.asarray(vs, dtype=np.int64)),
+                     "s": pa.array(np.asarray(ss, dtype=np.float64))})
 
 
 def ann_ivf_topk(emb_ds: rd.Dataset, query_ids: np.ndarray, query_mat: np.ndarray,
@@ -1198,10 +1188,12 @@ def ann_ivf_topk(emb_ds: rd.Dataset, query_ids: np.ndarray, query_mat: np.ndarra
     qd = ((query_mat[:, None, :].astype(np.float64) - cents[None, :, :]) ** 2).sum(-1)
     probes = [np.argsort(qd[qi], kind="stable")[:nprobe] for qi in range(len(query_ids))]
 
-    ref = ray.put((cents, np.asarray(query_ids), query_mat.astype(np.float64), probes))
-    partials = emb_ds.map_batches(_IvfSearch,
-                                  fn_constructor_kwargs={"state_ref": ref, "k": k},
-                                  batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+    qmat64 = query_mat.astype(np.float64)
+    qn = qmat64 / np.linalg.norm(qmat64, axis=1, keepdims=True)
+    ref = ray.put((cents, np.asarray(query_ids), qn, probes))
+    partials = emb_ds.map_batches(_ivf_search_batch,
+                                  fn_kwargs={"state_ref": ref, "k": k},
+                                  batch_format="pyarrow").to_pandas()
     out = []
     for qid in query_ids:
         g = partials[partials["qid"] == qid]
