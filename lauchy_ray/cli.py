@@ -112,6 +112,27 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument("--shards", type=int, default=8)
     sd.add_argument("--checkpoint-dir", default=None)
 
+    nd = sub.add_parser("dedup-docs", parents=[common],
+                        help="near-dup cluster assignment (doc_id, rep_id, "
+                             "keep) written to a parquet sink — the LINEAR "
+                             "output contract; the O(group^2) pair list is "
+                             "an explicit --pairs-out opt-in sink")
+    nd.add_argument("--input", required=True)
+    nd.add_argument("--out", required=True)
+    nd.add_argument("--method", choices=["minhash", "simhash"],
+                    default="minhash")
+    nd.add_argument("--threshold", type=float, default=0.9,
+                    help="minhash jaccard threshold")
+    nd.add_argument("--max-hamming", type=int, default=3,
+                    help="simhash hamming radius")
+    nd.add_argument("--id-col", default="doc_id")
+    nd.add_argument("--text-col", default="text")
+    nd.add_argument("--pairs-out", default=None,
+                    help="ALSO write the expanded near-dup pair list to "
+                         "this sink (quadratic in duplicate-group size; "
+                         "guarded by --max-expand-pairs)")
+    nd.add_argument("--max-expand-pairs", type=int, default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "generate":
@@ -143,6 +164,43 @@ def main(argv: list[str] | None = None) -> int:
                 args.input, args.out, entity_codes=entity_codes,
                 enable_blacklist=not args.no_blacklist,
                 resume=not args.no_resume, max_in_flight=args.max_in_flight)
+            print(json.dumps(summary))
+        elif args.cmd == "dedup-docs":
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import ray.data as rd
+
+            from .stages.dedup_near import (
+                MAX_EXPAND_PAIRS, _expand_groups, cluster_assignments,
+                collapse_and_pairs)
+            docs = rd.read_parquet(args.input,
+                                   columns=[args.id_col, args.text_col])
+            kw = ({"threshold": args.threshold} if args.method == "minhash"
+                  else {"max_hamming": args.max_hamming})
+            rep_pairs, multi = collapse_and_pairs(
+                docs, args.method, args.id_col, args.text_col, **kw)
+            clusters = cluster_assignments(docs, rep_pairs, multi,
+                                           args.id_col)
+            id_col = args.id_col
+
+            def add_keep(t: pa.Table) -> pa.Table:
+                # keep exactly the cluster representative; a 100-TB dedup
+                # consumer filters on this column
+                return t.append_column(
+                    "keep", pc.equal(t[id_col], t["rep_id"]))
+
+            clusters.map_batches(add_keep,
+                                 batch_format="pyarrow").write_parquet(args.out)
+            summary = {"out": args.out, "rep_pairs": int(len(rep_pairs)),
+                       "dup_members": int(len(multi))}
+            if args.pairs_out:
+                pairs = _expand_groups(
+                    rep_pairs, multi,
+                    ["jaccard"] if args.method == "minhash" else [],
+                    max_pairs=args.max_expand_pairs or MAX_EXPAND_PAIRS)
+                rd.from_pandas(pairs).write_parquet(args.pairs_out)
+                summary["pairs_out"] = args.pairs_out
+                summary["n_pairs"] = int(len(pairs))
             print(json.dumps(summary))
         elif args.cmd == "sessions":
             import ray.data as rd

@@ -411,3 +411,35 @@ def test_expand_pairs_guard_refuses_blowup():
     # and the cluster path handles the same corpus fine
     out = dedup_near.near_dup_clusters(ds, method="simhash").to_pandas()
     assert len(out) == 500 and (out["rep_id"] == 0).all()
+
+
+def test_dedup_docs_cli(tmp_path):
+    """dedup-docs CLI: cluster sink (doc_id, rep_id, keep) + opt-in pair
+    sink, end-to-end through main()."""
+    import pyarrow.parquet as pq
+
+    from lauchy_ray.cli import main
+
+    texts = ["unique document number %d about topic %d" % (i, i)
+             for i in range(40)]
+    texts += [texts[0], texts[0], texts[1]]          # exact dups
+    src = tmp_path / "docs.parquet"
+    pq.write_table(
+        __import__("pyarrow").table({"doc_id": list(range(len(texts))),
+                                     "text": texts}), str(src))
+    out = tmp_path / "clusters"
+    pairs_out = tmp_path / "pairs"
+    rc = main(["dedup-docs", "--input", str(src), "--out", str(out),
+               "--pairs-out", str(pairs_out)])
+    assert rc in (0, None)
+    c = pq.ParquetDataset(str(out)).read().to_pandas()
+    assert len(c) == len(texts)
+    assert set(c.columns) == {"doc_id", "rep_id", "keep"}
+    # doc 40, 41 are copies of doc 0; 42 of doc 1
+    by_id = c.set_index("doc_id")
+    assert by_id.loc[40, "rep_id"] == 0 and not by_id.loc[40, "keep"]
+    assert by_id.loc[41, "rep_id"] == 0
+    assert by_id.loc[42, "rep_id"] == 1
+    assert by_id.loc[0, "keep"] and by_id.loc[1, "keep"]
+    p = pq.ParquetDataset(str(pairs_out)).read().to_pandas()
+    assert {(0, 40), (0, 41), (40, 41), (1, 42)} <= set(zip(p["a"], p["b"]))
