@@ -65,7 +65,7 @@ def _rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
     for millions of conversations)."""
     g = g.sort_values(["user_id", "ts", "event_id"], kind="stable").copy()
     g["turn_idx"] = g.groupby("user_id", sort=False).cumcount().astype(np.int32)
-    return g.drop(columns=["__bucket"])
+    return g.drop(columns=["__bucket"], errors="ignore")
 
 
 def _derive_batch(df: pd.DataFrame) -> pd.DataFrame:
@@ -160,12 +160,8 @@ def derive_turns(events: rd.Dataset) -> rd.Dataset:
     shuffles on a BOUNDED bucket of user_id (co-locating each user's rows)
     and ranks all users of a bucket in one vectorized pass — never one
     Python group call per conversation."""
-    from .stages.bucketing import n_buckets_for, with_bucket
-    nb = n_buckets_for(events)
-    bucketed = events.map_batches(lambda df: with_bucket(df, "user_id", nb),
-                                  batch_format="pandas")
-    ranked = bucketed.groupby("__bucket").map_groups(_rank_bucket,
-                                                    batch_format="pandas")
+    from .stages.bucketing import group_map_by_key
+    ranked = group_map_by_key(events, "user_id", _rank_bucket)
     return ranked.map_batches(_derive_batch, batch_format="pandas")
 
 

@@ -127,3 +127,28 @@ def key_bucket(values, n_buckets: int) -> np.ndarray:
 def with_bucket(df: pd.DataFrame, key: str, n_buckets: int,
                 col: str = "__bucket") -> pd.DataFrame:
     return df.assign(**{col: key_bucket(df[key].to_numpy(), n_buckets)})
+
+
+# below this estimated input size, the bucket shuffle's fixed sort cost
+# (~seconds) dwarfs the per-bucket work, so the SAME key-agnostic
+# vectorized kernel runs over everything in one repartition(1) task —
+# the hybrid small-side rule. The distributed path is untouched above it.
+SINGLE_TASK_BYTES = 128 << 20
+
+
+def group_map_by_key(ds, key: str, fn, batch_format: str = "pandas"):
+    """groupby-on-hash-bucket + ONE vectorized multi-group pass per bucket
+    (the scale-safe per-key group op — O(buckets) Python calls), with a
+    size-gated single-task fast path. ``fn`` must be key-agnostic: it
+    sorts by the real key itself and handles any number of distinct keys
+    per call (every per-bucket kernel in this repo already does)."""
+    size = safe_size_bytes(ds)
+    if size and size <= SINGLE_TASK_BYTES:
+        return ds.repartition(1).map_batches(fn, batch_format=batch_format,
+                                             batch_size=None)
+    nb = n_buckets_for(ds)
+    bucketed = ds.map_batches(lambda b: with_bucket(b, key, nb),
+                              batch_format="pandas")
+    return bucketed.groupby("__bucket").map_groups(
+        lambda g: fn(g.drop(columns=["__bucket"])),
+        batch_format=batch_format)

@@ -32,7 +32,7 @@ def _first_arrival_in_bucket(group: pd.DataFrame, key: list[str]) -> pd.DataFram
     if "arrival_idx" in group.columns:
         group = group.sort_values("arrival_idx", kind="stable")
     return group.drop_duplicates(subset=key, keep="first") \
-        .drop(columns=["__bucket"])
+        .drop(columns=["__bucket"], errors="ignore")
 
 
 def dedup_exact(ds: rd.Dataset, key: list[str] | None = None,
@@ -47,13 +47,13 @@ def dedup_exact(ds: rd.Dataset, key: list[str] | None = None,
     shuffle key becomes (bucket, key[1] % salt) — still a pure function
     of the FULL key, so equal keys co-locate, but a hot conversation's
     rows split ``salt`` ways instead of serializing in one bucket."""
-    from .bucketing import n_buckets_for, with_bucket
+    from .bucketing import group_map_by_key, n_buckets_for, with_bucket
     key = key or KEY
-    nb = n_buckets_for(ds)
     ds = ds.map_batches(lambda b: _partial_dedup(b, key), batch_format="pandas")
-    ds = ds.map_batches(lambda b: with_bucket(b, key[0], nb),
-                        batch_format="pandas")
     if salt > 1 and len(key) > 1:
+        nb = n_buckets_for(ds)
+        ds = ds.map_batches(lambda b: with_bucket(b, key[0], nb),
+                            batch_format="pandas")
         sub = key[1]
 
         def add_salt(b: pd.DataFrame) -> pd.DataFrame:
@@ -63,5 +63,5 @@ def dedup_exact(ds: rd.Dataset, key: list[str] | None = None,
                 .groupby(["__bucket", "_salt"])
                 .map_groups(lambda g: _first_arrival_in_bucket(g, key)
                             .drop(columns=["_salt"]), batch_format="pandas"))
-    return ds.groupby("__bucket").map_groups(
-        lambda g: _first_arrival_in_bucket(g, key), batch_format="pandas")
+    return group_map_by_key(ds, key[0],
+                            lambda g: _first_arrival_in_bucket(g, key))

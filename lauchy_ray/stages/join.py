@@ -75,14 +75,10 @@ def _with_prev_bucket(group: pd.DataFrame) -> pd.DataFrame:
     gap = np.where(first, np.int64(-1), ts - prev_ts)
     g["prev_role"] = prev_role
     g["gap_us"] = gap
-    return g.drop(columns=["__bucket"])
+    return g.drop(columns=["__bucket"], errors="ignore")
 
 
 def ordered_conv_join(turns: rd.Dataset) -> rd.Dataset:
     """turns → turns + (prev_role, gap_us) in stable per-conv turn order."""
-    from .bucketing import n_buckets_for, with_bucket
-    nb = n_buckets_for(turns)
-    bucketed = turns.map_batches(lambda b: with_bucket(b, "conv_id", nb),
-                                 batch_format="pandas")
-    return bucketed.groupby("__bucket").map_groups(_with_prev_bucket,
-                                                   batch_format="pandas")
+    from .bucketing import group_map_by_key
+    return group_map_by_key(turns, "conv_id", _with_prev_bucket)

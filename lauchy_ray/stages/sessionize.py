@@ -52,13 +52,9 @@ def _sessionize_bucket(group: pd.DataFrame, gap_us: int) -> pd.DataFrame:
 
 def sessionize(ds: rd.Dataset, gap_us: int = DEFAULT_GAP_US) -> rd.Dataset:
     """turns → (conv_id, session_id, start_ts, end_ts, n_turns)."""
-    from .bucketing import n_buckets_for, with_bucket
-    nb = n_buckets_for(ds)
-    bucketed = ds.map_batches(lambda b: with_bucket(b, "conv_id", nb),
-                              batch_format="pandas")
-    return bucketed.groupby("__bucket").map_groups(
-        lambda g: _sessionize_bucket(g.drop(columns=["__bucket"]), gap_us),
-        batch_format="pandas")
+    from .bucketing import group_map_by_key
+    return group_map_by_key(ds, "conv_id",
+                            lambda g: _sessionize_bucket(g, gap_us))
 
 
 def _conv_stats_bucket(group: pd.DataFrame, gap_us: int) -> pd.DataFrame:
@@ -88,10 +84,6 @@ def sessionize_conv_stats(ds: rd.Dataset,
     bucket shuffle. Session count is the number of gap breaks over the
     conv's sorted timestamps (conv-change rows count as breaks, giving
     the +1) — session boundaries never materialize."""
-    from .bucketing import n_buckets_for, with_bucket
-    nb = n_buckets_for(ds)
-    bucketed = ds.map_batches(lambda b: with_bucket(b, "conv_id", nb),
-                              batch_format="pandas")
-    return bucketed.groupby("__bucket").map_groups(
-        lambda g: _conv_stats_bucket(g.drop(columns=["__bucket"]), gap_us),
-        batch_format="pandas")
+    from .bucketing import group_map_by_key
+    return group_map_by_key(ds, "conv_id",
+                            lambda g: _conv_stats_bucket(g, gap_us))

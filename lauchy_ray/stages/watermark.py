@@ -49,17 +49,14 @@ def _flag_bucket(group: pd.DataFrame, lateness_us: int) -> pd.DataFrame:
         prev_max[1:] = cmax[:-1]
     prev_max[first] = np.iinfo(np.int64).min // 2
     g["late"] = ts.to_numpy() < prev_max - lateness_us
-    return g.drop(columns=["__bucket"])
+    return g.drop(columns=["__bucket"], errors="ignore")
 
 
 def flag_late(ds: rd.Dataset, lateness_us: int = DEFAULT_LATENESS_US) -> rd.Dataset:
     """turns (with arrival_idx) → turns + late:bool."""
-    from .bucketing import n_buckets_for, with_bucket
-    nb = n_buckets_for(ds)
-    bucketed = ds.map_batches(lambda b: with_bucket(b, "conv_id", nb),
-                              batch_format="pandas")
-    return bucketed.groupby("__bucket").map_groups(
-        lambda g: _flag_bucket(g, lateness_us), batch_format="pandas")
+    from .bucketing import group_map_by_key
+    return group_map_by_key(ds, "conv_id",
+                            lambda g: _flag_bucket(g, lateness_us))
 
 
 def late_split(ds: rd.Dataset, lateness_us: int = DEFAULT_LATENESS_US):
