@@ -212,8 +212,10 @@ def q_events_daily(sf_dir: str):
                 .rename_columns(["day_id", "event_type", "n", "total_value"]))
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    out = partials.groupby(["day_id", "event_type"]).aggregate(
-        Sum("n", alias_name="n"), Sum("total_value", alias_name="total_value"))
+    # (day, type) is a BOUNDED key space: in-batch partials above + a
+    # single-task merge beat the sort-shuffle groupby's fixed cost
+    out = _grouped_sums(partials, ["day_id", "event_type"],
+                        ["n", "total_value"])
     return out.map_batches(
         lambda df: df.assign(total_value=_round2(df["total_value"])),
         batch_format="pandas")
@@ -274,11 +276,10 @@ def q_q1_pricing(sf_dir: str):
                                  "sum_base_price", "sum_disc_price", "count_order"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base_price", alias_name="sum_base_price"),
-        Sum("sum_disc_price", alias_name="sum_disc_price"),
-        Sum("count_order", alias_name="count_order"))
+    # 6 bounded groups: single-task merge, not a sort shuffle
+    out = _grouped_sums(partials, ["l_returnflag", "l_linestatus"],
+                        ["sum_qty", "sum_base_price", "sum_disc_price",
+                         "count_order"])
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         df["sum_qty"] = _round2(df["sum_qty"])
@@ -449,9 +450,16 @@ def q_order_revenue(sf_dir: str):
                 "n_orders": pa.array(out["n_orders"].astype(np.int64)),
             })
 
-        joined = (li_partial.map_batches(add_bucket, batch_format="pyarrow")
-                  .groupby("bucket")
-                  .map_groups(per_bucket, batch_format="pyarrow"))
+        from ..stages.bucketing import SINGLE_TASK_BYTES
+        if os.path.getsize(f"{sf_dir}/lineitem.parquet") <= SINGLE_TASK_BYTES:
+            # per_bucket aggregates by the REAL key (l_orderkey) itself,
+            # so one task over all partials needs no bucket shuffle
+            joined = li_partial.repartition(1).map_batches(
+                per_bucket, batch_format="pyarrow", batch_size=None)
+        else:
+            joined = (li_partial.map_batches(add_bucket, batch_format="pyarrow")
+                      .groupby("bucket")
+                      .map_groups(per_bucket, batch_format="pyarrow"))
         out = _grouped_sums(joined, ["o_orderpriority"], ["revenue", "n_orders"])
     else:
         # dimension too big to broadcast: per-order exactness via the
@@ -476,12 +484,19 @@ def q_blacklist(sf_dir: str):
     HASH-SHUFFLE groupby — never _grouped_counts, whose repartition(1)
     single-task merge is bounded-key-only (round-1 judge finding). A
     per-batch distinct partial shrinks what the shuffle moves first."""
-    rej = _validated(sf_dir).map_batches(
+    from ..stages.bucketing import SINGLE_TASK_BYTES, safe_size_bytes
+    vds = _validated(sf_dir)
+    rej = vds.map_batches(
         lambda t: t.filter(pc.invert(t["valid"])).select(["conv_id"]),
         batch_format="pyarrow")
     partial = rej.map_batches(
         lambda t: pa.table({"conv_id": pc.unique(t["conv_id"])}),
         batch_format="pyarrow")
+    size = safe_size_bytes(vds)  # exact when the turns cache materialized
+    if size and size <= SINGLE_TASK_BYTES:
+        return partial.repartition(1).map_batches(
+            lambda t: pa.table({"conv_id": pc.unique(t["conv_id"])}),
+            batch_format="pyarrow", batch_size=None)
     return (partial.groupby("conv_id").aggregate(Count(alias_name="n"))
             .select_columns(["conv_id"]))
 
@@ -527,29 +542,51 @@ def q_supplier_by_region(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/supplier.parquet",
                          columns=["s_nationkey", "s_acctbal"])
-    out = ds.map_batches(join, batch_format="pandas").groupby("r_name").aggregate(
-        Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total_bal"))
-    return out.map_batches(lambda df: df.assign(total_bal=_round2(df["total_bal"])),
-                           batch_format="pandas")
+    out = _grouped_sums(ds.map_batches(join, batch_format="pandas"),
+                        ["r_name"], ["s_acctbal"], count_as="n_suppliers")
+    return out.map_batches(
+        lambda df: pd.DataFrame({"r_name": df["r_name"],
+                                 "n_suppliers": df["n_suppliers"],
+                                 "total_bal": _round2(df["s_acctbal"])}),
+        batch_format="pandas")
 
 
 def q_parts_by_brand(sf_dir: str):
+    """Bounded brand key space: in-batch pyarrow partials (sum/max/count)
+    + single-task merge."""
     ds = rd.read_parquet(f"{sf_dir}/part.parquet",
                          columns=["p_brand", "p_retailprice", "p_size"])
-    out = ds.groupby("p_brand").aggregate(
-        Count(alias_name="n_parts"),
-        Sum("p_retailprice", alias_name="total_price"),
-        Max("p_size", alias_name="max_size"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (pa.TableGroupBy(t, ["p_brand"])
+                .aggregate([("p_retailprice", "sum"), ("p_size", "max"),
+                            ([], "count_all")])
+                .rename_columns(["p_brand", "total_price", "max_size",
+                                 "n_parts"]))
+
+    def merge(t: pa.Table) -> pa.Table:
+        return (pa.TableGroupBy(t, ["p_brand"])
+                .aggregate([("total_price", "sum"), ("max_size", "max"),
+                            ("n_parts", "sum")])
+                .rename_columns(["p_brand", "total_price", "max_size",
+                                 "n_parts"]))
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .repartition(1).map_batches(merge, batch_format="pyarrow",
+                                       batch_size=None))
     return out.map_batches(
         lambda df: df.assign(total_price=_round2(df["total_price"])),
         batch_format="pandas")
 
 
 def q_events_by_type(sf_dir: str):
-    out = _events(sf_dir).groupby("event_type").aggregate(
-        Count(alias_name="n"), Sum("value", alias_name="total_value"))
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    out = _grouped_sums(ds, ["event_type"], ["value"], count_as="n")
     return out.map_batches(
-        lambda df: df.assign(total_value=_round2(df["total_value"])),
+        lambda df: pd.DataFrame({"event_type": df["event_type"],
+                                 "n": df["n"],
+                                 "total_value": _round2(df["value"])}),
         batch_format="pandas")
 
 
@@ -571,8 +608,23 @@ def q_doc_stats(sf_dir: str):
 
 
 def q_dedup_docs(sf_dir: str):
-    """Exact text dedup: keep the smallest doc_id per distinct text."""
+    """Exact text dedup: keep the smallest doc_id per distinct text.
+    text cardinality grows with the corpus, so the scale path is the
+    hash-shuffle groupby; under the single-task gate one vectorized
+    pandas pass does the same thing without the shuffle's fixed cost."""
+    from ..stages.bucketing import SINGLE_TASK_BYTES, safe_size_bytes
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    size = safe_size_bytes(ds)
+    if size and size <= SINGLE_TASK_BYTES:
+        def dedup_all(df: pd.DataFrame) -> pd.DataFrame:
+            g = (df.groupby("text", sort=False)
+                 .agg(doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
+                 .reset_index())
+            return g[["doc_id", "n_copies"]].astype(
+                {"doc_id": "int64", "n_copies": "int64"})
+        return ds.repartition(1).map_batches(dedup_all,
+                                             batch_format="pandas",
+                                             batch_size=None)
     out = ds.groupby("text").aggregate(Min("doc_id", alias_name="doc_id"),
                                        Count(alias_name="n_copies"))
     return out.map_batches(lambda df: df[["doc_id", "n_copies"]],
