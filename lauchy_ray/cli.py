@@ -125,6 +125,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="minhash jaccard threshold")
     nd.add_argument("--max-hamming", type=int, default=3,
                     help="simhash hamming radius")
+    nd.add_argument("--n-blocks", type=int, default=4,
+                    help="simhash bands; pigeonhole recall needs "
+                         "n_blocks > max_hamming (and n_blocks | 60)")
     nd.add_argument("--id-col", default="doc_id")
     nd.add_argument("--text-col", default="text")
     nd.add_argument("--pairs-out", default=None,
@@ -175,8 +178,14 @@ def main(argv: list[str] | None = None) -> int:
                 collapse_and_pairs)
             docs = rd.read_parquet(args.input,
                                    columns=[args.id_col, args.text_col])
+            if args.method == "simhash" and args.n_blocks <= args.max_hamming:
+                print(json.dumps({"error": "pigeonhole recall needs "
+                                  "--n-blocks > --max-hamming"}),
+                      file=sys.stderr)
+                return 2
             kw = ({"threshold": args.threshold} if args.method == "minhash"
-                  else {"max_hamming": args.max_hamming})
+                  else {"max_hamming": args.max_hamming,
+                        "n_blocks": args.n_blocks})
             rep_pairs, multi = collapse_and_pairs(
                 docs, args.method, args.id_col, args.text_col, **kw)
             clusters = cluster_assignments(docs, rep_pairs, multi,
@@ -197,7 +206,9 @@ def main(argv: list[str] | None = None) -> int:
                 pairs = _expand_groups(
                     rep_pairs, multi,
                     ["jaccard"] if args.method == "minhash" else [],
-                    max_pairs=args.max_expand_pairs or MAX_EXPAND_PAIRS)
+                    max_pairs=(args.max_expand_pairs
+                               if args.max_expand_pairs is not None
+                               else MAX_EXPAND_PAIRS))
                 rd.from_pandas(pairs).write_parquet(args.pairs_out)
                 summary["pairs_out"] = args.pairs_out
                 summary["n_pairs"] = int(len(pairs))

@@ -58,24 +58,28 @@ _VALIDATED_CACHE: dict[str, rd.Dataset] = {}
 MATERIALIZE_INPUT_BYTES = 4 << 30
 
 
-def _cache_ok(sf_dir: str, table: str = "events.parquet") -> bool:
+def _path_bytes(path: str, cap: int) -> int | None:
+    """On-disk bytes of a file OR partitioned directory (a bare getsize on
+    a directory returns the ~4KB dir entry — the classic trap); returns
+    cap+1 early once past ``cap``, None on I/O errors."""
     import os
-    path = f"{sf_dir}/{table}"
     try:
         if os.path.isdir(path):
-            # partitioned dataset: a bare getsize would return the ~4KB
-            # directory entry and silently re-enable the materialization
-            # this gate exists to prevent — sum the actual files
             total = 0
             for root, _dirs, files in os.walk(path):
                 for f in files:
                     total += os.path.getsize(os.path.join(root, f))
-                    if total > MATERIALIZE_INPUT_BYTES:
-                        return False
-            return True
-        return os.path.getsize(path) <= MATERIALIZE_INPUT_BYTES
+                    if total > cap:
+                        return cap + 1
+            return total
+        return os.path.getsize(path)
     except OSError:
-        return False
+        return None
+
+
+def _cache_ok(sf_dir: str, table: str = "events.parquet") -> bool:
+    size = _path_bytes(f"{sf_dir}/{table}", MATERIALIZE_INPUT_BYTES)
+    return size is not None and size <= MATERIALIZE_INPUT_BYTES
 
 
 def _turns(sf_dir: str) -> rd.Dataset:
@@ -451,7 +455,8 @@ def q_order_revenue(sf_dir: str):
             })
 
         from ..stages.bucketing import SINGLE_TASK_BYTES
-        if os.path.getsize(f"{sf_dir}/lineitem.parquet") <= SINGLE_TASK_BYTES:
+        li_bytes = _path_bytes(f"{sf_dir}/lineitem.parquet", SINGLE_TASK_BYTES)
+        if li_bytes is not None and li_bytes <= SINGLE_TASK_BYTES:
             # per_bucket aggregates by the REAL key (l_orderkey) itself,
             # so one task over all partials needs no bucket shuffle
             joined = li_partial.repartition(1).map_batches(
@@ -617,7 +622,7 @@ def q_dedup_docs(sf_dir: str):
     size = safe_size_bytes(ds)
     if size and size <= SINGLE_TASK_BYTES:
         def dedup_all(df: pd.DataFrame) -> pd.DataFrame:
-            g = (df.groupby("text", sort=False)
+            g = (df.groupby("text", sort=False, dropna=False)
                  .agg(doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
                  .reset_index())
             return g[["doc_id", "n_copies"]].astype(

@@ -58,8 +58,9 @@ def safe_size_bytes(ds) -> int | None:
 def n_buckets_for(ds=None) -> int:
     """Bucket count scaled to the input: ≈ size_bytes / 64MB, clamped to
     [MIN_BUCKETS, MAX_BUCKETS]; when the dataset carries no size estimate
-    (post-transform lineage), fall back to 8 × cluster CPUs so reduce
-    parallelism still tracks the cluster."""
+    (post-transform lineage), fall back to 2 × cluster CPUs so reduce
+    parallelism still tracks the cluster without paying hundreds of
+    per-group calls at bench scale."""
     size = safe_size_bytes(ds)
     if size:
         want = size // TARGET_BUCKET_BYTES + 1
@@ -136,17 +137,23 @@ def with_bucket(df: pd.DataFrame, key: str, n_buckets: int,
 SINGLE_TASK_BYTES = 128 << 20
 
 
-def group_map_by_key(ds, key: str, fn, batch_format: str = "pandas"):
+def group_map_by_key(ds, key: str, fn, batch_format: str = "pandas",
+                     size_ds=None):
     """groupby-on-hash-bucket + ONE vectorized multi-group pass per bucket
     (the scale-safe per-key group op — O(buckets) Python calls), with a
     size-gated single-task fast path. ``fn`` must be key-agnostic: it
     sorts by the real key itself and handles any number of distinct keys
-    per call (every per-bucket kernel in this repo already does)."""
-    size = safe_size_bytes(ds)
+    per call (every per-bucket kernel in this repo already does).
+
+    ``size_ds``: dataset to ESTIMATE from when ``ds`` itself is transformed
+    lineage (whose safe_size_bytes is None) — pass the raw input upstream
+    of cheap row-preserving maps so the gate and the bucket count still
+    see a real size."""
+    size = safe_size_bytes(size_ds if size_ds is not None else ds)
     if size and size <= SINGLE_TASK_BYTES:
         return ds.repartition(1).map_batches(fn, batch_format=batch_format,
                                              batch_size=None)
-    nb = n_buckets_for(ds)
+    nb = n_buckets_for(size_ds if size_ds is not None else ds)
     bucketed = ds.map_batches(lambda b: with_bucket(b, key, nb),
                               batch_format="pandas")
     return bucketed.groupby("__bucket").map_groups(

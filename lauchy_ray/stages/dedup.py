@@ -49,9 +49,11 @@ def dedup_exact(ds: rd.Dataset, key: list[str] | None = None,
     rows split ``salt`` ways instead of serializing in one bucket."""
     from .bucketing import group_map_by_key, n_buckets_for, with_bucket
     key = key or KEY
+    raw = ds  # size/bucket estimates come from the RAW input: the partial
+    # dedup below is transformed lineage whose safe_size_bytes is None
     ds = ds.map_batches(lambda b: _partial_dedup(b, key), batch_format="pandas")
     if salt > 1 and len(key) > 1:
-        nb = n_buckets_for(ds)
+        nb = n_buckets_for(raw)
         ds = ds.map_batches(lambda b: with_bucket(b, key[0], nb),
                             batch_format="pandas")
         sub = key[1]
@@ -64,4 +66,5 @@ def dedup_exact(ds: rd.Dataset, key: list[str] | None = None,
                 .map_groups(lambda g: _first_arrival_in_bucket(g, key)
                             .drop(columns=["_salt"]), batch_format="pandas"))
     return group_map_by_key(ds, key[0],
-                            lambda g: _first_arrival_in_bucket(g, key))
+                            lambda g: _first_arrival_in_bucket(g, key),
+                            size_ds=raw)

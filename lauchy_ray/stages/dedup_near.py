@@ -28,7 +28,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from .bucketing import safe_size_bytes
+from .bucketing import SINGLE_TASK_BYTES, safe_size_bytes
 
 
 def emb_matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:
@@ -152,12 +152,12 @@ class MinHashBander:
             "doc_id": np.repeat(df[self.id_col].to_numpy(), self.bands)})
 
 
-SINGLE_TASK_BYTES = 128 << 20  # below this input estimate, the bucket-space
-# groupby's fixed sort-shuffle cost (~seconds) dwarfs the actual work, so
-# the SAME multi-key vectorized kernels run in ONE repartition(1) task —
-# the hybrid small-side rule (like broadcast joins). The distributed path
-# is unchanged above the gate; both kernels are key-agnostic so results
-# are identical.
+# Below bucketing.SINGLE_TASK_BYTES the bucket-space groupby's fixed
+# sort-shuffle cost (~seconds) dwarfs the actual work, so the SAME
+# multi-key vectorized kernels run in ONE repartition(1) task — the
+# hybrid small-side rule (like broadcast joins). The distributed path is
+# unchanged above the gate; the kernels are key-agnostic so results are
+# identical. (ONE shared constant — bucketing owns it.)
 
 
 def _single_task_ok(ds: rd.Dataset) -> bool:
