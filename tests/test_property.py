@@ -147,3 +147,47 @@ def test_window_core_matches_oracle_property(rows, n_batches, width, lateness):
 
     assert roll(got["emitted"]) == roll(exp_counts)
     assert len(got["late"]) == len(exp_late)
+
+
+# ---------------------------------------------------- near-dup clusters
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+doc_strategy = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=6, max_size=12).map(" ".join),
+    min_size=1, max_size=25)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(base=doc_strategy, dup_idx=st.lists(st.integers(0, 24), max_size=10))
+def test_near_dup_clusters_equal_pair_components(base, dup_idx):
+    """Property: cluster assignment ≡ connected components of the pair
+    output, on random corpora with random duplications (small vocab →
+    heavy shingle overlap exercises bands, caps and collapse)."""
+    from lauchy_ray.stages import dedup_near
+
+    texts = list(base) + [base[i % len(base)] for i in dup_idx]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = rd.from_pandas(df)
+    pairs = dedup_near.minhash_lsh_dups(ds, threshold=0.9)
+    clusters = dedup_near.near_dup_clusters(
+        rd.from_pandas(df), method="minhash", threshold=0.9).to_pandas()
+    assert len(clusters) == len(df)
+
+    parent = {int(d): int(d) for d in df["doc_id"]}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp = {int(d): find(int(d)) for d in df["doc_id"]}
+    got = dict(zip(clusters["doc_id"].astype(int),
+                   clusters["rep_id"].astype(int)))
+    assert got == exp
