@@ -236,14 +236,16 @@ class WindowShardCore(ShardActorBase):
         late_mask = last * self.slide + self.width <= prefix_wm  # newest closed
 
         if late_mask.any():
-            convs = table["conv_id"].to_pylist()
+            # materialize ONLY the late rows' conv ids, not the whole batch
+            late_idx = np.flatnonzero(late_mask)
+            convs = table["conv_id"].take(pa.array(late_idx)).to_pylist()
             idxs = table["turn_idx"].to_numpy(zero_copy_only=False)
-            for i in np.flatnonzero(late_mask):
-                self.late.append({"conv_id": convs[i], "turn_idx": int(idxs[i]),
+            for c, i in zip(convs, late_idx):
+                self.late.append({"conv_id": c, "turn_idx": int(idxs[i]),
                                   "ts": int(ts[i]), "window_id": int(last[i])})
 
-        roles = pd.Series(table["role"].to_pylist())
-        tools = pd.Series(table["tool"].to_pylist())
+        roles = table["role"].to_pandas()  # C conversion, not row boxing
+        tools = table["tool"].to_pandas()
         for k in range(self.n_per):
             wid = last - k
             closed_k = wid * self.slide + self.width <= prefix_wm
@@ -341,15 +343,32 @@ class SessionShardCore(ShardActorBase):
         self.gap = gap_us
         self.lateness = lateness_us
         self.open: dict[str, list[list[int]]] = {}  # conv → [[start, end, n]...]
+        # lazy close schedule: (end+gap, conv) pushed on every merge; the
+        # per-fragment close sweep pops only entries whose bound passed
+        # the watermark instead of scanning EVERY open conv each
+        # micro-batch (O(closable), not O(open convs) — the sweep was the
+        # sessions engine's hot loop: 20k convs x 64 fragments per shard).
+        # Entries can be stale (session extended/closed): _close_conv
+        # re-checks real state, and a session's LAST merge always pushed
+        # bound == end+gap, so no closable session lacks a due entry.
+        self._close_heap: list[tuple[int, str]] = []
         self._init_shard_state(checkpoint_path, (gap_us, lateness_us))
 
     def _core_state(self):
         return self.open
 
     def _restore_core(self, core) -> None:
+        import heapq
         self.open = core
+        # restored sessions have no merge-time entries: seed one per conv
+        # at its earliest bound; _close_conv re-pushes the next bound
+        # after each close, covering the rest lazily
+        self._close_heap = [(min(s[1] for s in lst) + self.gap, conv)
+                            for conv, lst in self.open.items()]
+        heapq.heapify(self._close_heap)
 
     def _close_conv(self, conv: str, wm: int) -> None:
+        import heapq
         lst = self.open.get(conv)
         if not lst:
             return
@@ -362,12 +381,23 @@ class SessionShardCore(ShardActorBase):
                 keep.append(s)
         if keep:
             self.open[conv] = keep
+            heapq.heappush(self._close_heap,
+                           (min(s[1] for s in keep) + self.gap, conv))
         else:
             del self.open[conv]
+
+    def _sweep_close(self, wm: int) -> None:
+        import heapq
+        h = self._close_heap
+        while h and h[0][0] <= wm:
+            _, conv = heapq.heappop(h)
+            # kept sessions re-push bounds > wm, so this terminates
+            self._close_conv(conv, wm)
 
     def _merge_seg(self, conv: str, lo: int, hi: int, n: int) -> None:
         """Insert one session segment: extend/merge every session within
         gap (a segment can bridge two sessions separated by ≤ 2·gap)."""
+        import heapq
         lst = self.open.setdefault(conv, [])
         keep = []
         for s in lst:
@@ -380,6 +410,7 @@ class SessionShardCore(ShardActorBase):
         keep.append([lo, hi, n])
         keep.sort(key=lambda s: s[0])
         self.open[conv] = keep
+        heapq.heappush(self._close_heap, (hi + self.gap, conv))
 
     def _merge_row(self, conv: str, ts: int) -> None:
         self._merge_seg(conv, ts, ts, 1)
@@ -429,7 +460,7 @@ class SessionShardCore(ShardActorBase):
                 self._checkpoint()
             return 0
         ts = table["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        convs = table["conv_id"].to_pylist()
+        convs = table["conv_id"].to_pandas().to_numpy()  # C conversion
         idxs = table["turn_idx"].to_numpy(zero_copy_only=False)
 
         # prefix watermark per row (arrival order), as in WindowShardActor
@@ -467,8 +498,7 @@ class SessionShardCore(ShardActorBase):
                         self._merge_row(conv, int(ts[i]))
         if final_cm > self.wm:
             self.wm = final_cm
-        for conv in list(self.open):
-            self._close_conv(conv, self.wm)
+        self._sweep_close(self.wm)
         if seq is not None:
             self.seq = seq
             self._checkpoint()
