@@ -31,6 +31,7 @@ fragment shard), never row data, and fragments stream with
 
 from __future__ import annotations
 
+import heapq
 import os
 
 import numpy as np
@@ -334,42 +335,52 @@ class SessionShardCore(ShardActorBase):
     output, never merged (the window engine's route policy).
 
     State is O(open sessions), bounded by lateness × arrival rate; the
-    emit scan is O(open convs) per micro-batch (a min-close heap is the
-    known refinement when shards hold millions of concurrently open
-    conversations)."""
+    close sweep is a lazy min-close heap (one scheduled bound per conv,
+    popped past the watermark) — O(closable convs) per micro-batch, so
+    shards holding millions of concurrently open conversations never
+    rescan them all."""
 
     def __init__(self, gap_us: int, lateness_us: int,
                  checkpoint_path: str | None = None):
         self.gap = gap_us
         self.lateness = lateness_us
         self.open: dict[str, list[list[int]]] = {}  # conv → [[start, end, n]...]
-        # lazy close schedule: (end+gap, conv) pushed on every merge; the
-        # per-fragment close sweep pops only entries whose bound passed
-        # the watermark instead of scanning EVERY open conv each
-        # micro-batch (O(closable), not O(open convs) — the sweep was the
-        # sessions engine's hot loop: 20k convs x 64 fragments per shard).
-        # Entries can be stale (session extended/closed): _close_conv
-        # re-checks real state, and a session's LAST merge always pushed
-        # bound == end+gap, so no closable session lacks a due entry.
+        # lazy close schedule: per conv, ONE scheduled (bound, conv)
+        # entry at ≤ its earliest close bound (end+gap); the per-fragment
+        # sweep pops only entries past the watermark instead of scanning
+        # EVERY open conv each micro-batch. _sched dedups pushes (skip
+        # when an earlier bound is already queued) so heap memory stays
+        # O(open convs), not O(merges); stale entries no-op on pop
+        # (bounds only ever UNDERestimate — ends grow — so a re-check is
+        # early, never missed).
         self._close_heap: list[tuple[int, str]] = []
+        self._sched: dict[str, int] = {}
         self._init_shard_state(checkpoint_path, (gap_us, lateness_us))
 
     def _core_state(self):
         return self.open
 
     def _restore_core(self, core) -> None:
-        import heapq
         self.open = core
         # restored sessions have no merge-time entries: seed one per conv
-        # at its earliest bound; _close_conv re-pushes the next bound
+        # at its earliest bound; _close_conv re-schedules the next bound
         # after each close, covering the rest lazily
-        self._close_heap = [(min(s[1] for s in lst) + self.gap, conv)
-                            for conv, lst in self.open.items()]
-        heapq.heapify(self._close_heap)
+        self._close_heap = []
+        self._sched = {}
+        for conv, lst in self.open.items():
+            self._push_bound(conv, min(s[1] for s in lst) + self.gap)
+
+    def _push_bound(self, conv: str, bound: int) -> None:
+        """Schedule a close re-check; skipped when an EARLIER bound is
+        already queued for this conv (one live entry per conv)."""
+        cur = self._sched.get(conv)
+        if cur is None or bound < cur:
+            heapq.heappush(self._close_heap, (bound, conv))
+            self._sched[conv] = bound
 
     def _close_conv(self, conv: str, wm: int) -> None:
-        import heapq
         lst = self.open.get(conv)
+        self._sched.pop(conv, None)   # re-scheduled below if sessions remain
         if not lst:
             return
         keep = []
@@ -381,23 +392,20 @@ class SessionShardCore(ShardActorBase):
                 keep.append(s)
         if keep:
             self.open[conv] = keep
-            heapq.heappush(self._close_heap,
-                           (min(s[1] for s in keep) + self.gap, conv))
+            self._push_bound(conv, min(s[1] for s in keep) + self.gap)
         else:
             del self.open[conv]
 
     def _sweep_close(self, wm: int) -> None:
-        import heapq
         h = self._close_heap
         while h and h[0][0] <= wm:
             _, conv = heapq.heappop(h)
-            # kept sessions re-push bounds > wm, so this terminates
+            # kept sessions re-schedule bounds > wm, so this terminates
             self._close_conv(conv, wm)
 
     def _merge_seg(self, conv: str, lo: int, hi: int, n: int) -> None:
         """Insert one session segment: extend/merge every session within
         gap (a segment can bridge two sessions separated by ≤ 2·gap)."""
-        import heapq
         lst = self.open.setdefault(conv, [])
         keep = []
         for s in lst:
@@ -410,7 +418,7 @@ class SessionShardCore(ShardActorBase):
         keep.append([lo, hi, n])
         keep.sort(key=lambda s: s[0])
         self.open[conv] = keep
-        heapq.heappush(self._close_heap, (hi + self.gap, conv))
+        self._push_bound(conv, hi + self.gap)
 
     def _merge_row(self, conv: str, ts: int) -> None:
         self._merge_seg(conv, ts, ts, 1)
