@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": Q.q_token_counts,
         "pii_scrub": Q.q_pii_scrub,
         "turn_lag": Q.q_turn_lag,
+        "asof_join": Q.q_asof_join,
         "embed_near_dups": Q.q_embed_near_dups,
         "embed_near_dups_ivf": Q.q_embed_near_dups_ivf,
         # hash/LSH/IVF family — every one SQL-checked via re-derived
@@ -256,6 +257,24 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS gap_us
             FROM turns
             WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts)""",
+        # as-of join: deterministic LATERAL top-1 (ts DESC, event_id
+        # DESC) per probe row — ties and the no-match -1 sentinel match
+        # the Ray kernel exactly
+        "asof_join": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 c AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+                   COALESCE(cc.asof_id, -1) AS asof_id,
+                   COALESCE(cc.asof_ts_us, -1) AS asof_ts_us
+            FROM p LEFT JOIN LATERAL (
+              SELECT c.event_id AS asof_id, epoch_us(c.ts) AS asof_ts_us
+              FROM c
+              WHERE c.user_id = p.user_id AND c.ts <= p.ts
+              ORDER BY c.ts DESC, c.event_id DESC
+              LIMIT 1
+            ) cc ON true""",
         "embed_near_dups": """
             SELECT x.vec_id AS a, y.vec_id AS b
             FROM embeddings x, embeddings y

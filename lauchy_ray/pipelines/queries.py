@@ -595,6 +595,20 @@ def q_events_by_type(sf_dir: str):
         batch_format="pandas")
 
 
+def q_asof_join(sf_dir: str):
+    """AS-OF JOIN over events: for every 'purchase', the most recent
+    'click' of the same user at click.ts ≤ purchase.ts (classic
+    attribution) — the custom operator the Dataset API lacks, composed as
+    tag + union + key-bucketed forward-carry (stages/join.asof_join).
+    SQL-checked against a deterministic LATERAL top-1 oracle."""
+    from ..stages.join import asof_join
+    raw = rd.read_parquet(f"{sf_dir}/events.parquet",
+                          columns=["event_id", "user_id", "ts", "event_type"])
+    left = raw.filter(expr="event_type == 'purchase'")
+    right = raw.filter(expr="event_type == 'click'")
+    return asof_join(left, right, size_ds=raw)
+
+
 # ------------------------------------------------------- documents / text
 
 def q_doc_stats(sf_dir: str):

@@ -82,3 +82,67 @@ def ordered_conv_join(turns: rd.Dataset) -> rd.Dataset:
     """turns → turns + (prev_role, gap_us) in stable per-conv turn order."""
     from .bucketing import group_map_by_key
     return group_map_by_key(turns, "conv_id", _with_prev_bucket)
+
+
+def _asof_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """As-of attach for EVERY key collocated in one bucket, vectorized:
+    sort by (key, ts, right-before-left, event_id), forward-carry the
+    last right-side row index with a reset-at-key-boundary
+    maximum.accumulate — no per-key Python, no per-row loop. Ties at
+    equal ts: the right side is eligible (ts ≤ ts) and the greatest
+    event_id wins (matches the oracle's ORDER BY ts DESC, event_id DESC
+    LIMIT 1). Within the sort, right rows order before left rows at
+    equal (ts, …) via the side column (0 < 1)."""
+    # side: 0 = right (the "as of" lookup stream), 1 = left (probe)
+    g = df.sort_values(["user_id", "ts", "side", "event_id"],
+                       kind="stable")
+    n = len(g)
+    user = g["user_id"].to_numpy()
+    ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    eid = g["event_id"].to_numpy()
+    is_right = g["side"].to_numpy() == 0
+    idx = np.arange(n)
+    first = np.ones(n, dtype=bool)
+    if n > 1:
+        first[1:] = user[1:] != user[:-1]
+    seg_id = np.cumsum(first) - 1
+    seg_start = idx[first][seg_id]
+    carried = np.maximum.accumulate(np.where(is_right, idx, -1))
+    has_match = carried >= seg_start          # a right row in THIS key's run
+    probe = ~is_right
+    m = has_match[probe]
+    src = carried[probe]
+    click_id = np.where(m, eid[np.clip(src, 0, n - 1)], np.int64(-1))
+    click_ts = np.where(m, ts[np.clip(src, 0, n - 1)], np.int64(-1))
+    return pd.DataFrame({
+        "event_id": eid[probe],
+        "user_id": user[probe],
+        "ts_us": ts[probe],
+        "asof_id": click_id.astype(np.int64),
+        "asof_ts_us": click_ts.astype(np.int64),
+    })
+
+
+def asof_join(left: rd.Dataset, right: rd.Dataset,
+              key: str = "user_id", size_ds=None) -> rd.Dataset:
+    """AS-OF JOIN (the custom operator the Dataset API lacks): for every
+    left row, the most recent right row of the same key with
+    ``right.ts ≤ left.ts`` — expressed as composition (a): tag the two
+    streams, union, co-locate by key via group_map_by_key (hash-bucket
+    shuffle at scale, single task under the gate), one vectorized
+    forward-carry pass per bucket. Partitioning assumption: a key's rows
+    co-locate (same as every per-conv op); per-bucket state is one sort +
+    O(rows) numpy. ``size_ds``: raw input for the size gate (both sides
+    are usually filter-transformed lineage with no estimate).
+    → (event_id, user_id, ts_us, asof_id, asof_ts_us), asof_* = -1 when
+    no prior right row exists."""
+    from .bucketing import group_map_by_key
+
+    def tag(side: int):
+        def add(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(side=np.int64(side))
+        return add
+
+    both = right.map_batches(tag(0), batch_format="pandas").union(
+        left.map_batches(tag(1), batch_format="pandas"))
+    return group_map_by_key(both, key, _asof_bucket, size_ds=size_ds)

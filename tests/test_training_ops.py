@@ -443,3 +443,35 @@ def test_dedup_docs_cli(tmp_path):
     assert by_id.loc[0, "keep"] and by_id.loc[1, "keep"]
     p = pq.ParquetDataset(str(pairs_out)).read().to_pandas()
     assert {(0, 40), (0, 41), (40, 41), (1, 42)} <= set(zip(p["a"], p["b"]))
+
+
+def test_asof_join_ties_and_no_match():
+    """As-of semantics pinned: inclusive ts ties (click at the same ts is
+    eligible, greatest event_id wins), -1 sentinel when no prior click,
+    per-user isolation."""
+    import pyarrow as pa
+
+    from lauchy_ray.stages.join import asof_join
+
+    def ev(eid, uid, ts_us, etype):
+        return {"event_id": eid, "user_id": uid,
+                "ts": pd.Timestamp(ts_us, unit="us"), "event_type": etype}
+
+    rows = [
+        ev(0, 1, 100, "click"), ev(1, 1, 200, "click"),
+        ev(2, 1, 200, "click"),            # tie at 200: eid 2 wins
+        ev(3, 1, 200, "purchase"),         # same-ts click eligible
+        ev(4, 1, 300, "purchase"),
+        ev(5, 2, 50, "purchase"),          # user 2 has no clicks -> -1
+        ev(6, 3, 400, "click"),            # user 3: click only, no probe
+    ]
+    df = pd.DataFrame(rows)
+    ds = rd.from_pandas(df)
+    left = ds.filter(expr="event_type == 'purchase'")
+    right = ds.filter(expr="event_type == 'click'")
+    out = (asof_join(left, right, size_ds=ds).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    assert out["event_id"].tolist() == [3, 4, 5]
+    assert out["asof_id"].tolist() == [2, 2, -1]
+    assert out["asof_ts_us"].tolist() == [200, 200, -1]
+    assert out["ts_us"].tolist() == [200, 300, 50]
