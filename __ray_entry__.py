@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": Q.q_pii_scrub,
         "turn_lag": Q.q_turn_lag,
         "asof_join": Q.q_asof_join,
+        "range_join": Q.q_range_join,
         "embed_near_dups": Q.q_embed_near_dups,
         "embed_near_dups_ivf": Q.q_embed_near_dups_ivf,
         # hash/LSH/IVF family — every one SQL-checked via re-derived
@@ -257,6 +258,15 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS gap_us
             FROM turns
             WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts)""",
+        # range join: each turn's containing session interval (shared
+        # sessionize CTE; intervals are disjoint per conv so the LEFT
+        # JOIN yields exactly one row per turn)
+        "range_join": f"""WITH {_SESS}
+            SELECT t.conv_id, t.turn_idx, epoch_us(t.ts) AS ts_us,
+                   COALESCE(s.session_id, -1) AS session_id
+            FROM turns t LEFT JOIN sessions s
+              ON t.conv_id = s.conv_id
+             AND epoch_us(t.ts) BETWEEN s.start_us AND s.end_us""",
         # as-of join: deterministic LATERAL top-1 (ts DESC, event_id
         # DESC) per probe row — ties and the no-match -1 sentinel match
         # the Ray kernel exactly

@@ -609,6 +609,23 @@ def q_asof_join(sf_dir: str):
     return asof_join(left, right, size_ds=raw)
 
 
+def q_range_join(sf_dir: str):
+    """RANGE (interval-containment) JOIN: every turn attached to the
+    session window containing it (conv_id key, disjoint intervals by
+    construction) — composed like asof_join; oracle is a LEFT JOIN ON
+    BETWEEN over the shared sessionize CTE."""
+    from ..stages.join import range_join
+    turns = _turns(sf_dir)
+    pts = turns.map_batches(
+        lambda df: pd.DataFrame({
+            "conv_id": df["conv_id"], "turn_idx": df["turn_idx"],
+            "ts_us": df["ts"].astype("datetime64[us]").astype("int64")}),
+        batch_format="pandas")
+    ivs = sessionize(turns, GAP_US).map_batches(_ts_to_us,
+                                                batch_format="pandas")
+    return range_join(pts, ivs, size_ds=turns)
+
+
 # ------------------------------------------------------- documents / text
 
 def q_doc_stats(sf_dir: str):

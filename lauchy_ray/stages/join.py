@@ -123,6 +123,64 @@ def _asof_bucket(df: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+def _range_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Interval containment for EVERY key in one bucket, vectorized:
+    sort by (key, key_ts, interval-before-point), forward-carry the last
+    interval row, accept when the point ts is ≤ that interval's end.
+    Intervals of one key must be disjoint (session windows are, by
+    construction: pairwise separated by > gap)."""
+    g = df.sort_values(["conv_id", "key_ts", "side"], kind="stable")
+    n = len(g)
+    conv = g["conv_id"].to_numpy()
+    kts = g["key_ts"].to_numpy()
+    is_iv = g["side"].to_numpy() == 0
+    idx = np.arange(n)
+    first = np.ones(n, dtype=bool)
+    if n > 1:
+        first[1:] = conv[1:] != conv[:-1]
+    seg_start = idx[first][np.cumsum(first) - 1]
+    carried = np.maximum.accumulate(np.where(is_iv, idx, -1))
+    src = np.clip(carried, 0, n - 1)
+    ends = g["end_us"].to_numpy()
+    sids = g["session_id"].to_numpy()
+    inside = (carried >= seg_start) & (kts <= ends[src])
+    probe = ~is_iv
+    out_sid = np.where(inside[probe], sids[src[probe]], np.int64(-1))
+    return pd.DataFrame({
+        "conv_id": conv[probe],
+        "turn_idx": g["turn_idx"].to_numpy()[probe],
+        "ts_us": kts[probe],
+        "session_id": out_sid.astype(np.int64),
+    })
+
+
+def range_join(points: rd.Dataset, intervals: rd.Dataset,
+               size_ds=None) -> rd.Dataset:
+    """RANGE (interval-containment) JOIN: attach to every point row the
+    interval of the same key containing its ts — same composition shape
+    as asof_join (tag + union + key co-location + one vectorized
+    forward-carry pass). points: (conv_id, turn_idx, ts_us); intervals:
+    (conv_id, session_id, start_us, end_us), disjoint per key.
+    → (conv_id, turn_idx, ts_us, session_id), -1 when uncovered."""
+    from .bucketing import group_map_by_key
+
+    def tag_points(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "conv_id": df["conv_id"], "key_ts": df["ts_us"],
+            "end_us": np.int64(-1), "session_id": np.int64(-1),
+            "turn_idx": df["turn_idx"], "side": np.int64(1)})
+
+    def tag_ivs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "conv_id": df["conv_id"], "key_ts": df["start_us"],
+            "end_us": df["end_us"], "session_id": df["session_id"],
+            "turn_idx": np.int64(-1), "side": np.int64(0)})
+
+    both = intervals.map_batches(tag_ivs, batch_format="pandas").union(
+        points.map_batches(tag_points, batch_format="pandas"))
+    return group_map_by_key(both, "conv_id", _range_bucket, size_ds=size_ds)
+
+
 def asof_join(left: rd.Dataset, right: rd.Dataset,
               key: str = "user_id", size_ds=None) -> rd.Dataset:
     """AS-OF JOIN (the custom operator the Dataset API lacks): for every

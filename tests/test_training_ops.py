@@ -475,3 +475,25 @@ def test_asof_join_ties_and_no_match():
     assert out["asof_id"].tolist() == [2, 2, -1]
     assert out["asof_ts_us"].tolist() == [200, 200, -1]
     assert out["ts_us"].tolist() == [200, 300, 50]
+
+
+def test_range_join_uncovered_points():
+    """Range join pins: containment is inclusive on both ends, points
+    between/before intervals get the -1 sentinel, per-key isolation."""
+    from lauchy_ray.stages.join import range_join
+
+    pts = pd.DataFrame({
+        "conv_id": ["A", "A", "A", "A", "B"],
+        "turn_idx": [0, 1, 2, 3, 0],
+        "ts_us": [100, 200, 250, 301, 100],
+    })
+    ivs = pd.DataFrame({
+        "conv_id": ["A", "A", "B"],
+        "session_id": [0, 1, 0],
+        "start_us": [100, 300, 500],
+        "end_us": [200, 400, 600],
+    })
+    out = (range_join(rd.from_pandas(pts), rd.from_pandas(ivs))
+           .to_pandas().sort_values(["conv_id", "turn_idx"])
+           .reset_index(drop=True))
+    assert out["session_id"].tolist() == [0, 0, -1, 1, -1]
