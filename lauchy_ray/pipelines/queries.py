@@ -599,21 +599,40 @@ def q_asof_join(sf_dir: str):
     """AS-OF JOIN over events: for every 'purchase', the most recent
     'click' of the same user at click.ts ≤ purchase.ts (classic
     attribution) — the custom operator the Dataset API lacks, composed as
-    tag + union + key-bucketed forward-carry (stages/join.asof_join).
-    SQL-checked against a deterministic LATERAL top-1 oracle."""
-    from ..stages.join import asof_join
+    tag + key-bucketed forward-carry (stages/join.asof_join_tagged).
+    ONE parquet scan builds both streams (side derived from event_type
+    in-batch; two filter lineages would read the input twice), and the
+    dead event_type column never enters the shuffle. SQL-checked against
+    a deterministic LATERAL top-1 oracle."""
+    from ..stages.join import asof_join_tagged
     raw = rd.read_parquet(f"{sf_dir}/events.parquet",
                           columns=["event_id", "user_id", "ts", "event_type"])
-    left = raw.filter(expr="event_type == 'purchase'")
-    right = raw.filter(expr="event_type == 'click'")
-    return asof_join(left, right, size_ds=raw)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["event_type"].isin(["purchase", "click"])]
+        return pd.DataFrame({
+            "event_id": sub["event_id"].astype("int64"),
+            "user_id": sub["user_id"],
+            "ts": sub["ts"],
+            "side": np.where(sub["event_type"].to_numpy() == "click",
+                             np.int64(0), np.int64(1)),
+        })
+
+    both = raw.map_batches(tag, batch_format="pandas")
+    return asof_join_tagged(both, "user_id", size_ds=raw)
 
 
 def q_range_join(sf_dir: str):
     """RANGE (interval-containment) JOIN: every turn attached to the
     session window containing it (conv_id key, disjoint intervals by
     construction) — composed like asof_join; oracle is a LEFT JOIN ON
-    BETWEEN over the shared sessionize CTE."""
+    BETWEEN over the shared sessionize CTE.
+
+    Lineage note: both branches (points + sessionize) read the SAME turns
+    dataset — free while _turns is materialized (the cache gate); above
+    the gate the at-scale pattern is the flagship's: write turns to a
+    sink once and read both branches from it, not recompute the derive
+    shuffle per branch."""
     from ..stages.join import range_join
     turns = _turns(sf_dir)
     pts = turns.map_batches(

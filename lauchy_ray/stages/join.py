@@ -84,42 +84,48 @@ def ordered_conv_join(turns: rd.Dataset) -> rd.Dataset:
     return group_map_by_key(turns, "conv_id", _with_prev_bucket)
 
 
-def _asof_bucket(df: pd.DataFrame) -> pd.DataFrame:
-    """As-of attach for EVERY key collocated in one bucket, vectorized:
-    sort by (key, ts, right-before-left, event_id), forward-carry the
-    last right-side row index with a reset-at-key-boundary
-    maximum.accumulate — no per-key Python, no per-row loop. Ties at
-    equal ts: the right side is eligible (ts ≤ ts) and the greatest
-    event_id wins (matches the oracle's ORDER BY ts DESC, event_id DESC
-    LIMIT 1). Within the sort, right rows order before left rows at
-    equal (ts, …) via the side column (0 < 1)."""
-    # side: 0 = right (the "as of" lookup stream), 1 = left (probe)
-    g = df.sort_values(["user_id", "ts", "side", "event_id"],
-                       kind="stable")
-    n = len(g)
-    user = g["user_id"].to_numpy()
-    ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-    eid = g["event_id"].to_numpy()
-    is_right = g["side"].to_numpy() == 0
+def _carry_last(keys: np.ndarray, is_src: np.ndarray):
+    """Shared forward-carry scaffolding for the ordered-merge joins: over
+    rows sorted by (key, …), carry the index of the last source row with
+    a reset-at-key-boundary maximum.accumulate. → (src_idx clipped,
+    has_match) where has_match is False when the carried source row
+    belongs to a previous key's run."""
+    n = len(keys)
     idx = np.arange(n)
     first = np.ones(n, dtype=bool)
     if n > 1:
-        first[1:] = user[1:] != user[:-1]
-    seg_id = np.cumsum(first) - 1
-    seg_start = idx[first][seg_id]
-    carried = np.maximum.accumulate(np.where(is_right, idx, -1))
-    has_match = carried >= seg_start          # a right row in THIS key's run
+        first[1:] = keys[1:] != keys[:-1]
+    seg_start = idx[first][np.cumsum(first) - 1]
+    carried = np.maximum.accumulate(np.where(is_src, idx, -1))
+    has_match = carried >= seg_start
+    return np.clip(carried, 0, max(n - 1, 0)), has_match
+
+
+def _asof_bucket(df: pd.DataFrame, key: str) -> pd.DataFrame:
+    """As-of attach for EVERY key collocated in one bucket, vectorized:
+    sort by (key, ts, right-before-left, event_id), forward-carry the
+    last right-side row (_carry_last). Ties at equal ts: the right side
+    is eligible (ts ≤ ts) and the greatest event_id wins (matches the
+    oracle's ORDER BY ts DESC, event_id DESC LIMIT 1). Within the sort,
+    right rows order before left rows at equal ts via side (0 < 1)."""
+    # side: 0 = right (the "as of" lookup stream), 1 = left (probe)
+    g = df.sort_values([key, "ts", "side", "event_id"], kind="stable")
+    keys = g[key].to_numpy()
+    ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    eid = g["event_id"].to_numpy()
+    is_right = g["side"].to_numpy() == 0
+    src, has_match = _carry_last(keys, is_right)
     probe = ~is_right
     m = has_match[probe]
-    src = carried[probe]
-    click_id = np.where(m, eid[np.clip(src, 0, n - 1)], np.int64(-1))
-    click_ts = np.where(m, ts[np.clip(src, 0, n - 1)], np.int64(-1))
+    sp = src[probe]
+    asof_id = np.where(m, eid[sp], np.int64(-1))
+    asof_ts = np.where(m, ts[sp], np.int64(-1))
     return pd.DataFrame({
         "event_id": eid[probe],
-        "user_id": user[probe],
+        key: keys[probe],
         "ts_us": ts[probe],
-        "asof_id": click_id.astype(np.int64),
-        "asof_ts_us": click_ts.astype(np.int64),
+        "asof_id": asof_id.astype(np.int64),
+        "asof_ts_us": asof_ts.astype(np.int64),
     })
 
 
@@ -130,20 +136,13 @@ def _range_bucket(df: pd.DataFrame) -> pd.DataFrame:
     Intervals of one key must be disjoint (session windows are, by
     construction: pairwise separated by > gap)."""
     g = df.sort_values(["conv_id", "key_ts", "side"], kind="stable")
-    n = len(g)
     conv = g["conv_id"].to_numpy()
     kts = g["key_ts"].to_numpy()
     is_iv = g["side"].to_numpy() == 0
-    idx = np.arange(n)
-    first = np.ones(n, dtype=bool)
-    if n > 1:
-        first[1:] = conv[1:] != conv[:-1]
-    seg_start = idx[first][np.cumsum(first) - 1]
-    carried = np.maximum.accumulate(np.where(is_iv, idx, -1))
-    src = np.clip(carried, 0, n - 1)
+    src, has_match = _carry_last(conv, is_iv)
     ends = g["end_us"].to_numpy()
     sids = g["session_id"].to_numpy()
-    inside = (carried >= seg_start) & (kts <= ends[src])
+    inside = has_match & (kts <= ends[src])
     probe = ~is_iv
     out_sid = np.where(inside[probe], sids[src[probe]], np.int64(-1))
     return pd.DataFrame({
@@ -166,14 +165,21 @@ def range_join(points: rd.Dataset, intervals: rd.Dataset,
 
     def tag_points(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
-            "conv_id": df["conv_id"], "key_ts": df["ts_us"],
+            "conv_id": df["conv_id"],
+            "key_ts": df["ts_us"].astype("int64"),
             "end_us": np.int64(-1), "session_id": np.int64(-1),
-            "turn_idx": df["turn_idx"], "side": np.int64(1)})
+            "turn_idx": df["turn_idx"].astype("int64"),
+            "side": np.int64(1)})
 
     def tag_ivs(df: pd.DataFrame) -> pd.DataFrame:
+        # int64 throughout: sessionize emits int32 session_id, and the
+        # union's two branches must share ONE schema (Ray warns on
+        # mismatched block schemas and arrow-strict paths would fail)
         return pd.DataFrame({
-            "conv_id": df["conv_id"], "key_ts": df["start_us"],
-            "end_us": df["end_us"], "session_id": df["session_id"],
+            "conv_id": df["conv_id"],
+            "key_ts": df["start_us"].astype("int64"),
+            "end_us": df["end_us"].astype("int64"),
+            "session_id": df["session_id"].astype("int64"),
             "turn_idx": np.int64(-1), "side": np.int64(0)})
 
     both = intervals.map_batches(tag_ivs, batch_format="pandas").union(
@@ -198,9 +204,22 @@ def asof_join(left: rd.Dataset, right: rd.Dataset,
 
     def tag(side: int):
         def add(df: pd.DataFrame) -> pd.DataFrame:
-            return df.assign(side=np.int64(side))
+            return pd.DataFrame({"event_id": df["event_id"].astype("int64"),
+                                 key: df[key], "ts": df["ts"],
+                                 "side": np.int64(side)})
         return add
 
     both = right.map_batches(tag(0), batch_format="pandas").union(
         left.map_batches(tag(1), batch_format="pandas"))
-    return group_map_by_key(both, key, _asof_bucket, size_ds=size_ds)
+    return asof_join_tagged(both, key, size_ds=size_ds)
+
+
+def asof_join_tagged(both: rd.Dataset, key: str = "user_id",
+                     size_ds=None) -> rd.Dataset:
+    """asof_join over a PRE-TAGGED union (columns event_id, key, ts,
+    side: 0=right/lookup, 1=left/probe) — lets a caller build both
+    streams from ONE scan of a shared source instead of two filter
+    lineages over the same read."""
+    from .bucketing import group_map_by_key
+    return group_map_by_key(both, key, lambda g: _asof_bucket(g, key),
+                            size_ds=size_ds)

@@ -469,12 +469,13 @@ def test_asof_join_ties_and_no_match():
     ds = rd.from_pandas(df)
     left = ds.filter(expr="event_type == 'purchase'")
     right = ds.filter(expr="event_type == 'click'")
-    out = (asof_join(left, right, size_ds=ds).to_pandas()
-           .sort_values("event_id").reset_index(drop=True))
-    assert out["event_id"].tolist() == [3, 4, 5]
-    assert out["asof_id"].tolist() == [2, 2, -1]
-    assert out["asof_ts_us"].tolist() == [200, 200, -1]
-    assert out["ts_us"].tolist() == [200, 300, 50]
+    for size_ds in (ds, None):   # single-task fast path AND bucketed path
+        out = (asof_join(left, right, size_ds=size_ds).to_pandas()
+               .sort_values("event_id").reset_index(drop=True))
+        assert out["event_id"].tolist() == [3, 4, 5]
+        assert out["asof_id"].tolist() == [2, 2, -1]
+        assert out["asof_ts_us"].tolist() == [200, 200, -1]
+        assert out["ts_us"].tolist() == [200, 300, 50]
 
 
 def test_range_join_uncovered_points():
