@@ -3,7 +3,7 @@
 buffers for stable ordering"; generalizes the reference's per-record
 entity lookups V3-V6, TopologyProducer.java:196-208).
 
-Two faces:
+Four faces:
 
 - ``broadcast_join``: the small side (rules / dimension table) is shipped
   once via ray.put and looked up per batch in actor state — no shuffle
@@ -14,6 +14,11 @@ Two faces:
   WITH previous-turn context (prev_role, gap) via boundary-masked shifts.
   Per-task state is one bucket (~TARGET_BUCKET_BYTES of rows); the
   Python-call count is O(buckets), not O(conversations).
+- ``asof_join`` / ``asof_join_tagged``: most recent right row with
+  ts ≤ left ts per key — tag + union + key co-location + one vectorized
+  forward-carry pass (_carry_last) per bucket.
+- ``range_join``: interval-containment (point → covering interval of the
+  same key, intervals disjoint) — same composition, end-bound checked.
 """
 
 from __future__ import annotations
