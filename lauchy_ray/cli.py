@@ -152,7 +152,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd in ("validate", "stream", "stream-sessions",
                         "stream-dedup", "sessions", "windows"):
             from .sources.stream import list_fragments
-            if not list_fragments(args.input):
+            try:
+                frags = list_fragments(args.input)
+            except FileNotFoundError:
+                frags = []
+            if not frags:
                 print(json.dumps({"error": f"no parquet fragments under {args.input}"}),
                       file=sys.stderr)
                 return 2

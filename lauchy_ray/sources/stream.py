@@ -25,6 +25,11 @@ import ray.data as rd
 def list_fragments(path: str) -> list[str]:
     if os.path.isfile(path):
         return [path]
+    if not os.path.isdir(path):
+        # a typo'd path must fail loudly: a silent [] here once produced
+        # an empty stream AND stamped a checkpoint _meta.json with the
+        # empty-input sha, poisoning later resumes against the real input
+        raise FileNotFoundError(f"stream input not found: {path}")
     return sorted(glob.glob(os.path.join(path, "*.parquet")))
 
 

@@ -31,7 +31,6 @@ fragment shard), never row data, and fragments stream with
 
 from __future__ import annotations
 
-import heapq
 import os
 
 import numpy as np
@@ -323,10 +322,10 @@ class SessionShardCore(ShardActorBase):
     """One shard of streaming SESSION-window state (north_star: session
     windows keyed on conv_id with ts-gap close, watermark-driven emission).
 
-    State per conv: a sorted list of open sessions ``[start, end, n]``,
-    pairwise separated by > gap. A session closes (emits exactly once)
-    when the watermark passes ``end + gap`` — no future on-time row can
-    extend it, because extension needs ``ts ≤ end + gap ≤ wm`` while
+    State: COLUMNAR open-session arrays (conv, start, end, n), pairwise
+    separated by > gap within a conv. A session closes (emits exactly
+    once) when the watermark passes ``end + gap`` — no future on-time row
+    can extend it, because extension needs ``ts ≤ end + gap ≤ wm`` while
     on-time means ``ts + gap > wm``. Closure is decided per ROW against
     the PREFIX watermark, so results are independent of micro-batch
     boundaries (the same property the window engine gets from its
@@ -334,53 +333,94 @@ class SessionShardCore(ShardActorBase):
     singleton session would already be closed) are routed to the late
     output, never merged (the window engine's route policy).
 
-    State is O(open sessions), bounded by lateness × arrival rate; the
-    close sweep is a lazy min-close heap (one scheduled bound per conv,
-    popped past the watermark) — O(closable convs) per micro-batch, so
-    shards holding millions of concurrently open conversations never
-    rescan them all."""
+    The common case is FULLY VECTORIZED: the batch's mini-sessions and
+    the whole open set merge in one sorted interval-union sweep (grouped
+    cummax + reduceat), and closing is one mask — no per-conversation
+    Python in the hot path (the prior per-conv dict merge was the
+    sessions engine's bottleneck). Convs that could close MID-batch
+    (rare) still replay per row against the prefix watermark, preserving
+    batch-boundary invariance exactly. State is O(open sessions),
+    bounded by lateness × arrival rate."""
 
     def __init__(self, gap_us: int, lateness_us: int,
                  checkpoint_path: str | None = None):
         self.gap = gap_us
         self.lateness = lateness_us
-        self.open: dict[str, list[list[int]]] = {}  # conv → [[start, end, n]...]
-        # lazy close schedule: per conv, ONE scheduled (bound, conv)
-        # entry at ≤ its earliest close bound (end+gap); the per-fragment
-        # sweep pops only entries past the watermark instead of scanning
-        # EVERY open conv each micro-batch. _sched dedups pushes (skip
-        # when an earlier bound is already queued) so heap memory stays
-        # O(open convs), not O(merges); stale entries no-op on pop
-        # (bounds only ever UNDERestimate — ends grow — so a re-check is
-        # early, never missed).
-        self._close_heap: list[tuple[int, str]] = []
-        self._sched: dict[str, int] = {}
+        self.oc = np.empty(0, dtype=object)   # conv per open session
+        self.olo = np.empty(0, dtype=np.int64)
+        self.ohi = np.empty(0, dtype=np.int64)
+        self.on_ = np.empty(0, dtype=np.int64)
         self._init_shard_state(checkpoint_path, (gap_us, lateness_us))
 
     def _core_state(self):
-        return self.open
+        return (self.oc, self.olo, self.ohi, self.on_)
 
     def _restore_core(self, core) -> None:
-        self.open = core
-        # restored sessions have no merge-time entries: seed one per conv
-        # at its earliest bound; _close_conv re-schedules the next bound
-        # after each close, covering the rest lazily
-        self._close_heap = []
-        self._sched = {}
-        for conv, lst in self.open.items():
-            self._push_bound(conv, min(s[1] for s in lst) + self.gap)
+        if isinstance(core, dict):            # legacy dict-form snapshot
+            rows = [(c, s[0], s[1], s[2]) for c, lst in core.items()
+                    for s in lst]
+            self.oc = np.array([r[0] for r in rows], dtype=object)
+            self.olo = np.array([r[1] for r in rows], dtype=np.int64)
+            self.ohi = np.array([r[2] for r in rows], dtype=np.int64)
+            self.on_ = np.array([r[3] for r in rows], dtype=np.int64)
+        else:
+            self.oc, self.olo, self.ohi, self.on_ = (
+                np.asarray(core[0], dtype=object),
+                np.asarray(core[1], dtype=np.int64),
+                np.asarray(core[2], dtype=np.int64),
+                np.asarray(core[3], dtype=np.int64))
 
-    def _push_bound(self, conv: str, bound: int) -> None:
-        """Schedule a close re-check; skipped when an EARLIER bound is
-        already queued for this conv (one live entry per conv)."""
-        cur = self._sched.get(conv)
-        if cur is None or bound < cur:
-            heapq.heappush(self._close_heap, (bound, conv))
-            self._sched[conv] = bound
+    # ---- vectorized interval-union over (conv, lo, hi, n) rows --------
 
-    def _close_conv(self, conv: str, wm: int) -> None:
-        lst = self.open.get(conv)
-        self._sched.pop(conv, None)   # re-scheduled below if sessions remain
+    def _merge_all(self, ac, alo, ahi, an) -> None:
+        """Replace the open set with the gap-merge of the given rows:
+        sort by (conv, lo), break where lo > running-max(hi) + gap, fold
+        each run with reduceat. Untouched convs fold to themselves (their
+        sessions are already > gap apart) — one vectorized pass total."""
+        if len(ac) == 0:
+            self.oc = np.empty(0, dtype=object)
+            self.olo = np.empty(0, dtype=np.int64)
+            self.ohi = np.empty(0, dtype=np.int64)
+            self.on_ = np.empty(0, dtype=np.int64)
+            return
+        uniq, codes = np.unique(ac, return_inverse=True)
+        order = np.lexsort((alo, codes))
+        sc = codes[order]
+        slo = alo[order]
+        shi = ahi[order]
+        sn = an[order]
+        first = np.ones(len(sc), dtype=bool)
+        if len(sc) > 1:
+            first[1:] = sc[1:] != sc[:-1]
+        # grouped running max of hi (pandas cython cummax), EXCLUSIVE
+        run = pd.Series(shi).groupby(pd.Series(sc), sort=False).cummax()             .to_numpy()
+        prev_run = np.empty_like(run)
+        if len(run):
+            prev_run[0] = 0
+            prev_run[1:] = run[:-1]
+        brk = first | (slo > prev_run + self.gap)
+        starts = np.flatnonzero(brk)
+        self.oc = uniq[sc[starts]]
+        self.olo = slo[starts]
+        self.ohi = np.maximum.reduceat(shi, starts)
+        self.on_ = np.add.reduceat(sn, starts)
+
+    def _emit_closed(self, wm: int) -> None:
+        closed = self.ohi + np.int64(self.gap) <= wm
+        if closed.any():
+            for c, l, h, nn in zip(self.oc[closed], self.olo[closed],
+                                   self.ohi[closed], self.on_[closed]):
+                self.emitted.append({"conv_id": c, "start_us": int(l),
+                                     "end_us": int(h), "n_turns": int(nn)})
+            keep = ~closed
+            self.oc, self.olo, self.ohi, self.on_ = (
+                self.oc[keep], self.olo[keep], self.ohi[keep],
+                self.on_[keep])
+
+    # ---- slow-path per-row helpers over a temp dict -------------------
+
+    def _dict_close(self, tmp: dict, conv, wm: int) -> None:
+        lst = tmp.get(conv)
         if not lst:
             return
         keep = []
@@ -391,22 +431,14 @@ class SessionShardCore(ShardActorBase):
             else:
                 keep.append(s)
         if keep:
-            self.open[conv] = keep
-            self._push_bound(conv, min(s[1] for s in keep) + self.gap)
+            tmp[conv] = keep
         else:
-            del self.open[conv]
+            del tmp[conv]
 
-    def _sweep_close(self, wm: int) -> None:
-        h = self._close_heap
-        while h and h[0][0] <= wm:
-            _, conv = heapq.heappop(h)
-            # kept sessions re-schedule bounds > wm, so this terminates
-            self._close_conv(conv, wm)
-
-    def _merge_seg(self, conv: str, lo: int, hi: int, n: int) -> None:
-        """Insert one session segment: extend/merge every session within
-        gap (a segment can bridge two sessions separated by ≤ 2·gap)."""
-        lst = self.open.setdefault(conv, [])
+    def _dict_merge(self, tmp: dict, conv, lo: int, hi: int, n: int) -> None:
+        """Insert one segment: extend/merge every session within gap (a
+        segment can bridge two sessions separated by ≤ 2·gap)."""
+        lst = tmp.setdefault(conv, [])
         keep = []
         for s in lst:
             if s[0] - self.gap <= hi and lo <= s[1] + self.gap:
@@ -416,12 +448,7 @@ class SessionShardCore(ShardActorBase):
             else:
                 keep.append(s)
         keep.append([lo, hi, n])
-        keep.sort(key=lambda s: s[0])
-        self.open[conv] = keep
-        self._push_bound(conv, hi + self.gap)
-
-    def _merge_row(self, conv: str, ts: int) -> None:
-        self._merge_seg(conv, ts, ts, 1)
+        tmp[conv] = keep
 
     def _segments_of(self, on: np.ndarray, convs: list, ts: np.ndarray):
         """Vectorized mini-sessions of the batch's on-time rows: sort by
@@ -441,14 +468,13 @@ class SessionShardCore(ShardActorBase):
 
     def _slow_convs(self, segs, final_cm: int) -> set:
         """Convs whose per-row close-before-merge interleave could matter
-        this batch: any of their segments (open session or new mini) could
-        close against a prefix watermark (all prefix wms ≤ final_cm).
-        Closure and merging are PER-CONV operations reading only the
-        precomputed prefix wms, so every other conv can merge vectorized
-        and order-independently."""
+        this batch: any of their segments (open session or new mini)
+        could close against a prefix watermark (all prefix wms ≤
+        final_cm). Closure and merging are PER-CONV operations reading
+        only the precomputed prefix wms, so every other conv can merge
+        vectorized and order-independently."""
         bound = final_cm - self.gap
-        slow = {conv for conv, lst in self.open.items()
-                for s in lst if s[1] <= bound}
+        slow = set(self.oc[self.ohi <= bound])
         seg_conv, seg_lo, _hi, _n = segs
         # the weakest INTERMEDIATE per-row state of a new segment is a
         # just-created singleton at some row ts ≥ lo, so a segment is
@@ -488,36 +514,68 @@ class SessionShardCore(ShardActorBase):
         if len(on):
             segs = self._segments_of(on, convs, ts)
             slow = self._slow_convs(segs, final_cm)
+            seg_conv, seg_lo, seg_hi, seg_n = segs
+            if slow:
+                # rare interleaved convs: pull their open rows into a
+                # temp dict, exact per-row replay with close-before-merge
+                # at each row's prefix watermark, fold remnants back
+                sm = np.fromiter((c in slow for c in self.oc), dtype=bool,
+                                 count=len(self.oc))
+                tmp: dict = {}
+                for c, l, h, nn in zip(self.oc[sm], self.olo[sm],
+                                       self.ohi[sm], self.on_[sm]):
+                    tmp.setdefault(c, []).append([int(l), int(h), int(nn)])
+                ks = ~sm
+                self.oc, self.olo, self.ohi, self.on_ = (
+                    self.oc[ks], self.olo[ks], self.ohi[ks], self.on_[ks])
+                for i in on:
+                    conv = convs[i]
+                    if conv in slow:
+                        self._dict_close(tmp, conv, int(prefix_wm[i]))
+                        self._dict_merge(tmp, conv, int(ts[i]), int(ts[i]), 1)
+                fmask = np.fromiter((c not in slow for c in seg_conv),
+                                    dtype=bool, count=len(seg_conv))
+                seg_conv, seg_lo = seg_conv[fmask], seg_lo[fmask]
+                seg_hi, seg_n = seg_hi[fmask], seg_n[fmask]
+                rem = [(c, s[0], s[1], s[2]) for c, lst in tmp.items()
+                       for s in lst]
+                if rem:
+                    self.oc = np.concatenate(
+                        [self.oc, np.array([r[0] for r in rem], object)])
+                    self.olo = np.concatenate(
+                        [self.olo, np.array([r[1] for r in rem], np.int64)])
+                    self.ohi = np.concatenate(
+                        [self.ohi, np.array([r[2] for r in rem], np.int64)])
+                    self.on_ = np.concatenate(
+                        [self.on_, np.array([r[3] for r in rem], np.int64)])
             # FAST PATH (the overwhelmingly common conv): no segment of
             # the conv can close against any prefix watermark, so the
             # per-row close-before-merge interleave is a no-op and its
             # merging is ORDER-INDEPENDENT (connected components under
-            # the gap relation) — merge the vectorized mini-sessions.
-            for conv, lo, hi, cnt in zip(*segs):
-                if conv not in slow:
-                    self._merge_seg(conv, int(lo), int(hi), int(cnt))
-            if slow:
-                # rare interleaved convs: exact per-row replay with
-                # close-before-merge at each row's prefix watermark
-                for i in on:
-                    conv = convs[i]
-                    if conv in slow:
-                        self._close_conv(conv, int(prefix_wm[i]))
-                        self._merge_row(conv, int(ts[i]))
+            # the gap relation) — ONE vectorized interval-union over the
+            # whole open set + the batch's mini-sessions.
+            self._merge_all(
+                np.concatenate([self.oc, seg_conv]),
+                np.concatenate([self.olo, seg_lo.astype(np.int64)]),
+                np.concatenate([self.ohi, seg_hi.astype(np.int64)]),
+                np.concatenate([self.on_, seg_n.astype(np.int64)]))
         if final_cm > self.wm:
             self.wm = final_cm
-        self._sweep_close(self.wm)
+        self._emit_closed(self.wm)
         if seq is not None:
             self.seq = seq
             self._checkpoint()
         return n
 
     def finalize(self) -> dict:
-        for conv in sorted(self.open):
-            for s in self.open[conv]:
-                self.emitted.append({"conv_id": conv, "start_us": s[0],
-                                     "end_us": s[1], "n_turns": s[2]})
-        self.open.clear()
+        order = np.lexsort((self.olo, self.oc.astype(str)))
+        for i in order:
+            self.emitted.append({"conv_id": self.oc[i],
+                                 "start_us": int(self.olo[i]),
+                                 "end_us": int(self.ohi[i]),
+                                 "n_turns": int(self.on_[i])})
+        self.oc = np.empty(0, dtype=object)
+        self.olo = self.ohi = self.on_ = np.empty(0, dtype=np.int64)
         hist_emitted, hist_late = self._read_deltas()
         return {"emitted": hist_emitted + self.emitted,
                 "late": hist_late + self.late, "watermark": self.wm}
