@@ -15,6 +15,7 @@ import pyarrow.compute as pc
 from ..rules import DEFAULT_RULES
 from ..stages.validator import Validator
 from ..state.sink import run_exactly_once
+from .validate import _drop_null_text
 
 SINKS = ["valid", "rejected", "side"]
 
@@ -33,7 +34,9 @@ class ValidateTransform:
         self.predicates = dict(R.PREDICATE_REGISTRY)  # driver-side snapshot
 
     def __call__(self, table: pa.Table) -> dict[str, pa.Table]:
-        from .validate import _drop_null_text
+        # _drop_null_text is a module-top import: __call__ runs on WORKERS,
+        # where a lazy relative import re-executes without the package on
+        # sys.path when the driver runs from a foreign cwd
         v = Validator(rules=self.rules, entity_codes=self.entity_codes,
                       enable_blacklist=self.enable_blacklist,
                       predicates=self.predicates)

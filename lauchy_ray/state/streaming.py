@@ -40,7 +40,9 @@ import pyarrow.parquet as pq
 import ray
 
 from ..oracle import shard_of
+from ..pipelines.validate import _drop_null_text
 from ..sources.stream import list_fragments
+from ..stages.validator import Validator
 from .sink import _atomic_write
 
 NEG_INF = -(1 << 62)
@@ -350,6 +352,8 @@ class SessionShardCore(ShardActorBase):
         self.olo = np.empty(0, dtype=np.int64)
         self.ohi = np.empty(0, dtype=np.int64)
         self.on_ = np.empty(0, dtype=np.int64)
+        # lower bound on min(open hi) + gap: wm below it ⇒ nothing closable
+        self._close_bound: int | None = None
         self._init_shard_state(checkpoint_path, (gap_us, lateness_us))
 
     def _core_state(self):
@@ -369,20 +373,16 @@ class SessionShardCore(ShardActorBase):
                 np.asarray(core[1], dtype=np.int64),
                 np.asarray(core[2], dtype=np.int64),
                 np.asarray(core[3], dtype=np.int64))
+        self._close_bound = (int(self.ohi.min()) + self.gap
+                             if len(self.ohi) else None)
 
     # ---- vectorized interval-union over (conv, lo, hi, n) rows --------
 
-    def _merge_all(self, ac, alo, ahi, an) -> None:
-        """Replace the open set with the gap-merge of the given rows:
-        sort by (conv, lo), break where lo > running-max(hi) + gap, fold
-        each run with reduceat. Untouched convs fold to themselves (their
-        sessions are already > gap apart) — one vectorized pass total."""
-        if len(ac) == 0:
-            self.oc = np.empty(0, dtype=object)
-            self.olo = np.empty(0, dtype=np.int64)
-            self.ohi = np.empty(0, dtype=np.int64)
-            self.on_ = np.empty(0, dtype=np.int64)
-            return
+    def _gap_union(self, ac, alo, ahi, an):
+        """Gap-merge the given rows: sort by (conv, lo), break where
+        lo > running-max(hi) + gap, fold each run with reduceat. Rows of
+        a conv already > gap apart fold to themselves. Returns the merged
+        (conv, lo, hi, n) arrays."""
         uniq, codes = np.unique(ac, return_inverse=True)
         order = np.lexsort((alo, codes))
         sc = codes[order]
@@ -392,20 +392,64 @@ class SessionShardCore(ShardActorBase):
         first = np.ones(len(sc), dtype=bool)
         if len(sc) > 1:
             first[1:] = sc[1:] != sc[:-1]
-        # grouped running max of hi (pandas cython cummax), EXCLUSIVE
-        run = pd.Series(shi).groupby(pd.Series(sc), sort=False).cummax()             .to_numpy()
+        # grouped running max of hi (pandas cython cummax), EXCLUSIVE;
+        # prev_run[first] is the PREVIOUS conv's max — masked by `first`
+        run = (pd.Series(shi).groupby(pd.Series(sc), sort=False)
+               .cummax().to_numpy())
         prev_run = np.empty_like(run)
         if len(run):
             prev_run[0] = 0
             prev_run[1:] = run[:-1]
         brk = first | (slo > prev_run + self.gap)
         starts = np.flatnonzero(brk)
-        self.oc = uniq[sc[starts]]
-        self.olo = slo[starts]
-        self.ohi = np.maximum.reduceat(shi, starts)
-        self.on_ = np.add.reduceat(sn, starts)
+        return (uniq[sc[starts]], slo[starts],
+                np.maximum.reduceat(shi, starts),
+                np.add.reduceat(sn, starts))
+
+    def _append_open(self, ac, alo, ahi, an) -> None:
+        """Append already-merged rows to the open set (no re-union) and
+        lower the close bound to cover them."""
+        if len(ac) == 0:
+            return
+        self.oc = np.concatenate([self.oc, ac])
+        self.olo = np.concatenate([self.olo, alo])
+        self.ohi = np.concatenate([self.ohi, ahi])
+        self.on_ = np.concatenate([self.on_, an])
+        nb = int(ahi.min()) + self.gap
+        if self._close_bound is None or nb < self._close_bound:
+            self._close_bound = nb
+
+    def _merge_batch(self, seg_conv, seg_lo, seg_hi, seg_n) -> None:
+        """Union the batch's mini-sessions into the open set, touching
+        ONLY the convs present in the batch: untouched open rows (the
+        bulk of a shard holding many concurrently open conversations)
+        are carried over as-is, so per-batch sort cost scales with the
+        batch, not with total open state."""
+        if len(seg_conv) == 0:
+            return
+        if len(self.oc):
+            touched = pd.Series(self.oc).isin(seg_conv).to_numpy()
+            keep = ~touched
+            tc, tlo, thi, tn = (self.oc[touched], self.olo[touched],
+                                self.ohi[touched], self.on_[touched])
+            self.oc, self.olo, self.ohi, self.on_ = (
+                self.oc[keep], self.olo[keep], self.ohi[keep],
+                self.on_[keep])
+        else:
+            tc = np.empty(0, dtype=object)
+            tlo = thi = tn = np.empty(0, dtype=np.int64)
+        self._append_open(*self._gap_union(
+            np.concatenate([tc, seg_conv]),
+            np.concatenate([tlo, seg_lo.astype(np.int64)]),
+            np.concatenate([thi, seg_hi.astype(np.int64)]),
+            np.concatenate([tn, seg_n.astype(np.int64)])))
 
     def _emit_closed(self, wm: int) -> None:
+        # _close_bound is a LOWER bound on min(hi)+gap (merging can only
+        # raise a row's hi), so wm < bound ⇒ nothing closable: the usual
+        # micro-batch skips the O(open) mask entirely
+        if self._close_bound is None or wm < self._close_bound:
+            return
         closed = self.ohi + np.int64(self.gap) <= wm
         if closed.any():
             for c, l, h, nn in zip(self.oc[closed], self.olo[closed],
@@ -416,6 +460,9 @@ class SessionShardCore(ShardActorBase):
             self.oc, self.olo, self.ohi, self.on_ = (
                 self.oc[keep], self.olo[keep], self.ohi[keep],
                 self.on_[keep])
+        # exact bound over survivors (the O(open) pass is already paid)
+        self._close_bound = (int(self.ohi.min()) + self.gap
+                             if len(self.oc) else None)
 
     # ---- slow-path per-row helpers over a temp dict -------------------
 
@@ -540,25 +587,21 @@ class SessionShardCore(ShardActorBase):
                 rem = [(c, s[0], s[1], s[2]) for c, lst in tmp.items()
                        for s in lst]
                 if rem:
-                    self.oc = np.concatenate(
-                        [self.oc, np.array([r[0] for r in rem], object)])
-                    self.olo = np.concatenate(
-                        [self.olo, np.array([r[1] for r in rem], np.int64)])
-                    self.ohi = np.concatenate(
-                        [self.ohi, np.array([r[2] for r in rem], np.int64)])
-                    self.on_ = np.concatenate(
-                        [self.on_, np.array([r[3] for r in rem], np.int64)])
+                    # already per-conv merged by the dict replay; lowers
+                    # _close_bound to cover the remnants
+                    self._append_open(
+                        np.array([r[0] for r in rem], object),
+                        np.array([r[1] for r in rem], np.int64),
+                        np.array([r[2] for r in rem], np.int64),
+                        np.array([r[3] for r in rem], np.int64))
             # FAST PATH (the overwhelmingly common conv): no segment of
             # the conv can close against any prefix watermark, so the
             # per-row close-before-merge interleave is a no-op and its
             # merging is ORDER-INDEPENDENT (connected components under
             # the gap relation) — ONE vectorized interval-union over the
-            # whole open set + the batch's mini-sessions.
-            self._merge_all(
-                np.concatenate([self.oc, seg_conv]),
-                np.concatenate([self.olo, seg_lo.astype(np.int64)]),
-                np.concatenate([self.ohi, seg_hi.astype(np.int64)]),
-                np.concatenate([self.on_, seg_n.astype(np.int64)]))
+            # batch's mini-sessions plus ONLY the open rows of convs the
+            # batch touches; untouched open state is carried over as-is.
+            self._merge_batch(seg_conv, seg_lo, seg_hi, seg_n)
         if final_cm > self.wm:
             self.wm = final_cm
         self._emit_closed(self.wm)
@@ -771,10 +814,10 @@ def _prepare_fragment(path: str, n_shards: int, validate_kwargs) -> list:
     the stream (the ordered part is only the per-shard ingest). Returns a
     list of n_shards ObjectRefs (None where the shard is empty) so each
     actor later fetches only its own slice. ``validate_kwargs`` arrives as
-    a task arg (the driver passes one ray.put ref; Ray auto-resolves)."""
-    from ..pipelines.validate import _drop_null_text
-    from ..stages.validator import Validator
-
+    a task arg (the driver passes one ray.put ref; Ray auto-resolves).
+    NOTE: ``_drop_null_text``/``Validator`` are module-top imports —
+    a lazy relative import here re-runs on the worker, where the package
+    is not on sys.path when the driver runs from a foreign cwd."""
     validator = Validator(**(validate_kwargs or {}))
     table = pq.read_table(path)
     validated = validator(_drop_null_text(table))
