@@ -373,8 +373,12 @@ class SessionShardCore(ShardActorBase):
                 np.asarray(core[1], dtype=np.int64),
                 np.asarray(core[2], dtype=np.int64),
                 np.asarray(core[3], dtype=np.int64))
-        self._close_bound = (int(self.ohi.min()) + self.gap
-                             if len(self.ohi) else None)
+        self._close_bound = self._exact_close_bound()
+
+    def _exact_close_bound(self) -> int | None:
+        """min(open hi) + gap — the exact first watermark that can close
+        anything; None when no session is open."""
+        return int(self.ohi.min()) + self.gap if len(self.ohi) else None
 
     # ---- vectorized interval-union over (conv, lo, hi, n) rows --------
 
@@ -427,17 +431,20 @@ class SessionShardCore(ShardActorBase):
         batch, not with total open state."""
         if len(seg_conv) == 0:
             return
-        if len(self.oc):
-            touched = pd.Series(self.oc).isin(seg_conv).to_numpy()
+        touched = (pd.Series(self.oc).isin(seg_conv).to_numpy()
+                   if len(self.oc) else np.empty(0, dtype=bool))
+        if touched.any():
             keep = ~touched
             tc, tlo, thi, tn = (self.oc[touched], self.olo[touched],
                                 self.ohi[touched], self.on_[touched])
             self.oc, self.olo, self.ohi, self.on_ = (
                 self.oc[keep], self.olo[keep], self.ohi[keep],
                 self.on_[keep])
-        else:
+        else:  # no overlap: leave the open arrays untouched (no copy)
             tc = np.empty(0, dtype=object)
-            tlo = thi = tn = np.empty(0, dtype=np.int64)
+            tlo = np.empty(0, dtype=np.int64)
+            thi = np.empty(0, dtype=np.int64)
+            tn = np.empty(0, dtype=np.int64)
         self._append_open(*self._gap_union(
             np.concatenate([tc, seg_conv]),
             np.concatenate([tlo, seg_lo.astype(np.int64)]),
@@ -461,8 +468,7 @@ class SessionShardCore(ShardActorBase):
                 self.oc[keep], self.olo[keep], self.ohi[keep],
                 self.on_[keep])
         # exact bound over survivors (the O(open) pass is already paid)
-        self._close_bound = (int(self.ohi.min()) + self.gap
-                             if len(self.oc) else None)
+        self._close_bound = self._exact_close_bound()
 
     # ---- slow-path per-row helpers over a temp dict -------------------
 
