@@ -58,7 +58,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing": Q.q_q1_pricing,
         "orders_by_nation": Q.q_orders_by_nation,
         "topk_orders": Q.q_topk_orders,
+        "top_orders_per_nation": Q.q_top_orders_per_nation,
+        "customers_no_f_orders": Q.q_customers_no_f_orders,
         "events_by_type": Q.q_events_by_type,
+        "distinct_users_by_type": Q.q_distinct_users_by_type,
         "supplier_by_region": Q.q_supplier_by_region,
         "parts_by_brand": Q.q_parts_by_brand,
         # documents / embeddings
@@ -69,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": Q.q_doc_sample,
         "doc_split": Q.q_doc_split,
         "token_counts": Q.q_token_counts,
+        "token_quantiles": Q.q_token_quantiles,
         "pii_scrub": Q.q_pii_scrub,
         "turn_lag": Q.q_turn_lag,
         "asof_join": Q.q_asof_join,
@@ -195,6 +199,25 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 10""",
+        # grouped top-k: same deterministic tie-break as the Ray kernel
+        "top_orders_per_nation": """
+            SELECT n_name, CAST(rn AS BIGINT) AS rank, o_orderkey, o_totalprice
+            FROM (
+              SELECT n_name, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY n_name
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey)
+            WHERE rn <= 3""",
+        "customers_no_f_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderstatus = 'F')""",
+        "distinct_users_by_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type""",
         "events_by_type": """
             SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
             FROM events GROUP BY event_type""",
@@ -252,6 +275,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS BIGINT) AS n_ws_tokens,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_pieces
             FROM documents""",
+        # exact histogram quantiles; rank is INTEGER ceil(p*n/100) on both
+        # sides (a float p×n product would round differently between
+        # numpy float64 and DuckDB's DECIMAL literals)
+        "token_quantiles": r"""
+            WITH cnt AS (
+              SELECT CAST(len(regexp_extract_all(text, '[^ \t\n\r\f\v]+'))
+                          AS BIGINT) AS v
+              FROM documents),
+            hist AS (SELECT v, count(*) AS c FROM cnt GROUP BY v),
+            cc AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM hist),
+            tot AS (SELECT count(*) AS n FROM cnt),
+            ps AS (SELECT unnest([25, 50, 75, 90, 95, 99]) AS p)
+            SELECT CAST(ps.p AS BIGINT) AS p,
+                   CAST(min(cc.v) AS BIGINT) AS n_ws_tokens
+            FROM ps, tot, cc
+            WHERE cc.cum >= (ps.p * tot.n + 99) // 100
+            GROUP BY ps.p""",
         "turn_lag": f"""WITH {_T}
             SELECT conv_id, turn_idx, role,
                    COALESCE(lag(role) OVER w, '') AS prev_role,

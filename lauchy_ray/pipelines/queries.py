@@ -529,6 +529,116 @@ def q_topk_orders(sf_dir: str):
             .map_batches(merge, batch_format="pyarrow", batch_size=None))
 
 
+def q_top_orders_per_nation(sf_dir: str):
+    """Top-3 orders by price PER NATION (grouped top-k, the window-rank
+    pattern): the customer→nation dimension maps in-batch via the gated
+    broadcast (q_orders_by_nation's hybrid — sorted numpy arrays under
+    BROADCAST_DIM_BYTES, partitioned hash join above), then each batch
+    keeps its own top-3 per nation (≤ 25×3 rows out per batch — the
+    global per-group top-3 is a subset of the union of per-batch top-3s)
+    and one tiny merge task ranks the survivors. No global sort, no
+    fact-table shuffle; ties break on (o_totalprice DESC, o_orderkey)."""
+    import os
+
+    import pyarrow.parquet as pq
+    K = 3
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    names = np.asarray(nation["n_name"].to_pylist(), dtype=object)
+    code_of = {nk: i for i, nk in enumerate(nation["n_nationkey"].to_pylist())}
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust_path = f"{sf_dir}/customer.parquet"
+    if os.path.getsize(cust_path) <= BROADCAST_DIM_BYTES:
+        cust = (pq.read_table(cust_path, columns=["c_custkey", "c_nationkey"])
+                .sort_by("c_custkey"))
+        ckeys = cust["c_custkey"].to_numpy()
+        ccodes = np.array([code_of[nk] for nk in
+                           cust["c_nationkey"].to_pylist()], np.int64)
+        ref = ray.put((ckeys, ccodes))
+
+        def to_coded(df: pd.DataFrame) -> pd.DataFrame:
+            keys, codes = ray.get(ref)
+            ok = df["o_custkey"].to_numpy()
+            pos = np.clip(np.searchsorted(keys, ok), 0, len(keys) - 1)
+            hit = keys[pos] == ok  # inner-join semantics
+            return pd.DataFrame({
+                "code": codes[pos[hit]],
+                "o_orderkey": df["o_orderkey"].to_numpy()[hit],
+                "o_totalprice": df["o_totalprice"].to_numpy()[hit]})
+
+        coded = orders.map_batches(to_coded, batch_format="pandas")
+    else:
+        cust_ds = rd.read_parquet(cust_path,
+                                  columns=["c_custkey", "c_nationkey"])
+        joined = orders.join(cust_ds, join_type="inner", num_partitions=16,
+                             on=("o_custkey",), right_on=("c_custkey",))
+        coded = joined.map_batches(
+            lambda df: pd.DataFrame({
+                "code": df["c_nationkey"].map(code_of).astype("int64"),
+                "o_orderkey": df["o_orderkey"],
+                "o_totalprice": df["o_totalprice"]}),
+            batch_format="pandas")
+
+    def topk_per_code(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["code", "o_totalprice", "o_orderkey"],
+                           ascending=[True, False, True], kind="stable")
+        return g.groupby("code", sort=False).head(K)
+
+    def rank_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = topk_per_code(df)
+        rk = (g.groupby("code", sort=False).cumcount() + 1).to_numpy()
+        return pd.DataFrame({
+            "n_name": names[g["code"].to_numpy()],
+            "rank": rk.astype("int64"),
+            "o_orderkey": g["o_orderkey"].astype("int64").to_numpy(),
+            "o_totalprice": g["o_totalprice"].to_numpy()})
+
+    return (coded.map_batches(topk_per_code, batch_format="pandas")
+            .repartition(1).map_batches(rank_merge, batch_format="pandas",
+                                        batch_size=None))
+
+
+def q_customers_no_f_orders(sf_dir: str):
+    """ANTI-JOIN (customers with no completed 'F'-status order) as a
+    TAGGED UNION co-located on custkey: customer rows carry side=0,
+    per-batch-distinct order custkeys (filter pushed into the parquet
+    read) carry side=1; one bucket shuffle collocates each key and the
+    per-bucket pass keeps side-0 rows whose key has no side-1 row —
+    NOT-EXISTS semantics with ONE shuffle of pre-shrunk sides and no
+    broadcast, so it works at any dimension size (the broadcast-gated
+    forms cap the small side; this one never needs to)."""
+    import pyarrow.dataset as pads
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pads.field("o_orderstatus") == "F")
+    c_tag = cust.map_batches(
+        lambda df: pd.DataFrame({"key": df["c_custkey"].astype("int64"),
+                                 "c_name": df["c_name"],
+                                 "side": np.zeros(len(df), np.int64)}),
+        batch_format="pandas")
+    o_tag = orders.map_batches(
+        lambda df: pd.DataFrame({
+            "key": pd.Series(df["o_custkey"].unique()).astype("int64"),
+            "c_name": "",
+            "side": np.int64(1)}),
+        batch_format="pandas")
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        have = df.loc[df["side"] == 1, "key"]
+        keep = df[(df["side"] == 0) & ~df["key"].isin(have)]
+        return pd.DataFrame({"c_custkey": keep["key"].astype("int64"),
+                             "c_name": keep["c_name"].astype(object)})
+
+    from ..stages.bucketing import group_map_by_key
+    total = ((_path_bytes(f"{sf_dir}/customer.parquet", 1 << 40) or 1 << 40)
+             + (_path_bytes(f"{sf_dir}/orders.parquet", 1 << 40) or 1 << 40))
+    return group_map_by_key(c_tag.union(o_tag), "key", anti,
+                            size_bytes=total)
+
+
 def q_supplier_by_region(sf_dir: str):
     """3-way dimension join via broadcast (supplier ⋈ nation ⋈ region —
     all small sides): supplier count + balance per region."""
@@ -698,6 +808,71 @@ def q_token_counts(sf_dir: str):
     from ..stages.textops import token_count_batch
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(token_count_batch, batch_format="pandas")
+
+
+QUANTILE_PCTS = [25, 50, 75, 90, 95, 99]
+
+
+def q_token_quantiles(sf_dir: str):
+    """EXACT distributed quantiles of the whitespace-token count over
+    documents, computed as a VALUE-COUNT HISTOGRAM merge: each batch
+    emits (value, count) partials — cardinality bounded by the longest
+    document ever seen, never by corpus size — and one tiny merge task
+    does the rank selection over the cumulative histogram. Rank is pure
+    integer arithmetic ((p·n + 99) // 100, i.e. ceil(p·n/100)) so Ray and
+    the SQL oracle agree exactly (a float p×n product rounds differently
+    between numpy float64 and DuckDB's DECIMAL literals). At 100 TB the
+    shuffle moves O(distinct counts) rows, not O(docs)."""
+    from ..stages.textops import WS_TOKEN_RE
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.count(WS_TOKEN_RE).astype("int64").value_counts()
+        return pd.DataFrame({"v": vc.index.to_numpy(np.int64),
+                             "c": vc.to_numpy(np.int64)})
+
+    def select(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("v", sort=True)["c"].sum()
+        vals = g.index.to_numpy(np.int64)
+        cum = g.to_numpy(np.int64).cumsum()
+        n = int(cum[-1]) if len(cum) else 0
+        rows = []
+        for p in QUANTILE_PCTS:
+            rank = (p * n + 99) // 100
+            idx = int(np.searchsorted(cum, rank))  # first cum >= rank
+            rows.append((p, int(vals[min(idx, len(vals) - 1)]) if n else -1))
+        return pd.DataFrame({"p": pd.Series([r[0] for r in rows], dtype="int64"),
+                             "n_ws_tokens": pd.Series([r[1] for r in rows],
+                                                      dtype="int64")})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .repartition(1).map_batches(select, batch_format="pandas",
+                                        batch_size=None))
+
+
+def q_distinct_users_by_type(sf_dir: str):
+    """Exact grouped COUNT DISTINCT. (type, user) pair cardinality grows
+    with the corpus, so the distinct runs co-located on a USER hash
+    bucket (each pair lands in exactly one bucket ⇒ per-bucket dedup is
+    globally exact) emitting O(event types) partial counts per bucket; a
+    per-batch pair dedup shrinks what the shuffle moves first. Under the
+    size gate the same kernel runs as one task (group_map_by_key)."""
+    from ..stages.bucketing import group_map_by_key
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    pre = ds.map_batches(lambda df: df.drop_duplicates(),
+                         batch_format="pandas")
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates().groupby("event_type", sort=False).size()
+        return pd.DataFrame({"event_type": g.index.to_numpy(object),
+                             "n": g.to_numpy(np.int64)})
+
+    partials = group_map_by_key(pre, "user_id", bucket_counts, size_ds=ds)
+    return _grouped_sums(partials, ["event_type"], ["n"]).map_batches(
+        lambda df: pd.DataFrame({"event_type": df["event_type"],
+                                 "n_users": df["n"].astype("int64")}),
+        batch_format="pandas")
 
 
 def q_turn_lag(sf_dir: str):

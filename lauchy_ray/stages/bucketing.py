@@ -55,13 +55,15 @@ def safe_size_bytes(ds) -> int | None:
     return None
 
 
-def n_buckets_for(ds=None) -> int:
+def n_buckets_for(ds=None, size: int | None = None) -> int:
     """Bucket count scaled to the input: ≈ size_bytes / 64MB, clamped to
     [MIN_BUCKETS, MAX_BUCKETS]; when the dataset carries no size estimate
     (post-transform lineage), fall back to 2 × cluster CPUs so reduce
     parallelism still tracks the cluster without paying hundreds of
-    per-group calls at bench scale."""
-    size = safe_size_bytes(ds)
+    per-group calls at bench scale. ``size`` short-circuits the estimate
+    when the caller already knows the input bytes."""
+    if size is None:
+        size = safe_size_bytes(ds)
     if size:
         want = size // TARGET_BUCKET_BYTES + 1
     else:
@@ -138,7 +140,7 @@ SINGLE_TASK_BYTES = 128 << 20
 
 
 def group_map_by_key(ds, key: str, fn, batch_format: str = "pandas",
-                     size_ds=None):
+                     size_ds=None, size_bytes: int | None = None):
     """groupby-on-hash-bucket + ONE vectorized multi-group pass per bucket
     (the scale-safe per-key group op — O(buckets) Python calls), with a
     size-gated single-task fast path. ``fn`` must be key-agnostic: it
@@ -148,12 +150,15 @@ def group_map_by_key(ds, key: str, fn, batch_format: str = "pandas",
     ``size_ds``: dataset to ESTIMATE from when ``ds`` itself is transformed
     lineage (whose safe_size_bytes is None) — pass the raw input upstream
     of cheap row-preserving maps so the gate and the bucket count still
-    see a real size."""
-    size = safe_size_bytes(size_ds if size_ds is not None else ds)
+    see a real size. ``size_bytes``: explicit input-byte figure for cases
+    no single dataset describes (e.g. a union of two reads — pass the sum
+    of their on-disk sizes)."""
+    size = (size_bytes if size_bytes is not None
+            else safe_size_bytes(size_ds if size_ds is not None else ds))
     if size and size <= SINGLE_TASK_BYTES:
         return ds.repartition(1).map_batches(fn, batch_format=batch_format,
                                              batch_size=None)
-    nb = n_buckets_for(size_ds if size_ds is not None else ds)
+    nb = n_buckets_for(size_ds if size_ds is not None else ds, size=size)
     bucketed = ds.map_batches(lambda b: with_bucket(b, key, nb),
                               batch_format="pandas")
     return bucketed.groupby("__bucket").map_groups(
