@@ -293,26 +293,25 @@ def q_q1_pricing(sf_dir: str):
     return out.map_batches(final, batch_format="pandas")
 
 
-def q_orders_by_nation(sf_dir: str):
-    """orders ⋈ customer ⋈ nation → order count + revenue per nation.
-
-    customer is a FACT-scale table at TPC-H scale, so its broadcast is
-    GATED on on-disk size (BROADCAST_DIM_BYTES, same rule as
+def _orders_coded_by_nation(sf_dir: str, value_cols: list[str]):
+    """orders ⋈ customer ⋈ nation as a stream of (code, *value_cols) rows,
+    where ``code`` indexes the returned ``names`` array (nation dictionary
+    codes). customer is a FACT-scale table at TPC-H scale, so its
+    broadcast is GATED on on-disk size (BROADCAST_DIM_BYTES, same rule as
     q_order_revenue): under the gate it ships as sorted numpy arrays
-    (custkey keys + nation dictionary codes — plasma reads numpy zero-copy,
-    a dict of boxed objects re-unpickles per batch); over the gate the
-    join falls back to the partitioned hash join. The output key space
-    (nations, ≤25) is bounded, so each batch emits a bincount partial and
-    the merge moves O(nations) rows per batch — no fact-table shuffle."""
+    (custkey keys + nation codes — plasma reads numpy zero-copy, a dict
+    of boxed objects re-unpickles per batch); over the gate the join
+    falls back to the partitioned hash join. Shared by
+    q_orders_by_nation and q_top_orders_per_nation."""
     import os
 
     import pyarrow.parquet as pq
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name"])
-    names = nation["n_name"].to_pylist()
+    names = np.asarray(nation["n_name"].to_pylist(), dtype=object)
     code_of = {nk: i for i, nk in enumerate(nation["n_nationkey"].to_pylist())}
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_custkey", "o_totalprice"])
+                             columns=["o_custkey"] + value_cols)
     cust_path = f"{sf_dir}/customer.parquet"
     if os.path.getsize(cust_path) <= BROADCAST_DIM_BYTES:
         cust = (pq.read_table(cust_path, columns=["c_custkey", "c_nationkey"])
@@ -320,49 +319,58 @@ def q_orders_by_nation(sf_dir: str):
         ckeys = cust["c_custkey"].to_numpy()
         ccodes = np.array([code_of[nk] for nk in
                            cust["c_nationkey"].to_pylist()], np.int64)
-        ref = ray.put((ckeys, ccodes, names))
+        ref = ray.put((ckeys, ccodes))
 
-        def join_partial(t: pa.Table) -> pa.Table:
-            keys, codes, nm = ray.get(ref)
-            ok = t["o_custkey"].to_numpy()
-            tp = t["o_totalprice"].to_numpy()
-            pos = np.clip(np.searchsorted(keys, ok), 0, len(keys) - 1)
-            hit = keys[pos] == ok  # inner-join semantics
-            c = codes[pos[hit]]
-            sums = np.bincount(c, weights=tp[hit], minlength=len(nm))
-            cnts = np.bincount(c, minlength=len(nm))
-            nz = np.flatnonzero(cnts)
-            return pa.table({
-                "n_name": pa.array([nm[i] for i in nz], pa.string()),
-                "o_totalprice": pa.array(sums[nz], pa.float64()),
-                "n_orders": pa.array(cnts[nz].astype(np.int64)),
-            })
+        def to_coded(df: pd.DataFrame) -> pd.DataFrame:
+            keys, codes = ray.get(ref)
+            ok = df["o_custkey"].to_numpy()
+            if len(keys):
+                pos = np.clip(np.searchsorted(keys, ok), 0, len(keys) - 1)
+                hit = keys[pos] == ok  # inner-join semantics
+                code = codes[pos[hit]]
+            else:  # empty dimension: the inner join drops every row
+                hit = np.zeros(len(ok), dtype=bool)
+                code = np.empty(0, np.int64)
+            out = {"code": code}
+            for c in value_cols:
+                out[c] = df[c].to_numpy()[hit]
+            return pd.DataFrame(out)
 
-        joined = orders.map_batches(join_partial, batch_format="pyarrow")
-        out = _grouped_sums(joined, ["n_name"], ["o_totalprice", "n_orders"])
-    else:
-        cust_ds = rd.read_parquet(cust_path,
-                                  columns=["c_custkey", "c_nationkey"])
-        joined_ds = orders.join(cust_ds, join_type="inner", num_partitions=16,
-                                on=("o_custkey",), right_on=("c_custkey",))
+        return orders.map_batches(to_coded, batch_format="pandas"), names
 
-        def name_partial(t: pa.Table) -> pa.Table:
-            # nation itself is tiny and module-captured; partial-agg per
-            # batch so the merge still moves O(nations) rows
-            c = np.array([code_of[nk] for nk in
-                          t["c_nationkey"].to_pylist()], np.int64)
-            tp = t["o_totalprice"].to_numpy()
-            sums = np.bincount(c, weights=tp, minlength=len(names))
-            cnts = np.bincount(c, minlength=len(names))
-            nz = np.flatnonzero(cnts)
-            return pa.table({
-                "n_name": pa.array([names[i] for i in nz], pa.string()),
-                "o_totalprice": pa.array(sums[nz], pa.float64()),
-                "n_orders": pa.array(cnts[nz].astype(np.int64)),
-            })
+    cust_ds = rd.read_parquet(cust_path, columns=["c_custkey", "c_nationkey"])
+    joined = orders.join(cust_ds, join_type="inner", num_partitions=16,
+                         on=("o_custkey",), right_on=("c_custkey",))
 
-        joined = joined_ds.map_batches(name_partial, batch_format="pyarrow")
-        out = _grouped_sums(joined, ["n_name"], ["o_totalprice", "n_orders"])
+    def code_map(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"code": df["c_nationkey"].map(code_of).astype("int64")}
+        for c in value_cols:
+            out[c] = df[c]
+        return pd.DataFrame(out)
+
+    return joined.map_batches(code_map, batch_format="pandas"), names
+
+
+def q_orders_by_nation(sf_dir: str):
+    """orders ⋈ customer ⋈ nation → order count + revenue per nation
+    (gated-broadcast dim map, _orders_coded_by_nation). The output key
+    space (nations, ≤25) is bounded, so each batch emits a bincount
+    partial and the merge moves O(nations) rows per batch — no fact-table
+    shuffle."""
+    coded, names = _orders_coded_by_nation(sf_dir, ["o_totalprice"])
+
+    def agg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["code"].to_numpy(np.int64)
+        tp = df["o_totalprice"].to_numpy()
+        sums = np.bincount(c, weights=tp, minlength=len(names))
+        cnts = np.bincount(c, minlength=len(names))
+        nz = np.flatnonzero(cnts)
+        return pd.DataFrame({"n_name": names[nz],
+                             "o_totalprice": sums[nz],
+                             "n_orders": cnts[nz].astype(np.int64)})
+
+    out = _grouped_sums(coded.map_batches(agg_partial, batch_format="pandas"),
+                        ["n_name"], ["o_totalprice", "n_orders"])
     return out.map_batches(
         lambda df: pd.DataFrame({"n_name": df["n_name"],
                                  "n_orders": df["n_orders"],
@@ -532,53 +540,14 @@ def q_topk_orders(sf_dir: str):
 def q_top_orders_per_nation(sf_dir: str):
     """Top-3 orders by price PER NATION (grouped top-k, the window-rank
     pattern): the customer→nation dimension maps in-batch via the gated
-    broadcast (q_orders_by_nation's hybrid — sorted numpy arrays under
-    BROADCAST_DIM_BYTES, partitioned hash join above), then each batch
-    keeps its own top-3 per nation (≤ 25×3 rows out per batch — the
-    global per-group top-3 is a subset of the union of per-batch top-3s)
-    and one tiny merge task ranks the survivors. No global sort, no
-    fact-table shuffle; ties break on (o_totalprice DESC, o_orderkey)."""
-    import os
-
-    import pyarrow.parquet as pq
+    broadcast (_orders_coded_by_nation's hybrid), then each batch keeps
+    its own top-3 per nation (≤ 25×3 rows out per batch — the global
+    per-group top-3 is a subset of the union of per-batch top-3s) and one
+    tiny merge task ranks the survivors. No global sort, no fact-table
+    shuffle; ties break on (o_totalprice DESC, o_orderkey)."""
     K = 3
-    nation = pq.read_table(f"{sf_dir}/nation.parquet",
-                           columns=["n_nationkey", "n_name"])
-    names = np.asarray(nation["n_name"].to_pylist(), dtype=object)
-    code_of = {nk: i for i, nk in enumerate(nation["n_nationkey"].to_pylist())}
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    cust_path = f"{sf_dir}/customer.parquet"
-    if os.path.getsize(cust_path) <= BROADCAST_DIM_BYTES:
-        cust = (pq.read_table(cust_path, columns=["c_custkey", "c_nationkey"])
-                .sort_by("c_custkey"))
-        ckeys = cust["c_custkey"].to_numpy()
-        ccodes = np.array([code_of[nk] for nk in
-                           cust["c_nationkey"].to_pylist()], np.int64)
-        ref = ray.put((ckeys, ccodes))
-
-        def to_coded(df: pd.DataFrame) -> pd.DataFrame:
-            keys, codes = ray.get(ref)
-            ok = df["o_custkey"].to_numpy()
-            pos = np.clip(np.searchsorted(keys, ok), 0, len(keys) - 1)
-            hit = keys[pos] == ok  # inner-join semantics
-            return pd.DataFrame({
-                "code": codes[pos[hit]],
-                "o_orderkey": df["o_orderkey"].to_numpy()[hit],
-                "o_totalprice": df["o_totalprice"].to_numpy()[hit]})
-
-        coded = orders.map_batches(to_coded, batch_format="pandas")
-    else:
-        cust_ds = rd.read_parquet(cust_path,
-                                  columns=["c_custkey", "c_nationkey"])
-        joined = orders.join(cust_ds, join_type="inner", num_partitions=16,
-                             on=("o_custkey",), right_on=("c_custkey",))
-        coded = joined.map_batches(
-            lambda df: pd.DataFrame({
-                "code": df["c_nationkey"].map(code_of).astype("int64"),
-                "o_orderkey": df["o_orderkey"],
-                "o_totalprice": df["o_totalprice"]}),
-            batch_format="pandas")
+    coded, names = _orders_coded_by_nation(
+        sf_dir, ["o_orderkey", "o_totalprice"])
 
     def topk_per_code(df: pd.DataFrame) -> pd.DataFrame:
         g = df.sort_values(["code", "o_totalprice", "o_orderkey"],
@@ -632,9 +601,13 @@ def q_customers_no_f_orders(sf_dir: str):
         return pd.DataFrame({"c_custkey": keep["key"].astype("int64"),
                              "c_name": keep["c_name"].astype(object)})
 
-    from ..stages.bucketing import group_map_by_key
-    total = ((_path_bytes(f"{sf_dir}/customer.parquet", 1 << 40) or 1 << 40)
-             + (_path_bytes(f"{sf_dir}/orders.parquet", 1 << 40) or 1 << 40))
+    from ..stages.bucketing import group_map_by_key, safe_size_bytes
+    # gate on the COLUMN-PRUNED in-memory estimate of the two reads (the
+    # union's own lineage has no estimate): full file bytes count columns
+    # that never enter the shuffle and disengage the single-task fast
+    # path far too early (review finding)
+    sc, so = safe_size_bytes(cust), safe_size_bytes(orders)
+    total = sc + so if (sc is not None and so is not None) else None
     return group_map_by_key(c_tag.union(o_tag), "key", anti,
                             size_bytes=total)
 
@@ -832,18 +805,17 @@ def q_token_quantiles(sf_dir: str):
                              "c": vc.to_numpy(np.int64)})
 
     def select(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # empty corpus: 0 rows, like the SQL oracle
+            return pd.DataFrame({"p": pd.Series(dtype="int64"),
+                                 "n_ws_tokens": pd.Series(dtype="int64")})
         g = df.groupby("v", sort=True)["c"].sum()
         vals = g.index.to_numpy(np.int64)
         cum = g.to_numpy(np.int64).cumsum()
-        n = int(cum[-1]) if len(cum) else 0
-        rows = []
-        for p in QUANTILE_PCTS:
-            rank = (p * n + 99) // 100
-            idx = int(np.searchsorted(cum, rank))  # first cum >= rank
-            rows.append((p, int(vals[min(idx, len(vals) - 1)]) if n else -1))
-        return pd.DataFrame({"p": pd.Series([r[0] for r in rows], dtype="int64"),
-                             "n_ws_tokens": pd.Series([r[1] for r in rows],
-                                                      dtype="int64")})
+        n = int(cum[-1])
+        ps = np.asarray(QUANTILE_PCTS, dtype=np.int64)
+        ranks = (ps * n + 99) // 100            # rank ≤ n = cum[-1] always
+        idx = np.searchsorted(cum, ranks)       # first cum >= rank
+        return pd.DataFrame({"p": ps, "n_ws_tokens": vals[idx]})
 
     return (ds.map_batches(partial, batch_format="pandas")
             .repartition(1).map_batches(select, batch_format="pandas",
