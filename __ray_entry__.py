@@ -28,6 +28,7 @@ from lauchy_ray.stages.dedup_near import (  # noqa: E402
     ann_ivf_sql, embedding_near_dups_ivf_sql, minhash_clusters_sql,
     minhash_sql, simhash_clusters_sql, simhash_sql)
 from lauchy_ray.stages.multimodal import media_features_sql  # noqa: E402
+from lauchy_ray.stages.sketches import hll_sql  # noqa: E402
 from lauchy_ray.stages.textops import (  # noqa: E402
     fingerprint_sql, lang_id_sql, pii_scrub_sql)
 
@@ -62,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_f_orders": Q.q_customers_no_f_orders,
         "events_by_type": Q.q_events_by_type,
         "distinct_users_by_type": Q.q_distinct_users_by_type,
+        "hll_users": Q.q_hll_users,
         "supplier_by_region": Q.q_supplier_by_region,
         "parts_by_brand": Q.q_parts_by_brand,
         # documents / embeddings
@@ -218,6 +220,10 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_by_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type""",
+        # HyperLogLog with a bit-for-bit oracle: the approximate sketch is
+        # deterministic, so even the ESTIMATE is value-checked (sketches.py
+        # documents the ln/float-parity preconditions)
+        "hll_users": hll_sql(),
         "events_by_type": """
             SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
             FROM events GROUP BY event_type""",

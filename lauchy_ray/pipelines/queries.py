@@ -847,6 +847,25 @@ def q_distinct_users_by_type(sf_dir: str):
         batch_format="pandas")
 
 
+def q_hll_users(sf_dir: str):
+    """APPROXIMATE distinct users per event type — HyperLogLog with an
+    EXACT SQL oracle (stages/sketches: the md5-60bit sketch, register
+    maxima, and estimate branch are re-derived bit-for-bit in DuckDB).
+    Each batch emits ≤ types×1024 register rows; the merge is an
+    elementwise max over a BOUNDED table — at 100 TB this moves
+    O(types×1024) rows where the exact q_distinct_users_by_type must
+    shuffle every distinct (type, user) pair."""
+    from ..stages.sketches import hll_merge_registers, hll_register_partial
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    partials = ds.map_batches(
+        lambda df: hll_register_partial(df, "event_type", "user_id"),
+        batch_format="pandas")
+    return partials.repartition(1).map_batches(
+        lambda df: hll_merge_registers(df, "event_type"),
+        batch_format="pandas", batch_size=None)
+
+
 def q_turn_lag(sf_dir: str):
     """Stateful sorted-buffer conv join: each turn with its predecessor's
     role and the time gap, in stable (conv_id, turn_idx) order."""

@@ -498,3 +498,37 @@ def test_range_join_uncovered_points():
            .to_pandas().sort_values(["conv_id", "turn_idx"])
            .reset_index(drop=True))
     assert out["session_id"].tolist() == [0, 0, -1, 1, -1]
+
+
+def test_hll_accuracy_and_split_invariance():
+    """HLL sketch pins: (1) estimate error vs exact stays inside the
+    ~3.25/sqrt(m) envelope at cardinalities spanning the linear-counting
+    and raw regimes; (2) the estimate is invariant to how rows split
+    across batches (register merges are elementwise max)."""
+    from lauchy_ray.stages.sketches import (HLL_M, hll_merge_registers,
+                                            hll_register_partial)
+
+    rng = np.random.default_rng(7)
+    frames = []
+    for key, n in [("small", 40), ("mid", 800), ("large", 20000)]:
+        users = rng.choice(10**9, size=n, replace=False)
+        frames.append(pd.DataFrame({
+            "event_type": key,
+            "user_id": np.repeat(users, 3)}))  # dups must not count
+    df = pd.concat(frames, ignore_index=True).sample(frac=1.0,
+                                                     random_state=3)
+
+    one = hll_merge_registers(hll_register_partial(
+        df, "event_type", "user_id"), "event_type")
+    parts = [hll_register_partial(c, "event_type", "user_id")
+             for c in np.array_split(df, 13)]
+    many = hll_merge_registers(pd.concat(parts, ignore_index=True),
+                               "event_type")
+    pd.testing.assert_frame_equal(
+        one.sort_values("event_type").reset_index(drop=True),
+        many.sort_values("event_type").reset_index(drop=True))
+
+    est = dict(zip(one["event_type"], one["est_users"]))
+    for key, n in [("small", 40), ("mid", 800), ("large", 20000)]:
+        rel = abs(est[key] - n) / n
+        assert rel < 3.25 / np.sqrt(HLL_M) + 0.02, (key, est[key], n, rel)
