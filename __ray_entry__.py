@@ -28,7 +28,8 @@ from lauchy_ray.stages.dedup_near import (  # noqa: E402
     ann_ivf_sql, embedding_near_dups_ivf_sql, minhash_clusters_sql,
     minhash_sql, simhash_clusters_sql, simhash_sql)
 from lauchy_ray.stages.multimodal import media_features_sql  # noqa: E402
-from lauchy_ray.stages.sketches import hll_sql  # noqa: E402
+from lauchy_ray.stages.sketches import cms_sql, hll_sql  # noqa: E402
+from lauchy_ray.stages.terms import TOP_TERMS_K  # noqa: E402
 from lauchy_ray.stages.textops import (  # noqa: E402
     fingerprint_sql, lang_id_sql, pii_scrub_sql)
 
@@ -91,6 +92,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_clusters": Q.q_simhash_clusters,
         "ann_ivf": Q.q_ann_ivf,
         "media_features": Q.q_media_features,
+        # OLAP / sketch / join widening (round 3)
+        "rollup_events": Q.q_rollup_events,
+        "pivot_events": Q.q_pivot_events,
+        "top_terms": Q.q_top_terms,
+        "stratified_sample": Q.q_stratified_sample,
+        "cms_user_counts": Q.q_cms_user_counts,
+        "building_orders_bloom": Q.q_building_orders_bloom,
+        "user_value_outer": Q.q_user_value_outer,
     }
 
 
@@ -363,6 +372,72 @@ def oracle_sql() -> dict[str, str]:
         # real PNG decode: oracle re-derives dims from the pure id->dims
         # formula; the Ray side must actually parse each generated PNG
         "media_features": media_features_sql(64),
+        # ROLLUP via GROUPING() → the Ray side's -1/'' sentinel convention
+        "rollup_events": """
+            WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day_id,
+                              event_type, value FROM events)
+            SELECT CASE WHEN GROUPING(day_id) = 1 THEN -1 ELSE day_id END
+                     AS day_id,
+                   CASE WHEN GROUPING(event_type) = 1 THEN ''
+                        ELSE event_type END AS event_type,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM e GROUP BY ROLLUP (day_id, event_type)""",
+        "pivot_events": """
+            WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day_id,
+                              event_type FROM events)
+            SELECT day_id, """ + ", ".join(
+            f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+            for t in Q.PIVOT_TYPES) + """
+            FROM e GROUP BY day_id""",
+        # identical ASCII-whitespace token stream (WS_TOKEN_RE); term
+        # tie-order is UTF-8 byte order on both engines
+        "top_terms": rf"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '[^ \t\n\r\f\v]+'))
+                       AS term
+              FROM documents),
+            s AS (SELECT term, count(*) AS tf,
+                         count(DISTINCT doc_id) AS df
+                  FROM toks GROUP BY term)
+            SELECT term, tf, df FROM s
+            ORDER BY tf DESC, term LIMIT {TOP_TERMS_K}""",
+        # per-language keep-rate on the shared md5-60bit key hash
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 100 < CASE lang """ + " ".join(
+            f"WHEN '{lang}' THEN {pct}"
+            for lang, pct in sorted(Q.STRATA_PCT.items())) + f"""
+                  ELSE {Q.STRATA_DEFAULT_PCT} END""",
+        # Count-Min sketch counters re-derived bit-for-bit (md5-60 cells)
+        "cms_user_counts": cms_sql(),
+        # bloom-filter semi join ≡ plain IN-subquery semi join (the bloom
+        # is a pre-prune whose false positives die in the exact verify)
+        "building_orders_bloom": """
+            SELECT o_orderkey, o_custkey,
+                   round(o_totalprice, 2) AS o_totalprice
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')""",
+        "user_value_outer": f"""
+            WITH l AS (
+              SELECT user_id, count(*) AS n_big_purchases,
+                     sum(value) AS sum_big
+              FROM events
+              WHERE event_type = 'purchase'
+                AND value > {Q.OUTER_BIG_PURCHASE}
+              GROUP BY user_id),
+            r AS (
+              SELECT user_id, count(*) AS n_low_errors
+              FROM events
+              WHERE event_type = 'error' AND value < {Q.OUTER_LOW_ERROR}
+              GROUP BY user_id)
+            SELECT user_id,
+                   COALESCE(n_big_purchases, 0) AS n_big_purchases,
+                   round(COALESCE(sum_big, 0.0), 2) AS sum_big,
+                   COALESCE(n_low_errors, 0) AS n_low_errors
+            FROM l FULL OUTER JOIN r USING (user_id)""",
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
                        FROM embeddings WHERE vec_id < 3),

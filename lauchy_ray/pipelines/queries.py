@@ -1115,3 +1115,322 @@ def q_ann_topk(sf_dir: str, n_queries: int = 3, k: int = 5):
                            ascending=[True, False, True])
            .groupby("qid", sort=True).head(k))
     return out[["qid", "vec_id"]].reset_index(drop=True)
+
+
+# ----------------------------------------- round-3 widening: OLAP shapes
+
+def q_rollup_events(sf_dir: str):
+    """GROUPING-SETS / ROLLUP aggregate (day, type) → (day) → () in ONE
+    input pass: the finest level is the bounded (day, type) combiner
+    aggregate q_events_daily already uses, and the two super-aggregate
+    levels are derived FROM that bounded result inside the single merge
+    task — the raw data is never re-scanned per level (the naive form
+    reads the corpus once per grouping set). Rolled-up columns carry the
+    repo's sentinel convention (-1 / '') rather than SQL NULL — query
+    outputs stay null-free so the driver's order-insensitive value hash
+    never meets engine-specific NA encodings; the oracle maps GROUPING()
+    to the same sentinels."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["ts"].cast(pa.int64()), 86_400_000_000)
+        part = pa.table({"day_id": day, "event_type": t["event_type"],
+                         "n": pa.array(np.ones(t.num_rows, np.int64)),
+                         "sum_value": t["value"]})
+        return (pa.TableGroupBy(part, ["day_id", "event_type"])
+                .aggregate([("n", "sum"), ("sum_value", "sum")])
+                .rename_columns(["day_id", "event_type", "n", "sum_value"]))
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        lvl2 = (df.groupby(["day_id", "event_type"], sort=True)
+                .agg(n=("n", "sum"), sum_value=("sum_value", "sum"))
+                .reset_index())
+        lvl1 = (lvl2.groupby("day_id", sort=True)
+                .agg(n=("n", "sum"), sum_value=("sum_value", "sum"))
+                .reset_index())
+        lvl1["event_type"] = ""
+        lvl0 = pd.DataFrame({"day_id": np.int64(-1),
+                             "event_type": [""],
+                             "n": [lvl2["n"].sum()],
+                             "sum_value": [lvl2["sum_value"].sum()]})
+        out = pd.concat([lvl2, lvl1, lvl0], ignore_index=True)
+        out["day_id"] = out["day_id"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        out["sum_value"] = _round2(out["sum_value"])
+        return out[["day_id", "event_type", "n", "sum_value"]]
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(1).map_batches(rollup, batch_format="pandas",
+                                        batch_size=None))
+
+
+PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(sf_dir: str):
+    """PIVOT (long → wide): daily event counts, one column per event type.
+    The pivoted column set is DECLARED (PIVOT_TYPES) — a pivot's output
+    schema must be known before execution on a streaming engine, so
+    dynamic-column pivot is by design a two-query pattern (distinct scan,
+    then this). Input pass is the bounded (day, type) combiner; the pivot
+    itself reshapes that tiny table in the merge task."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["ts"].cast(pa.int64()), 86_400_000_000)
+        part = pa.table({"day_id": day, "event_type": t["event_type"],
+                         "n": pa.array(np.ones(t.num_rows, np.int64))})
+        return (pa.TableGroupBy(part, ["day_id", "event_type"])
+                .aggregate([("n", "sum")])
+                .rename_columns(["day_id", "event_type", "n"]))
+
+    def pivot(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["day_id", "event_type"], sort=True)["n"].sum()
+             .unstack(fill_value=0))
+        out = pd.DataFrame({"day_id": g.index.to_numpy(np.int64)})
+        for t in PIVOT_TYPES:
+            col = g[t] if t in g.columns else 0
+            out[f"n_{t}"] = np.asarray(col, dtype=np.int64)
+        return out
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(1).map_batches(pivot, batch_format="pandas",
+                                        batch_size=None))
+
+
+def q_top_terms(sf_dir: str):
+    """Corpus vocabulary top-k (tf + df) — see stages/terms.py for the
+    explode → per-batch fold → term-bucket shuffle → bounded-partial
+    top-k shape. Returns a driver DataFrame of K rows (bounded)."""
+    from ..stages.bucketing import group_map_by_key
+    from ..stages.terms import (TOP_TERMS_K, merge_topk, term_bucket_topk,
+                                term_doc_partial)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    parts = ds.map_batches(term_doc_partial, batch_format="pandas")
+    bucket_tops = group_map_by_key(parts, "term", term_bucket_topk,
+                                   size_ds=ds)
+    return merge_topk(bucket_tops.to_pandas(), TOP_TERMS_K)
+
+
+STRATA_PCT = {"en": 5, "de": 20, "es": 20, "fr": 20, "zh": 20}
+STRATA_DEFAULT_PCT = 10
+
+
+def q_stratified_sample(sf_dir: str):
+    """Stratified deterministic sample: per-language keep rates (downsample
+    the dominant language, keep more of the rare ones — the standard
+    rebalancing move for multilingual training corpora), selected by the
+    md5-60bit hash of doc_id so the pick is a pure function of the key:
+    reproducible across runs, resumes and cluster sizes, and re-derivable
+    in SQL."""
+    from ..stages.dedup_near import md5_60
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter((md5_60(str(i)) % 100 for i in df["doc_id"]),
+                        dtype=np.int64, count=len(df))
+        rates = (df["lang"].map(STRATA_PCT)
+                 .fillna(STRATA_DEFAULT_PCT).to_numpy(np.int64))
+        return df[h < rates]
+
+    return ds.map_batches(pick, batch_format="pandas")
+
+
+def q_cms_user_counts(sf_dir: str):
+    """Count-Min sketch of per-user event frequencies — an APPROXIMATE
+    heavy-hitter primitive with an EXACT SQL oracle (stages/sketches
+    cms_sql re-derives every counter bit-for-bit): per-batch bounded
+    counter partials, one grouped-sum merge of ≤ D×W rows."""
+    from ..stages.sketches import cms_merge, cms_partial
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    parts = ds.map_batches(lambda df: cms_partial(df, "user_id"),
+                           batch_format="pandas")
+    return parts.repartition(1).map_batches(cms_merge,
+                                            batch_format="pandas",
+                                            batch_size=None)
+
+
+BLOOM_BITS = 1 << 20   # 128 KiB bitmap — broadcast once per task
+BLOOM_K = 4
+
+
+def _bloom_positions(keys: np.ndarray) -> np.ndarray:
+    """(k, n) bit positions via double hashing h1 + i·h2 (public idiom;
+    splitmix64 finalizer for both mixes). Perf-only device — exactness
+    comes from the verify step — so this hash needs no SQL mirror."""
+    x = keys.astype(np.uint64)
+
+    def mix(v):
+        v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return v ^ (v >> np.uint64(31))
+
+    h1 = mix(x)
+    h2 = mix(x ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    ks = np.arange(BLOOM_K, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + ks * h2[None, :])
+            % np.uint64(BLOOM_BITS)).astype(np.int64)
+
+
+_EMPTY_SEMI = {"o_orderkey": "int64", "o_custkey": "int64",
+               "o_totalprice": "float64"}
+
+
+def _bloom_prune(ds: rd.Dataset, bitmap_ref, key: str) -> rd.Dataset:
+    """Fact-side pre-prune: test the k bloom bits per row, vectorized.
+    May pass false positives; never drops a true member."""
+    def test(df: pd.DataFrame) -> pd.DataFrame:
+        bm = ray.get(bitmap_ref)
+        pos = _bloom_positions(df[key].to_numpy(np.int64))
+        hit = np.ones(len(df), dtype=bool)
+        for i in range(BLOOM_K):
+            p = pos[i]
+            hit &= (bm[p >> 3] >> (p & 7) & 1).astype(bool)
+        return df[hit]
+    return ds.map_batches(test, batch_format="pandas")
+
+
+def _bloom_semi(sf_dir: str, gate_bytes: int | None = None):
+    """SEMI-JOIN with a Bloom-filter pre-prune (the join-pushdown move
+    that matters at 100 TB: the fact side drops non-matching rows BEFORE
+    any shuffle or exact lookup). Shape: (1) distributed build — each dim
+    batch emits its distinct bit positions (≤ k×rows ints, not a bitmap
+    per batch), one tiny task ORs them into a 128 KiB bitmap, ray.put
+    once; (2) fact batches test k bits vectorized and keep possible
+    members; (3) EXACT verify of the survivors — against the broadcast
+    sorted key array when the dim fits the gate, else via the co-located
+    tagged-union shape (q_customers_no_f_orders, with keep inverted to
+    EXISTS) over the ALREADY-PRUNED fact. The bloom's false positives
+    (~0.3% at these parameters) die in the verify, so the result is exact
+    under either path."""
+    import os
+
+    import pyarrow.dataset as pads
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+        filter=pads.field("c_mktsegment") == "BUILDING")
+
+    def dim_positions(df: pd.DataFrame) -> pd.DataFrame:
+        pos = _bloom_positions(df["c_custkey"].to_numpy(np.int64))
+        return pd.DataFrame({"pos": np.unique(pos)})
+
+    def build_bitmap(df: pd.DataFrame) -> pd.DataFrame:
+        bitmap = np.zeros(BLOOM_BITS >> 3, dtype=np.uint8)
+        pos = df["pos"].to_numpy(np.int64)
+        np.bitwise_or.at(bitmap, pos >> 3, np.uint8(1) << (pos & 7))
+        return pd.DataFrame({"bitmap": [bitmap.tobytes()]})
+
+    built = (cust.map_batches(dim_positions, batch_format="pandas")
+             .repartition(1).map_batches(build_bitmap, batch_format="pandas",
+                                         batch_size=None).take_all())
+    if not built:  # empty dim ⇒ empty semi join
+        return rd.from_pandas(pd.DataFrame(
+            {c: pd.Series(dtype=t) for c, t in _EMPTY_SEMI.items()}))
+    bitmap_ref = ray.put(np.frombuffer(built[0]["bitmap"], dtype=np.uint8))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_totalprice"])
+    pruned = _bloom_prune(orders, bitmap_ref, "o_custkey")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"o_orderkey": df["o_orderkey"].astype("int64"),
+                             "o_custkey": df["o_custkey"].astype("int64"),
+                             "o_totalprice": _round2(df["o_totalprice"])})
+
+    gate = BROADCAST_DIM_BYTES if gate_bytes is None else gate_bytes
+    if os.path.getsize(f"{sf_dir}/customer.parquet") <= gate:
+        # verify path A: broadcast sorted key array (queries.py
+        # order-revenue idiom), one binary search per surviving row
+        keys = np.sort(cust.to_pandas()["c_custkey"].to_numpy(np.int64))
+        keys_ref = ray.put(keys)
+
+        def verify(df: pd.DataFrame) -> pd.DataFrame:
+            exact = ray.get(keys_ref)
+            ck = df["o_custkey"].to_numpy(np.int64)
+            if not len(exact) or not len(ck):
+                return project(df.iloc[:0])
+            idx = np.clip(np.searchsorted(exact, ck), 0, len(exact) - 1)
+            return project(df[exact[idx] == ck])
+
+        return pruned.map_batches(verify, batch_format="pandas")
+
+    # verify path B: dim too big to broadcast — co-locate the pruned fact
+    # with per-batch-distinct dim keys on a custkey bucket; EXISTS keep
+    from ..stages.bucketing import group_map_by_key, safe_size_bytes
+    o_tag = pruned.map_batches(
+        lambda df: pd.DataFrame({"key": df["o_custkey"].astype("int64"),
+                                 "o_orderkey": df["o_orderkey"].astype("int64"),
+                                 "o_totalprice": df["o_totalprice"],
+                                 "side": np.int64(0)}),
+        batch_format="pandas")
+    c_tag = cust.map_batches(
+        lambda df: pd.DataFrame({
+            "key": pd.Series(df["c_custkey"].unique()).astype("int64"),
+            "o_orderkey": np.int64(-1), "o_totalprice": 0.0,
+            "side": np.int64(1)}),
+        batch_format="pandas")
+
+    def semi(df: pd.DataFrame) -> pd.DataFrame:
+        have = df.loc[df["side"] == 1, "key"]
+        keep = df[(df["side"] == 0) & df["key"].isin(have)]
+        return pd.DataFrame({"o_orderkey": keep["o_orderkey"].astype("int64"),
+                             "o_custkey": keep["key"].astype("int64"),
+                             "o_totalprice": _round2(keep["o_totalprice"])})
+
+    sc, so = safe_size_bytes(cust), safe_size_bytes(orders)
+    total = sc + so if (sc is not None and so is not None) else None
+    return group_map_by_key(o_tag.union(c_tag), "key", semi,
+                            size_bytes=total)
+
+
+def q_building_orders_bloom(sf_dir: str):
+    return _bloom_semi(sf_dir)
+
+
+OUTER_BIG_PURCHASE = 150.0   # left-side predicate: purchase value > this
+OUTER_LOW_ERROR = 2.0        # right-side predicate: error value < this
+
+
+def q_user_value_outer(sf_dir: str):
+    """FULL OUTER JOIN of two per-user aggregates (big-ticket purchasers
+    ⟗ low-value error reporters) — both sides derive from ONE events
+    scan, so instead of aggregating each side separately and paying a
+    third co-location for the join, the tagged rows ride ONE bucket
+    shuffle and the per-bucket pass aggregates each side AND outer-merges
+    (exact: a user's rows all land in its bucket). The standalone generic
+    is stages/join.full_outer_join; this is its fused aggregate form."""
+    from ..stages.bucketing import group_map_by_key
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "value"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        big = ((df["event_type"] == "purchase")
+               & (df["value"] > OUTER_BIG_PURCHASE))
+        low = ((df["event_type"] == "error")
+               & (df["value"] < OUTER_LOW_ERROR))
+        keep = df[big | low]
+        return pd.DataFrame({
+            "user_id": keep["user_id"].astype("int64"),
+            "side": np.where(big[big | low], np.int64(0), np.int64(1)),
+            "value": keep["value"].astype("float64")})
+
+    def outer_agg(df: pd.DataFrame) -> pd.DataFrame:
+        l = (df[df["side"] == 0].groupby("user_id")["value"]
+             .agg(["size", "sum"]))
+        l.columns = ["n_big_purchases", "sum_big"]
+        r = df[df["side"] == 1].groupby("user_id")["value"].agg(["size"])
+        r.columns = ["n_low_errors"]
+        m = l.join(r, how="outer").reset_index()
+        return pd.DataFrame({
+            "user_id": m["user_id"].astype("int64"),
+            "n_big_purchases": m["n_big_purchases"].fillna(0).astype("int64"),
+            "sum_big": _round2(m["sum_big"].fillna(0.0)),
+            "n_low_errors": m["n_low_errors"].fillna(0).astype("int64")})
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+    return group_map_by_key(tagged, "user_id", outer_agg, size_ds=ds)

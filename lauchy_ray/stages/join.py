@@ -19,6 +19,9 @@ Four faces:
   forward-carry pass (_carry_last) per bucket.
 - ``range_join``: interval-containment (point → covering interval of the
   same key, intervals disjoint) — same composition, end-bound checked.
+- ``full_outer_join``: hash FULL OUTER join of two keyed datasets — tag +
+  union + key co-location + per-bucket pandas outer merge (m×n per key);
+  unmatched rows survive with nullable-NA payload.
 """
 
 from __future__ import annotations
@@ -217,6 +220,54 @@ def asof_join(left: rd.Dataset, right: rd.Dataset,
     both = right.map_batches(tag(0), batch_format="pandas").union(
         left.map_batches(tag(1), batch_format="pandas"))
     return asof_join_tagged(both, key, size_ds=size_ds)
+
+
+def _outer_bucket(df: pd.DataFrame, key: str, left_cols: list[str],
+                  right_cols: list[str]) -> pd.DataFrame:
+    """Outer merge for EVERY key co-located in one bucket: split the
+    tagged union back into its two sides and let pandas produce the m×n
+    key-match plus the unmatched remainders. Column dtypes are the
+    NULLABLE pandas kinds the tag step established, so absent-side rows
+    carry real NA (arrow null downstream), never a silent 0/NaN-float."""
+    left = df.loc[df["side"] == 0, [key, *left_cols]]
+    right = df.loc[df["side"] == 1, [key, *right_cols]]
+    return left.merge(right, on=key, how="outer")
+
+
+def full_outer_join(left: rd.Dataset, right: rd.Dataset, key: str,
+                    left_cols: dict[str, str], right_cols: dict[str, str],
+                    size_ds=None, size_bytes: int | None = None) -> rd.Dataset:
+    """Distributed FULL OUTER hash join (the Dataset API offers inner/
+    left/right but its full-outer path still shuffles both sides; this
+    form reuses the repo's one bucket-shuffle co-location so outer joins
+    share the size-gated fast path with every other keyed op). Payload
+    column NAMES must be disjoint across sides (relational projection is
+    the caller's job) and each maps to a NULLABLE pandas dtype ("Int64",
+    "Float64", "boolean", "string") — declared, not sniffed, because BOTH
+    union branches must emit the identical schema: the side that lacks a
+    column fills it with typed NA, so Ray sees one block schema and
+    unmatched rows carry real nulls (arrow null downstream), never a
+    silent 0 / NaN-promoted float."""
+    from .bucketing import group_map_by_key
+    schema = {**left_cols, **right_cols}
+
+    def tag(side: int, own: dict[str, str]):
+        def add(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({key: df[key], "side": np.int64(side)})
+            for c, dt in schema.items():
+                if c in own:
+                    out[c] = df[c].astype(dt)
+                else:
+                    out[c] = pd.Series(pd.NA, index=df.index, dtype=dt)
+            return out
+        return add
+
+    both = left.map_batches(tag(0, left_cols), batch_format="pandas").union(
+        right.map_batches(tag(1, right_cols), batch_format="pandas"))
+    lc, rc = list(left_cols), list(right_cols)
+    return group_map_by_key(
+        both, key, lambda g: _outer_bucket(g, key, lc, rc),
+        size_ds=size_ds, size_bytes=size_bytes)
 
 
 def asof_join_tagged(both: rd.Dataset, key: str = "user_id",

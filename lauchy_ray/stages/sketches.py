@@ -94,6 +94,77 @@ def hll_merge_registers(df: pd.DataFrame, key_col: str) -> pd.DataFrame:
                          "est_users": pd.Series(out_est, dtype="int64")})
 
 
+CMS_D = 4      # sketch depth (independent hash rows)
+CMS_W = 1024   # counters per row
+
+
+def cms_partial(df: pd.DataFrame, value_col: str) -> pd.DataFrame:
+    """One batch → its Count-Min counter partial: for each of the D hash
+    rows, the batch's total hit count per cell. Values hash once per
+    DISTINCT value (md5_60 of ``"{depth}:{value}"`` — the repo's shared
+    md5-60bit convention, so DuckDB recomputes the same cells); output is
+    ≤ D×W rows regardless of batch size, and merging partials is a plain
+    grouped SUM — the sketch is what makes frequency estimation a
+    bounded-state operator at 100 TB."""
+    vc = df[value_col].value_counts()
+    vals = vc.index.to_numpy()
+    cnts = vc.to_numpy(np.int64)
+    out_d, out_cell, out_c = [], [], []
+    for d in range(CMS_D):
+        cells = np.fromiter(
+            (md5_60(f"{d}:{v}") % CMS_W for v in vals),
+            dtype=np.int64, count=len(vals))
+        g = pd.DataFrame({"cell": cells, "c": cnts}).groupby(
+            "cell", sort=False)["c"].sum()
+        out_d.append(np.full(len(g), d, np.int64))
+        out_cell.append(g.index.to_numpy(np.int64))
+        out_c.append(g.to_numpy(np.int64))
+    return pd.DataFrame({"depth": np.concatenate(out_d),
+                         "cell": np.concatenate(out_cell),
+                         "counter": np.concatenate(out_c)})
+
+
+def cms_merge(df: pd.DataFrame) -> pd.DataFrame:
+    """Fold counter partials: grouped sum over the bounded (depth, cell)
+    space — associative, ≤ D×W rows out."""
+    g = (df.groupby(["depth", "cell"], sort=True)["counter"].sum()
+         .reset_index())
+    g["counter"] = g["counter"].astype("int64")
+    return g
+
+
+def cms_estimate(sketch: pd.DataFrame, value) -> int:
+    """Point frequency estimate: min over depths of the value's cell
+    counter (the classic CMS upper bound — exact when no collision)."""
+    est = None
+    lookup = {(int(d), int(c)): int(n) for d, c, n in
+              zip(sketch["depth"], sketch["cell"], sketch["counter"])}
+    for d in range(CMS_D):
+        cell = md5_60(f"{d}:{value}") % CMS_W
+        cnt = lookup.get((d, cell), 0)
+        est = cnt if est is None else min(est, cnt)
+    return int(est)
+
+
+def cms_sql(table: str = "events", value_col: str = "user_id") -> str:
+    """DuckDB re-derivation of the sketch counters: per-value totals cross
+    the D hash rows, cell = md5-60bit of '{depth}:{value}' mod W — the
+    identical bytes Python hashes, so every counter matches exactly."""
+    return f"""
+        WITH v AS (
+          SELECT {value_col} AS val, count(*) AS c FROM {table} GROUP BY 1),
+        cells AS (
+          SELECT d.depth,
+                 ('0x' || substr(md5(CAST(d.depth AS VARCHAR) || ':' ||
+                                      CAST(val AS VARCHAR)), 1, 15))::BIGINT
+                   % {CMS_W} AS cell,
+                 c
+          FROM v CROSS JOIN (VALUES (0), (1), (2), (3)) AS d(depth))
+        SELECT CAST(depth AS BIGINT) AS depth, cell,
+               sum(c)::BIGINT AS counter
+        FROM cells GROUP BY 1, 2"""
+
+
 def hll_sql(table: str = "events", key_col: str = "event_type",
             value_col: str = "user_id") -> str:
     """DuckDB re-derivation of the full sketch (see module docstring)."""

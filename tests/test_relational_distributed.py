@@ -16,10 +16,13 @@ import lauchy_ray.pipelines.queries as Q
 import lauchy_ray.stages.bucketing as B
 
 SF_DIR = "/root/testdata/sf0.001"
-TABLES = ["nation", "customer", "orders", "events"]
+TABLES = ["nation", "customer", "orders", "events", "documents"]
 
 GATED_QUERIES = ["orders_by_nation", "top_orders_per_nation",
-                 "customers_no_f_orders", "distinct_users_by_type"]
+                 "customers_no_f_orders", "distinct_users_by_type",
+                 # round-3 widening: bloom semi (verify path B), term
+                 # shuffle, fused outer-agg — all force the bucket path
+                 "building_orders_bloom", "top_terms", "user_value_outer"]
 
 
 @pytest.fixture(scope="module")
@@ -46,7 +49,8 @@ def test_distributed_path_matches_oracle(con, name, monkeypatch):
     # fast path falls back to the hash-bucket shuffle
     monkeypatch.setattr(Q, "BROADCAST_DIM_BYTES", 0)
     monkeypatch.setattr(B, "SINGLE_TASK_BYTES", 0)
-    got = _normalize(entrymod.queries()[name](SF_DIR).to_pandas())
+    res = entrymod.queries()[name](SF_DIR)
+    got = _normalize(res.to_pandas() if hasattr(res, "to_pandas") else res)
     exp = _normalize(con.execute(entrymod.oracle_sql()[name]).fetchdf())
     assert list(got.columns) == list(exp.columns)
     assert len(got) == len(exp), f"{name}: {len(got)} != {len(exp)} rows"
