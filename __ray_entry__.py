@@ -372,7 +372,9 @@ def oracle_sql() -> dict[str, str]:
         # real PNG decode: oracle re-derives dims from the pure id->dims
         # formula; the Ray side must actually parse each generated PNG
         "media_features": media_features_sql(64),
-        # ROLLUP via GROUPING() → the Ray side's -1/'' sentinel convention
+        # ROLLUP via GROUPING() → the Ray side's -1/'' sentinel
+        # convention; COALESCE keeps the grand-total row's sum at 0.0 on
+        # EMPTY input (SQL sum over no rows is NULL, the Ray fold is 0.0)
         "rollup_events": """
             WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day_id,
                               event_type, value FROM events)
@@ -380,7 +382,8 @@ def oracle_sql() -> dict[str, str]:
                      AS day_id,
                    CASE WHEN GROUPING(event_type) = 1 THEN ''
                         ELSE event_type END AS event_type,
-                   count(*) AS n, round(sum(value), 2) AS sum_value
+                   count(*) AS n,
+                   COALESCE(round(sum(value), 2), 0.0) AS sum_value
             FROM e GROUP BY ROLLUP (day_id, event_type)""",
         "pivot_events": """
             WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day_id,

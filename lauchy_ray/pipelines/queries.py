@@ -200,22 +200,33 @@ def q_session_stats(sf_dir: str):
     return sessionize_conv_stats(_turns(sf_dir), GAP_US)
 
 
+def _day_type_partial(sum_as: str | None):
+    """The one bounded (day_id, event_type) combiner shared by
+    events_daily / rollup / pivot: per-batch count plus (optionally) the
+    value sum under the given output name. ONE day derivation — a change
+    to the floor/unit semantics lands in every daily query and its
+    shared oracle CTE at once (review finding: three drifting copies)."""
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["ts"].cast(pa.int64()), 86_400_000_000)
+        cols = {"day_id": day, "event_type": t["event_type"],
+                "n": pa.array(np.ones(t.num_rows, np.int64))}
+        aggs, names = [("n", "sum")], ["day_id", "event_type", "n"]
+        if sum_as is not None:
+            cols[sum_as] = t["value"]
+            aggs.append((sum_as, "sum"))
+            names.append(sum_as)
+        return (pa.TableGroupBy(pa.table(cols), ["day_id", "event_type"])
+                .aggregate(aggs).rename_columns(names))
+    return partial
+
+
 def q_events_daily(sf_dir: str):
     """Tumbling daily windows over raw events: count + value sum per type
     (partial-agg combiner; the shuffle moves one row per (day, type))."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["ts", "event_type", "value"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        day = pc.divide(t["ts"].cast(pa.int64()), 86_400_000_000)
-        part = pa.table({"day_id": day, "event_type": t["event_type"],
-                         "n": pa.array(np.ones(t.num_rows, np.int64)),
-                         "total_value": t["value"]})
-        return (pa.TableGroupBy(part, ["day_id", "event_type"])
-                .aggregate([("n", "sum"), ("total_value", "sum")])
-                .rename_columns(["day_id", "event_type", "n", "total_value"]))
-
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = ds.map_batches(_day_type_partial("total_value"),
+                              batch_format="pyarrow")
     # (day, type) is a BOUNDED key space: in-batch partials above + a
     # single-task merge beat the sort-shuffle groupby's fixed cost
     out = _grouped_sums(partials, ["day_id", "event_type"],
@@ -1133,15 +1144,6 @@ def q_rollup_events(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["ts", "event_type", "value"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        day = pc.divide(t["ts"].cast(pa.int64()), 86_400_000_000)
-        part = pa.table({"day_id": day, "event_type": t["event_type"],
-                         "n": pa.array(np.ones(t.num_rows, np.int64)),
-                         "sum_value": t["value"]})
-        return (pa.TableGroupBy(part, ["day_id", "event_type"])
-                .aggregate([("n", "sum"), ("sum_value", "sum")])
-                .rename_columns(["day_id", "event_type", "n", "sum_value"]))
-
     def rollup(df: pd.DataFrame) -> pd.DataFrame:
         lvl2 = (df.groupby(["day_id", "event_type"], sort=True)
                 .agg(n=("n", "sum"), sum_value=("sum_value", "sum"))
@@ -1160,7 +1162,8 @@ def q_rollup_events(sf_dir: str):
         out["sum_value"] = _round2(out["sum_value"])
         return out[["day_id", "event_type", "n", "sum_value"]]
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
+    return (ds.map_batches(_day_type_partial("sum_value"),
+                           batch_format="pyarrow")
             .repartition(1).map_batches(rollup, batch_format="pandas",
                                         batch_size=None))
 
@@ -1178,14 +1181,6 @@ def q_pivot_events(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["ts", "event_type"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        day = pc.divide(t["ts"].cast(pa.int64()), 86_400_000_000)
-        part = pa.table({"day_id": day, "event_type": t["event_type"],
-                         "n": pa.array(np.ones(t.num_rows, np.int64))})
-        return (pa.TableGroupBy(part, ["day_id", "event_type"])
-                .aggregate([("n", "sum")])
-                .rename_columns(["day_id", "event_type", "n"]))
-
     def pivot(df: pd.DataFrame) -> pd.DataFrame:
         g = (df.groupby(["day_id", "event_type"], sort=True)["n"].sum()
              .unstack(fill_value=0))
@@ -1195,7 +1190,7 @@ def q_pivot_events(sf_dir: str):
             out[f"n_{t}"] = np.asarray(col, dtype=np.int64)
         return out
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
+    return (ds.map_batches(_day_type_partial(None), batch_format="pyarrow")
             .repartition(1).map_batches(pivot, batch_format="pandas",
                                         batch_size=None))
 
@@ -1306,7 +1301,10 @@ def _bloom_semi(sf_dir: str, gate_bytes: int | None = None):
     tagged-union shape (q_customers_no_f_orders, with keep inverted to
     EXISTS) over the ALREADY-PRUNED fact. The bloom's false positives
     (~0.3% at these parameters) die in the verify, so the result is exact
-    under either path."""
+    under either path. Under the gate the filtered dim keys are read ONCE
+    and both the bitmap and the exact key array derive from that one scan
+    (review finding: the first cut ran the distributed bitmap build AND a
+    to_pandas of the same filtered scan — two full dim reads)."""
     import os
 
     import pyarrow.dataset as pads
@@ -1314,6 +1312,46 @@ def _bloom_semi(sf_dir: str, gate_bytes: int | None = None):
         f"{sf_dir}/customer.parquet", columns=["c_custkey"],
         filter=pads.field("c_mktsegment") == "BUILDING")
 
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_totalprice"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"o_orderkey": df["o_orderkey"].astype("int64"),
+                             "o_custkey": df["o_custkey"].astype("int64"),
+                             "o_totalprice": _round2(df["o_totalprice"])})
+
+    def _empty():
+        return rd.from_pandas(pd.DataFrame(
+            {c: pd.Series(dtype=t) for c, t in _EMPTY_SEMI.items()}))
+
+    gate = BROADCAST_DIM_BYTES if gate_bytes is None else gate_bytes
+    if os.path.getsize(f"{sf_dir}/customer.parquet") <= gate:
+        # verify path A: ONE driver read of the (filtered, pruned-column)
+        # dim yields both the bloom bitmap and the exact sorted key array
+        # (order-revenue broadcast idiom); one binary search per survivor
+        keys = np.unique(cust.to_pandas()["c_custkey"].to_numpy(np.int64))
+        if not len(keys):  # empty dim ⇒ empty semi join
+            return _empty()
+        pos = _bloom_positions(keys).ravel()
+        bitmap = np.zeros(BLOOM_BITS >> 3, dtype=np.uint8)
+        np.bitwise_or.at(bitmap, pos >> 3, np.uint8(1) << (pos & 7))
+        bitmap_ref, keys_ref = ray.put(bitmap), ray.put(keys)
+        pruned = _bloom_prune(orders, bitmap_ref, "o_custkey")
+
+        def verify(df: pd.DataFrame) -> pd.DataFrame:
+            exact = ray.get(keys_ref)
+            ck = df["o_custkey"].to_numpy(np.int64)
+            if not len(ck):
+                return project(df.iloc[:0])
+            idx = np.clip(np.searchsorted(exact, ck), 0, len(exact) - 1)
+            return project(df[exact[idx] == ck])
+
+        return pruned.map_batches(verify, batch_format="pandas")
+
+    # dim too big for a driver read: distributed bitmap build — each dim
+    # batch emits its distinct bit positions (ints, not a bitmap per
+    # batch), one tiny task ORs them
     def dim_positions(df: pd.DataFrame) -> pd.DataFrame:
         pos = _bloom_positions(df["c_custkey"].to_numpy(np.int64))
         return pd.DataFrame({"pos": np.unique(pos)})
@@ -1328,36 +1366,9 @@ def _bloom_semi(sf_dir: str, gate_bytes: int | None = None):
              .repartition(1).map_batches(build_bitmap, batch_format="pandas",
                                          batch_size=None).take_all())
     if not built:  # empty dim ⇒ empty semi join
-        return rd.from_pandas(pd.DataFrame(
-            {c: pd.Series(dtype=t) for c, t in _EMPTY_SEMI.items()}))
+        return _empty()
     bitmap_ref = ray.put(np.frombuffer(built[0]["bitmap"], dtype=np.uint8))
-
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_orderkey", "o_custkey",
-                                      "o_totalprice"])
     pruned = _bloom_prune(orders, bitmap_ref, "o_custkey")
-
-    def project(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"o_orderkey": df["o_orderkey"].astype("int64"),
-                             "o_custkey": df["o_custkey"].astype("int64"),
-                             "o_totalprice": _round2(df["o_totalprice"])})
-
-    gate = BROADCAST_DIM_BYTES if gate_bytes is None else gate_bytes
-    if os.path.getsize(f"{sf_dir}/customer.parquet") <= gate:
-        # verify path A: broadcast sorted key array (queries.py
-        # order-revenue idiom), one binary search per surviving row
-        keys = np.sort(cust.to_pandas()["c_custkey"].to_numpy(np.int64))
-        keys_ref = ray.put(keys)
-
-        def verify(df: pd.DataFrame) -> pd.DataFrame:
-            exact = ray.get(keys_ref)
-            ck = df["o_custkey"].to_numpy(np.int64)
-            if not len(exact) or not len(ck):
-                return project(df.iloc[:0])
-            idx = np.clip(np.searchsorted(exact, ck), 0, len(exact) - 1)
-            return project(df[exact[idx] == ck])
-
-        return pruned.map_batches(verify, batch_format="pandas")
 
     # verify path B: dim too big to broadcast — co-locate the pruned fact
     # with per-batch-distinct dim keys on a custkey bucket; EXISTS keep

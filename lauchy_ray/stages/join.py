@@ -228,10 +228,23 @@ def _outer_bucket(df: pd.DataFrame, key: str, left_cols: list[str],
     tagged union back into its two sides and let pandas produce the m×n
     key-match plus the unmatched remainders. Column dtypes are the
     NULLABLE pandas kinds the tag step established, so absent-side rows
-    carry real NA (arrow null downstream), never a silent 0/NaN-float."""
-    left = df.loc[df["side"] == 0, [key, *left_cols]]
-    right = df.loc[df["side"] == 1, [key, *right_cols]]
-    return left.merge(right, on=key, how="outer")
+    carry real NA (arrow null downstream), never a silent 0/NaN-float.
+
+    NULL keys follow SQL semantics: NULL never equals NULL, so null-key
+    rows from either side pass through as UNMATCHED rows (pandas merge
+    would happily match NA to NA — review finding; key_bucket co-locates
+    all null keys in one bucket, so the pass-through is complete)."""
+    nul = df[key].isna()
+    left = df.loc[(df["side"] == 0) & ~nul, [key, *left_cols]]
+    right = df.loc[(df["side"] == 1) & ~nul, [key, *right_cols]]
+    out = left.merge(right, on=key, how="outer")
+    if nul.any():
+        # tag() already filled each side's absent columns with typed NA,
+        # so null-key rows are unmatched rows in the output schema as-is
+        out = pd.concat(
+            [out, df.loc[nul, [key, *left_cols, *right_cols]]],
+            ignore_index=True)
+    return out
 
 
 def full_outer_join(left: rd.Dataset, right: rd.Dataset, key: str,

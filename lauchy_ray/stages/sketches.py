@@ -148,8 +148,11 @@ def cms_estimate(sketch: pd.DataFrame, value) -> int:
 
 def cms_sql(table: str = "events", value_col: str = "user_id") -> str:
     """DuckDB re-derivation of the sketch counters: per-value totals cross
-    the D hash rows, cell = md5-60bit of '{depth}:{value}' mod W — the
-    identical bytes Python hashes, so every counter matches exactly."""
+    the D hash rows (VALUES list generated from CMS_D so Python and SQL
+    can never disagree on depth), cell = md5-60bit of '{depth}:{value}'
+    mod W — the identical bytes Python hashes, so every counter matches
+    exactly."""
+    vals = ", ".join(f"({d})" for d in range(CMS_D))
     return f"""
         WITH v AS (
           SELECT {value_col} AS val, count(*) AS c FROM {table} GROUP BY 1),
@@ -159,7 +162,7 @@ def cms_sql(table: str = "events", value_col: str = "user_id") -> str:
                                       CAST(val AS VARCHAR)), 1, 15))::BIGINT
                    % {CMS_W} AS cell,
                  c
-          FROM v CROSS JOIN (VALUES (0), (1), (2), (3)) AS d(depth))
+          FROM v CROSS JOIN (VALUES {vals}) AS d(depth))
         SELECT CAST(depth AS BIGINT) AS depth, cell,
                sum(c)::BIGINT AS counter
         FROM cells GROUP BY 1, 2"""

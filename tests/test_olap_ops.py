@@ -55,6 +55,27 @@ def test_full_outer_join_unmatched_rows_carry_na():
     assert got.loc[1, "lv"] == 20.0 and got.loc[1, "rv"] == 7
 
 
+def test_full_outer_join_null_keys_never_match():
+    # SQL semantics: NULL = NULL is not true, so null-key rows from BOTH
+    # sides must pass through unmatched (pandas merge would pair them)
+    left = pd.DataFrame({"k": pd.array([1, None], dtype="Int64"),
+                         "lv": [10.0, 99.0]})
+    right = pd.DataFrame({"k": pd.array([1, None], dtype="Int64"),
+                          "rv": [5, 7]})
+    got = full_outer_join(
+        rd.from_pandas(left), rd.from_pandas(right), "k",
+        left_cols={"lv": "Float64"}, right_cols={"rv": "Int64"},
+        size_bytes=1).to_pandas()
+    assert len(got) == 3  # 1 matched + 2 unmatched null-key rows
+    matched = got[got["k"].notna()]
+    assert len(matched) == 1
+    assert matched.iloc[0]["lv"] == 10.0 and matched.iloc[0]["rv"] == 5
+    nulls = got[got["k"].isna()]
+    assert sorted(
+        (bool(pd.isna(r["lv"])), bool(pd.isna(r["rv"])))
+        for _, r in nulls.iterrows()) == [(False, True), (True, False)]
+
+
 # ------------------------------------------------------------ CMS
 
 def test_cms_partials_are_associative():
