@@ -28,8 +28,9 @@ from lauchy_ray.stages.dedup_near import (  # noqa: E402
     ann_ivf_sql, embedding_near_dups_ivf_sql, minhash_clusters_sql,
     minhash_sql, simhash_clusters_sql, simhash_sql)
 from lauchy_ray.stages.multimodal import media_features_sql  # noqa: E402
+from lauchy_ray.stages.decontam import decontam_sql  # noqa: E402
 from lauchy_ray.stages.sketches import cms_sql, hll_sql  # noqa: E402
-from lauchy_ray.stages.terms import TOP_TERMS_K  # noqa: E402
+from lauchy_ray.stages.terms import TFIDF_K, TOP_TERMS_K  # noqa: E402
 from lauchy_ray.stages.textops import (  # noqa: E402
     fingerprint_sql, lang_id_sql, pii_scrub_sql)
 
@@ -100,6 +101,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_user_counts": Q.q_cms_user_counts,
         "building_orders_bloom": Q.q_building_orders_bloom,
         "user_value_outer": Q.q_user_value_outer,
+        # training-corpus ops (round 3): decontamination, chunking,
+        # tf-idf, repetition, window functions, set ops, CUBE
+        "decontam": Q.q_decontam,
+        "doc_chunks": Q.q_doc_chunks,
+        "tf_idf": Q.q_tf_idf,
+        "doc_repetition": Q.q_doc_repetition,
+        "user_running_value": Q.q_user_running_value,
+        "users_intersect": Q.q_users_intersect,
+        "users_except": Q.q_users_except,
+        "cube_events": Q.q_cube_events,
     }
 
 
@@ -441,6 +452,102 @@ def oracle_sql() -> dict[str, str]:
                    round(COALESCE(sum_big, 0.0), 2) AS sum_big,
                    COALESCE(n_low_errors, 0) AS n_low_errors
             FROM l FULL OUTER JOIN r USING (user_id)""",
+        # train/test n-gram leakage — string n-grams in SQL, md5-60
+        # hashed n-grams on the Ray side (equal barring 2^-60 collisions)
+        "decontam": decontam_sql(knuth=Q._KNUTH),
+        # overlapping fixed-token chunks; redundant tail windows skipped
+        "doc_chunks": rf"""
+            WITH tok AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS toks
+              FROM documents),
+            ex AS (
+              SELECT doc_id, len(toks) AS n,
+                     unnest([{{'cid': (i - 1) // {Q.CHUNK_STRIDE},
+                              'nt': least(len(toks) - i + 1,
+                                          {Q.CHUNK_TOKENS}),
+                              'ctext': array_to_string(
+                                 toks[i:i+{Q.CHUNK_TOKENS - 1}], ' ')}}
+                             for i in range(1, len(toks) + 1,
+                                            {Q.CHUNK_STRIDE})]) AS u
+              FROM tok)
+            SELECT doc_id, CAST(u.cid AS BIGINT) AS chunk_id,
+                   CAST(u.nt AS BIGINT) AS n_tokens, u.ctext AS chunk_text
+            FROM ex
+            WHERE u.cid = 0
+               OR (u.cid - 1) * {Q.CHUNK_STRIDE} + {Q.CHUNK_TOKENS} < n""",
+        # tf·ln(N/df) with libm ln on both engines (math.log, not np.log)
+        "tf_idf": rf"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '[^ \t\n\r\f\v]+'))
+                       AS term
+              FROM documents),
+            tcnt AS (SELECT doc_id, term, count(*) AS cnt
+                     FROM toks GROUP BY 1, 2),
+            tdf AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM tcnt GROUP BY term),
+            nd AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT doc_id, term, cnt, df, cnt * ln(n_docs / df) AS score
+              FROM tcnt JOIN tdf USING (term), nd),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+              FROM scored)
+            SELECT doc_id, CAST(rnk AS BIGINT) AS rank, term, cnt, df,
+                   score
+            FROM ranked WHERE rnk <= {TFIDF_K}""",
+        "doc_repetition": """
+            WITH tok AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents),
+            tri AS (
+              SELECT doc_id,
+                     greatest(len(toks) - 2, 0) AS n_trigrams,
+                     CASE WHEN len(toks) < 3 THEN 0
+                          ELSE len(list_distinct(
+                            [array_to_string(toks[i:i+2], ' ')
+                             for i in range(1, len(toks) - 1)]))
+                     END AS n_distinct
+              FROM tok)
+            SELECT doc_id, CAST(n_trigrams AS BIGINT) AS n_trigrams,
+                   CAST(n_distinct AS BIGINT) AS n_distinct,
+                   CASE WHEN n_trigrams > 0
+                        THEN 1.0 - n_distinct / n_trigrams
+                        ELSE 0.0 END AS rep_ratio
+            FROM tri""",
+        # exact integer-cents running sum (floor(v*100+0.5) both sides)
+        "user_running_value": """
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS running_cents
+            FROM events""",
+        "users_intersect": f"""
+            SELECT user_id FROM events
+            WHERE event_type = 'purchase' AND value > {Q.SETOP_VALUE_MIN}
+            INTERSECT
+            SELECT user_id FROM events
+            WHERE event_type = 'error' AND value > {Q.SETOP_VALUE_MIN}""",
+        "users_except": f"""
+            SELECT user_id FROM events
+            WHERE event_type = 'purchase' AND value > {Q.SETOP_VALUE_MIN}
+            EXCEPT
+            SELECT user_id FROM events
+            WHERE event_type = 'error' AND value > {Q.SETOP_VALUE_MIN}""",
+        "cube_events": """
+            WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day_id,
+                              event_type, value FROM events)
+            SELECT CASE WHEN GROUPING(day_id) = 1 THEN -1 ELSE day_id END
+                     AS day_id,
+                   CASE WHEN GROUPING(event_type) = 1 THEN ''
+                        ELSE event_type END AS event_type,
+                   count(*) AS n,
+                   COALESCE(round(sum(value), 2), 0.0) AS sum_value
+            FROM e GROUP BY CUBE (day_id, event_type)""",
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
                        FROM embeddings WHERE vec_id < 3),

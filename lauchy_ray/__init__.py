@@ -37,8 +37,8 @@ def _register_by_value() -> None:
 from . import rules, schema  # noqa: E402,F401
 from .functions import checksums, text  # noqa: E402,F401
 from .sources import json_ingest, stream  # noqa: E402,F401
-from .stages import (bucketing, dedup, dedup_near, join,  # noqa: E402,F401
-                     multimodal, sessionize, sketches, terms, textops,
+from .stages import (bucketing, decontam, dedup, dedup_near,  # noqa: E402,F401
+                     join, multimodal, sessionize, sketches, terms, textops,
                      validator, watermark, windows)
 from .state import sink, streaming  # noqa: E402,F401
 from . import datagen, events_bridge, oracle  # noqa: E402,F401

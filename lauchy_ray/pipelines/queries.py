@@ -12,6 +12,8 @@ The transcript-engine queries run over the canonical events→turns bridge
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1445,3 +1447,261 @@ def q_user_value_outer(sf_dir: str):
 
     tagged = ds.map_batches(tag, batch_format="pandas")
     return group_map_by_key(tagged, "user_id", outer_agg, size_ds=ds)
+
+
+# ------------------------------- round-3 widening: training-corpus ops
+
+def q_decontam(sf_dir: str, gate_bytes: int | None = None):
+    """Train/test DECONTAMINATION (benchmark-leakage scan): every train
+    doc with its count of distinct word 5-grams that appear anywhere in
+    the held-out test split. Default path broadcasts the holdout's
+    n-gram hash set (an eval suite is small by construction — gated on
+    the holdout's share of the on-disk corpus); at-scale fallback
+    co-locates (gram, doc, side) rows on a gram bucket and folds hit
+    counts per doc. See stages/decontam.py for the full scale story."""
+    import os
+
+    from ..stages import decontam as DC
+    from ..stages.bucketing import group_map_by_key
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+
+    def _split(df: pd.DataFrame, lo: int, hi: int) -> pd.DataFrame:
+        h = ((df["doc_id"] * _KNUTH) % 4294967296) % 100
+        return df[(h >= lo) & (h < hi)]
+
+    test = ds.map_batches(lambda df: _split(df, 90, 100),
+                          batch_format="pandas")
+    train = ds.map_batches(lambda df: _split(df, 0, 80),
+                           batch_format="pandas")
+    parts = test.map_batches(DC.holdout_hash_partial, batch_format="pandas")
+
+    gate = BROADCAST_DIM_BYTES if gate_bytes is None else gate_bytes
+    if os.path.getsize(path) // 10 <= gate:  # holdout ≈ 10% of corpus
+        hold = np.unique(parts.to_pandas()["g"].to_numpy(np.int64))
+        hold_ref = ray.put(hold)
+
+        def count(df: pd.DataFrame) -> pd.DataFrame:
+            return DC.count_shared_batch(df, ray.get(hold_ref))
+        return train.map_batches(count, batch_format="pandas")
+
+    # shuffle fallback: gram-bucket semi-count, then doc-keyed fold
+    tr_rows = train.map_batches(
+        lambda df: DC.train_gram_rows(df).assign(side=np.int64(0)),
+        batch_format="pandas")
+    te_rows = parts.map_batches(
+        lambda df: pd.DataFrame({"g": df["g"].astype("int64"),
+                                 "doc_id": np.int64(-1),
+                                 "side": np.int64(1)}),
+        batch_format="pandas")
+    hits = group_map_by_key(tr_rows.union(te_rows), "g", DC.bucket_hits,
+                            size_ds=ds)
+    zeros = train.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                                 "n_shared": np.zeros(len(df), np.int64)}),
+        batch_format="pandas")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", sort=False)["n_shared"].sum().reset_index()
+        g["doc_id"] = g["doc_id"].astype("int64")
+        g["n_shared"] = g["n_shared"].astype("int64")
+        g["contaminated"] = g["n_shared"] > 0
+        return g
+    return group_map_by_key(hits.union(zeros), "doc_id", fold, size_ds=ds)
+
+
+CHUNK_TOKENS = 64   # tokens per training chunk
+CHUNK_STRIDE = 48   # chunk start step (overlap = CHUNK_TOKENS - stride)
+
+
+def q_doc_chunks(sf_dir: str):
+    """Sequence CHUNKING for training (flat_map: one doc → overlapping
+    fixed-token windows, the standard pre-tokenization packing step).
+    Pure per-row fan-out — embarrassingly parallel, no shuffle; chunk
+    identity is (doc_id, chunk_id) so a resumed run re-derives identical
+    chunks. A tail window already covered by its predecessor is skipped
+    (start > 0 and prev chunk reached EOF ⇒ redundant)."""
+    from ..stages.textops import WS_TOKEN_RE
+    tok_re = re.compile(WS_TOKEN_RE)
+    S, T = CHUNK_STRIDE, CHUNK_TOKENS
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, cids, ns, texts = [], [], [], []
+        for i, t in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
+            toks = tok_re.findall(t)
+            n = len(toks)
+            for s in range(0, n, S):
+                if s > 0 and s - S + T >= n:
+                    break  # previous chunk already reached the end
+                c = toks[s:s + T]
+                ids.append(i)
+                cids.append(s // S)
+                ns.append(len(c))
+                texts.append(" ".join(c))
+        return pd.DataFrame({"doc_id": np.array(ids, np.int64),
+                             "chunk_id": np.array(cids, np.int64),
+                             "n_tokens": np.array(ns, np.int64),
+                             "chunk_text": pd.Series(texts, dtype=object)})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(explode, batch_format="pandas")
+
+
+def q_tf_idf(sf_dir: str):
+    """Per-document TF-IDF top-terms — the two-shuffle distributed form:
+    (1) explode to (term, doc, cnt) partials, term-bucket co-location
+    attaches each term's EXACT global df, (2) doc-bucket co-location
+    scores tf·ln(N/df) and keeps the per-doc top-3 (score DESC, term
+    ASC). Both shuffles move one row per distinct (term, doc) pair —
+    never raw tokens; N comes from parquet metadata, not a scan."""
+    from ..stages.bucketing import group_map_by_key
+    from ..stages.terms import (doc_topk_tfidf, term_df_attach,
+                                term_doc_partial)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    n_docs = ds.count()  # parquet row-count metadata — no full scan
+    parts = ds.map_batches(term_doc_partial, batch_format="pandas")
+    with_df = group_map_by_key(parts, "term", term_df_attach, size_ds=ds)
+    return group_map_by_key(
+        with_df, "doc_id", lambda g: doc_topk_tfidf(g, n_docs),
+        size_ds=ds)
+
+
+def q_doc_repetition(sf_dir: str):
+    """Intra-document REPETITION ratio (boilerplate/loop detector, a
+    standard corpus-quality signal): 1 − distinct/total over the doc's
+    word trigrams. Stateless per-row map; int→double division is
+    bit-identical across engines."""
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    def rep(df: pd.DataFrame) -> pd.DataFrame:
+        n_tri = np.zeros(len(df), np.int64)
+        n_dis = np.zeros(len(df), np.int64)
+        for i, t in enumerate(df["text"]):
+            toks = tok_re.findall(t.lower())
+            n = max(len(toks) - 2, 0)
+            n_tri[i] = n
+            if n:
+                n_dis[i] = len({(toks[j], toks[j + 1], toks[j + 2])
+                                for j in range(n)})
+        ratio = np.where(n_tri > 0, 1.0 - n_dis / np.maximum(n_tri, 1), 0.0)
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "n_trigrams": n_tri, "n_distinct": n_dis,
+                             "rep_ratio": ratio})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(rep, batch_format="pandas")
+
+
+def q_user_running_value(sf_dir: str):
+    """Running per-user value total in event-time order — the window
+    function face (SUM OVER PARTITION BY ... ROWS UNBOUNDED PRECEDING).
+    One user-bucket co-location, then a vectorized multi-group pass:
+    sort by (user, ts, event_id), grouped cumsum. Cents are integer
+    (floor(v·100 + 0.5), identical IEEE ops both engines) so the running
+    sum is EXACT — no float-accumulation drift at any prefix length."""
+    from ..stages.bucketing import group_map_by_key
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+            "cents": np.floor(
+                df["value"].to_numpy(np.float64) * 100.0 + 0.5
+            ).astype(np.int64)})
+
+    def running(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        out = df[["event_id", "user_id", "ts_us"]].copy()
+        out["running_cents"] = (df.groupby("user_id", sort=False)["cents"]
+                                .cumsum().astype("int64"))
+        return out
+
+    prepped = ds.map_batches(prep, batch_format="pandas")
+    return group_map_by_key(prepped, "user_id", running, size_ds=ds)
+
+
+SETOP_VALUE_MIN = 150.0  # both set-op sides: value > this
+
+
+def _user_type_flags(sf_dir: str, t1: str, t2: str, vmin: float):
+    """Shared set-op scaffold: per-batch distinct (user, has_t1, has_t2)
+    partials over the PREDICATED events (bounded: one row per user per
+    batch), then one user-bucket OR-fold — never a shuffle of raw
+    events. Every-user-does-everything corpora make unpredicated type
+    sets identical, so each side filters on value > vmin."""
+    from ..stages.bucketing import group_map_by_key
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["event_type"].isin([t1, t2]) & (df["value"] > vmin)]
+        g = (keep.assign(a=keep["event_type"] == t1,
+                         b=keep["event_type"] == t2)
+             .groupby("user_id", sort=False)[["a", "b"]].any().reset_index())
+        g["user_id"] = g["user_id"].astype("int64")
+        return g
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=False)[["a", "b"]].any().reset_index()
+        g["user_id"] = g["user_id"].astype("int64")
+        return g
+
+    return group_map_by_key(ds.map_batches(partial, batch_format="pandas"),
+                            "user_id", fold, size_ds=ds)
+
+
+def q_users_intersect(sf_dir: str):
+    """Distinct-set INTERSECT: users with BOTH a big purchase and a big
+    error event."""
+    flags = _user_type_flags(sf_dir, "purchase", "error", SETOP_VALUE_MIN)
+    return flags.map_batches(
+        lambda df: df.loc[df["a"] & df["b"], ["user_id"]],
+        batch_format="pandas")
+
+
+def q_users_except(sf_dir: str):
+    """Distinct-set EXCEPT: users with a big purchase but no big error."""
+    flags = _user_type_flags(sf_dir, "purchase", "error", SETOP_VALUE_MIN)
+    return flags.map_batches(
+        lambda df: df.loc[df["a"] & ~df["b"], ["user_id"]],
+        batch_format="pandas")
+
+
+def q_cube_events(sf_dir: str):
+    """CUBE aggregate — all four grouping sets (day,type) (day) (type)
+    () from the ONE bounded combiner result (rollup's shape plus the
+    (type) slice); -1/'' sentinels keep the output null-free."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def cube(df: pd.DataFrame) -> pd.DataFrame:
+        lvl2 = (df.groupby(["day_id", "event_type"], sort=True)
+                .agg(n=("n", "sum"), sum_value=("sum_value", "sum"))
+                .reset_index())
+        by_day = (lvl2.groupby("day_id", sort=True)
+                  .agg(n=("n", "sum"), sum_value=("sum_value", "sum"))
+                  .reset_index())
+        by_day["event_type"] = ""
+        by_type = (lvl2.groupby("event_type", sort=True)
+                   .agg(n=("n", "sum"), sum_value=("sum_value", "sum"))
+                   .reset_index())
+        by_type["day_id"] = np.int64(-1)
+        total = pd.DataFrame({"day_id": np.int64(-1), "event_type": [""],
+                              "n": [lvl2["n"].sum()],
+                              "sum_value": [lvl2["sum_value"].sum()]})
+        out = pd.concat([lvl2, by_day, by_type, total], ignore_index=True)
+        out["day_id"] = out["day_id"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        out["sum_value"] = _round2(out["sum_value"])
+        return out[["day_id", "event_type", "n", "sum_value"]]
+
+    return (ds.map_batches(_day_type_partial("sum_value"),
+                           batch_format="pyarrow")
+            .repartition(1).map_batches(cube, batch_format="pandas",
+                                        batch_size=None))

@@ -69,3 +69,40 @@ def merge_topk(parts: pd.DataFrame, k: int = TOP_TERMS_K) -> pd.DataFrame:
     out = (parts.sort_values(["tf", "term"], ascending=[False, True],
                              kind="stable").head(k))
     return out[["term", "tf", "df"]].reset_index(drop=True)
+
+
+TFIDF_K = 3
+
+
+def term_df_attach(df: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
+    """One term bucket: a term's rows are ALL here, so the per-term
+    distinct-doc count is its exact global document frequency; attach it
+    to every (term, doc) row for the doc-keyed scoring shuffle."""
+    out = df[[id_col, "term", "cnt"]].copy()
+    out["df"] = (df.groupby("term", sort=False)[id_col]
+                 .transform("nunique").astype("int64"))
+    return out
+
+
+def doc_topk_tfidf(df: pd.DataFrame, n_docs: int, k: int = TFIDF_K,
+                   id_col: str = "doc_id") -> pd.DataFrame:
+    """One doc bucket: score = tf · ln(N/df), then the per-doc (score
+    DESC, term ASC) top-k with a dense 1-based rank. ln MUST be
+    ``math.log`` per DISTINCT df, not ``np.log`` — numpy's SIMD log
+    diverges from DuckDB/libm by 1 ulp on some inputs (the HLL sketch
+    documents the same constraint, sketches.py:16-18); distinct df
+    values are bounded by the bucket's doc count, so the scalar calls
+    are O(groups), not O(rows)."""
+    import math
+    dfv = df["df"].to_numpy(np.int64)
+    uniq, inv = np.unique(dfv, return_inverse=True)
+    logs = np.fromiter((math.log(n_docs / int(d)) for d in uniq),
+                       dtype=np.float64, count=len(uniq))
+    score = df["cnt"].to_numpy(np.float64) * logs[inv]
+    out = df.assign(score=score).sort_values(
+        [id_col, "score", "term"], ascending=[True, False, True],
+        kind="stable")
+    out = out.groupby(id_col, sort=False).head(k).reset_index(drop=True)
+    out["rank"] = (out.groupby(id_col, sort=False).cumcount() + 1).astype("int64")
+    out["cnt"] = out["cnt"].astype("int64")
+    return out[[id_col, "rank", "term", "cnt", "df", "score"]]

@@ -22,7 +22,11 @@ GATED_QUERIES = ["orders_by_nation", "top_orders_per_nation",
                  "customers_no_f_orders", "distinct_users_by_type",
                  # round-3 widening: bloom semi (verify path B), term
                  # shuffle, fused outer-agg — all force the bucket path
-                 "building_orders_bloom", "top_terms", "user_value_outer"]
+                 "building_orders_bloom", "top_terms", "user_value_outer",
+                 # training-corpus ops: decontam's gram-bucket fallback,
+                 # tf-idf's two bucket shuffles, windowed/set-op folds
+                 "decontam", "tf_idf", "user_running_value",
+                 "users_intersect", "users_except"]
 
 
 @pytest.fixture(scope="module")
