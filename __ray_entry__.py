@@ -111,6 +111,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_intersect": Q.q_users_intersect,
         "users_except": Q.q_users_except,
         "cube_events": Q.q_cube_events,
+        # CEP sequence operators (round 3): row-pattern match, ordered
+        # funnel, trajectory histogram
+        "turn_pattern": Q.q_turn_pattern,
+        "conv_funnel": Q.q_conv_funnel,
+        "conv_trajectory": Q.q_conv_trajectory,
     }
 
 
@@ -558,4 +563,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT qid, vec_id FROM (
               SELECT *, row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
               FROM sims) WHERE rn <= 5""",
+        # CEP sequence operators: gaps-and-islands row-pattern match
+        # (A B+ C), cascaded-min funnel, string_agg trajectory histogram
+        "turn_pattern": f"""WITH {_T},
+            b AS (
+              SELECT conv_id, turn_idx,
+                     turn_idx - CAST(row_number() OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx) AS INTEGER)
+                       AS grp
+              FROM turns WHERE role = 'tool'),
+            runs AS (
+              SELECT conv_id, grp, min(turn_idx) AS b_start,
+                     max(turn_idx) AS b_end, count(*) AS n_tool_turns
+              FROM b GROUP BY conv_id, grp)
+            SELECT r.conv_id, a.turn_idx AS start_idx,
+                   c.turn_idx AS end_idx, r.n_tool_turns
+            FROM runs r
+            JOIN turns a ON a.conv_id = r.conv_id
+              AND a.turn_idx = r.b_start - 1 AND a.role = 'user'
+            JOIN turns c ON c.conv_id = r.conv_id
+              AND c.turn_idx = r.b_end + 1 AND c.role = 'assistant'""",
+        "conv_funnel": f"""WITH {_T},
+            u AS (SELECT conv_id, min(turn_idx) AS u_idx FROM turns
+                  WHERE role = 'user' GROUP BY conv_id),
+            t AS (SELECT s.conv_id, min(s.turn_idx) AS t_idx
+                  FROM turns s JOIN u ON s.conv_id = u.conv_id
+                    AND s.turn_idx > u.u_idx
+                  WHERE s.role = 'tool' GROUP BY s.conv_id),
+            a AS (SELECT s.conv_id FROM turns s
+                  JOIN t ON s.conv_id = t.conv_id AND s.turn_idx > t.t_idx
+                  WHERE s.role = 'assistant' GROUP BY s.conv_id)
+            SELECT * FROM (VALUES
+              (CAST(1 AS BIGINT), 'user', (SELECT count(*) FROM u)),
+              (CAST(2 AS BIGINT), 'tool_after_user', (SELECT count(*) FROM t)),
+              (CAST(3 AS BIGINT), 'answer_after_tool', (SELECT count(*) FROM a))
+            ) AS v(stage, stage_name, n_convs)""",
+        "conv_trajectory": f"""WITH {_T},
+            sig AS (
+              SELECT conv_id,
+                     string_agg(substr(role, 1, 1), '' ORDER BY turn_idx)
+                       AS trajectory
+              FROM turns GROUP BY conv_id)
+            SELECT trajectory, count(*) AS n_convs
+            FROM sig GROUP BY trajectory""",
     }

@@ -1705,3 +1705,60 @@ def q_cube_events(sf_dir: str):
                            batch_format="pyarrow")
             .repartition(1).map_batches(cube, batch_format="pandas",
                                         batch_size=None))
+
+
+# ------------------------------- round-3 widening: CEP sequence operators
+
+def _turn_roles(sf_dir: str):
+    """(conv_id, turn_idx, role) projection of the derived turns plus the
+    size anchor for the gate — the pattern kernels never shuffle text."""
+    turns = _turns(sf_dir)
+    proj = turns.map_batches(
+        lambda df: df[["conv_id", "turn_idx", "role"]],
+        batch_format="pandas")
+    return proj, turns
+
+
+def q_turn_pattern(sf_dir: str):
+    """Row-pattern CEP match — MATCH_RECOGNIZE (A B+ C) with A=user,
+    B=tool, C=assistant over per-conv turn order ("user asks → agent
+    runs tools → agent answers"): every maximal tool-run with its
+    user/assistant neighbours. One conv-bucket co-location, vectorized
+    run detection (stages/patterns.match_abplusc_bucket); oracle is the
+    gaps-and-islands form over the same turns CTE."""
+    from ..stages.bucketing import group_map_by_key
+    from ..stages.patterns import match_abplusc_bucket
+    proj, turns = _turn_roles(sf_dir)
+    return group_map_by_key(proj, "conv_id", match_abplusc_bucket,
+                            size_ds=turns)
+
+
+def q_conv_funnel(sf_dir: str):
+    """Ordered-stage conversation FUNNEL: #convs with a user turn, with
+    a tool turn AFTER their first user turn, with an assistant answer
+    AFTER that first qualifying tool turn. Conv-bucket partials (3 rows
+    each, cascaded masked minimum.reduceat — stages/patterns), then one
+    bounded single-task sum."""
+    from ..stages.bucketing import group_map_by_key
+    from ..stages.patterns import funnel_bucket_partial, funnel_merge
+    proj, turns = _turn_roles(sf_dir)
+    parts = group_map_by_key(proj, "conv_id", funnel_bucket_partial,
+                             size_ds=turns)
+    return parts.repartition(1).map_batches(funnel_merge,
+                                            batch_format="pandas",
+                                            batch_size=None)
+
+
+def q_conv_trajectory(sf_dir: str):
+    """Per-conversation TRAJECTORY histogram — the string_agg /
+    collect_list face: each conv's role initials joined in turn order,
+    counted per distinct trajectory. Conv-bucket signature build with
+    per-bucket pre-counts, then a trajectory-keyed fold (rows moved =
+    distinct trajectories per bucket, never one per conv)."""
+    from ..stages.bucketing import group_map_by_key
+    from ..stages.patterns import trajectory_bucket, trajectory_fold
+    proj, turns = _turn_roles(sf_dir)
+    parts = group_map_by_key(proj, "conv_id", trajectory_bucket,
+                             size_ds=turns)
+    return group_map_by_key(parts, "trajectory", trajectory_fold,
+                            size_ds=turns)
