@@ -125,8 +125,8 @@ def run_streaming(paths: dict[str, str]) -> dict:
     import pyarrow.parquet as pq
 
     from lauchy_ray.state.streaming import (
-        run_streaming_dedup, run_streaming_sessions,
-        run_streaming_window_counts)
+        run_streaming_dedup, run_streaming_patterns,
+        run_streaming_sessions, run_streaming_window_counts)
 
     codes = sorted(pq.read_table(paths["entities"], columns=["code"])
                    ["code"].to_pylist())
@@ -154,6 +154,8 @@ def run_streaming(paths: dict[str, str]) -> dict:
         paths["turns"], hour, late, n_shards=8, validate_kwargs=vk))
     timed("cep_sessions", lambda: run_streaming_sessions(
         paths["turns"], gap, late, n_shards=8, validate_kwargs=vk))
+    timed("cep_patterns", lambda: run_streaming_patterns(
+        paths["turns"], late, n_shards=8, validate_kwargs=vk))
 
     dd = "/tmp/lauchy_bench/stream_dedup_out"
 

@@ -46,21 +46,26 @@ def match_abplusc_bucket(df: pd.DataFrame) -> pd.DataFrame:
                              "end_idx": pd.Series(dtype="int32"),
                              "n_tool_turns": pd.Series(dtype="int64")})
     is_b = role == PAT_B
-    same_prev = np.zeros(n, dtype=bool)
-    same_prev[1:] = conv[1:] == conv[:-1]
+    # adjacency = same conv AND consecutive turn_idx: dense raw turns make
+    # the idx check a no-op, but a pre-filtered stream (e.g. the validated
+    # stream after its null-text drop) has gaps, and a gap must break both
+    # runs and neighbour checks — this keeps the kernel equal to the
+    # streaming pattern engine over the same filtered input
+    adj_prev = np.zeros(n, dtype=bool)
+    adj_prev[1:] = (conv[1:] == conv[:-1]) & (tidx[1:] == tidx[:-1] + 1)
     prev_b = np.zeros(n, dtype=bool)
     prev_b[1:] = is_b[:-1]
     next_b = np.zeros(n, dtype=bool)
     next_b[:-1] = is_b[1:]
-    same_next = np.zeros(n, dtype=bool)
-    same_next[:-1] = same_prev[1:]
-    run_start = np.flatnonzero(is_b & ~(prev_b & same_prev))
-    run_end = np.flatnonzero(is_b & ~(next_b & same_next))
+    adj_next = np.zeros(n, dtype=bool)
+    adj_next[:-1] = adj_prev[1:]
+    run_start = np.flatnonzero(is_b & ~(prev_b & adj_prev))
+    run_end = np.flatnonzero(is_b & ~(next_b & adj_next))
     # A immediately before the run, C immediately after — both must stay
-    # inside the run's conversation
-    ok_a = (run_start > 0) & same_prev[run_start] \
+    # inside the run's conversation and be idx-adjacent
+    ok_a = (run_start > 0) & adj_prev[run_start] \
         & (role[np.maximum(run_start - 1, 0)] == PAT_A)
-    ok_c = (run_end < n - 1) & same_next[run_end] \
+    ok_c = (run_end < n - 1) & adj_next[run_end] \
         & (role[np.minimum(run_end + 1, n - 1)] == PAT_C)
     keep = ok_a & ok_c
     s, e = run_start[keep], run_end[keep]

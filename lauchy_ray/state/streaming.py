@@ -954,3 +954,254 @@ def run_streaming_window_counts(input_path: str, width_us: int,
     late_df = (pd.DataFrame(late) if late else
                pd.DataFrame(columns=["conv_id", "turn_idx", "ts", "window_id"]))
     return wc, late_df, [f["watermark"] for f in finals]
+
+
+# ---------------------------------------------------------------- patterns
+
+# role codes for the (A B+ C) row-pattern DFA; 3 = anything else
+_PAT_A, _PAT_B, _PAT_C, _PAT_X = 0, 1, 2, 3
+_PAT_CODE_OF = {"user": _PAT_A, "tool": _PAT_B, "assistant": _PAT_C}
+
+
+class PatternShardCore(ShardActorBase):
+    """Streaming row-pattern CEP engine: emit every (A B+ C) =
+    user → tool+ → assistant match over per-conversation turn order,
+    exactly-once, with watermark-driven lateness handling.
+
+    Semantics: within a conversation, turn_idx order IS event-time order
+    (the bridge ranks by ts), and pattern elements must be idx-ADJACENT —
+    a gap (e.g. a turn the validator's null-text filter dropped) breaks
+    both runs and neighbour checks, exactly like the batch kernel
+    (stages/patterns.match_abplusc_bucket over the same filtered stream).
+
+    Lateness is the windows engine's row-level prefix-watermark rule:
+    a row is LATE iff ts ≤ wm-before-its-arrival (wm = running
+    max(ts) − lateness). That rule is batch-slicing-invariant, and it
+    PROVABLY implies no accepted row ever lands at-or-below its conv's
+    consumed frontier: any consumed row had ts ≤ wm at consumption, so a
+    later arrival ordered below it satisfies ts ≤ wm already. Accepted
+    rows buffer in shard-global columnar pending arrays; each ingest
+    CONSUMES the ts ≤ wm subset in (conv, turn_idx) order through ONE
+    vectorized pass (boundary masks — no per-conv Python), with each
+    conv's carried DFA state injected as a VIRTUAL head row (its last
+    consumed (idx, role)); runs starting on a virtual row take their
+    a_ok / length / start from the carry. A match emits when its closing
+    C turn is consumed — everything at the frontier is final, so no
+    emission is ever retracted and the match SET is independent of
+    micro-batch boundaries.
+
+    State is O(active convs + pending rows within the lateness horizon):
+    per conv five scalars, plus the pending arrays. Emissions ride the
+    ShardActorBase delta-log/snapshot protocol for exactly-once replay.
+    """
+
+    def __init__(self, lateness_us: int, checkpoint_path: str | None = None):
+        self.lateness = lateness_us
+        # conv → [last_idx, prev_code, run_len, run_aok, run_start_idx]
+        self.frontier: dict = {}
+        self._pend = []          # list of (conv, idx, code, ts, seq#) column chunks
+        self._arr = 0            # arrival counter (dedup tiebreak)
+        self._init_shard_state(checkpoint_path, ("pattern", lateness_us))
+
+    def _core_state(self):
+        return (self.frontier, self._pend, self._arr)
+
+    def _restore_core(self, core) -> None:
+        self.frontier, self._pend, self._arr = core
+
+    # ---------------------------------------------------------- ingest
+
+    def ingest(self, table: pa.Table, seq: int | None = None) -> int:
+        if seq is not None and seq <= self.seq:
+            return 0
+        n = table.num_rows
+        if n:
+            ts = table["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            idx = table["turn_idx"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            conv = np.asarray(table["conv_id"].to_pylist(), dtype=object)
+            roles = pd.Series(table["role"].to_pylist())
+            code = roles.map(_PAT_CODE_OF).fillna(_PAT_X).to_numpy(np.int8)
+
+            # row-level prefix watermark (windows-engine rule): late iff
+            # ts ≤ wm computed over strictly-prior arrivals
+            cand = ts - self.lateness
+            cm = np.maximum.accumulate(cand)
+            prefix_wm = np.empty(n, dtype=np.int64)
+            prefix_wm[0] = self.wm
+            if n > 1:
+                np.maximum(self.wm, cm[:-1], out=prefix_wm[1:])
+            late_m = ts <= prefix_wm
+            if late_m.any():
+                for i in np.flatnonzero(late_m):
+                    self.late.append({"conv_id": conv[i],
+                                      "turn_idx": int(idx[i]),
+                                      "ts": int(ts[i])})
+            keep = ~late_m
+            if keep.any():
+                arr = np.arange(self._arr, self._arr + int(keep.sum()),
+                                dtype=np.int64)
+                self._arr += int(keep.sum())
+                self._pend.append((conv[keep], idx[keep], code[keep],
+                                   ts[keep], arr))
+            if int(cm[-1]) > self.wm:
+                self.wm = int(cm[-1])
+            self._consume(self.wm)
+        if seq is not None:
+            self.seq = seq
+            self._checkpoint()
+        return n
+
+    # --------------------------------------------------------- consume
+
+    def _consume(self, bound: int) -> None:
+        """Drain every pending row with ts ≤ bound through the DFA in
+        (conv, turn_idx, arrival) order; retain the rest."""
+        if not self._pend:
+            return
+        conv = np.concatenate([p[0] for p in self._pend])
+        idx = np.concatenate([p[1] for p in self._pend])
+        code = np.concatenate([p[2] for p in self._pend])
+        ts = np.concatenate([p[3] for p in self._pend])
+        arr = np.concatenate([p[4] for p in self._pend])
+        take = ts <= bound
+        if not take.any():
+            self._pend = [(conv, idx, code, ts, arr)]
+            return
+        rest = ~take
+        self._pend = ([(conv[rest], idx[rest], code[rest], ts[rest],
+                        arr[rest])] if rest.any() else [])
+        conv, idx, code, arr = conv[take], idx[take], code[take], arr[take]
+        # factorize convs once: lexsort and segment logic run on int codes
+        uconv, cid = np.unique(conv, return_inverse=True)
+        order = np.lexsort((arr, idx, cid))
+        cid, idx, code, arr = cid[order], idx[order], code[order], arr[order]
+        # duplicate (conv, idx) arrivals: keep the earliest (stable above)
+        dup = np.zeros(len(cid), dtype=bool)
+        if len(cid) > 1:
+            dup[1:] = (cid[1:] == cid[:-1]) & (idx[1:] == idx[:-1])
+        if dup.any():
+            for i in np.flatnonzero(dup):
+                self.late.append({"conv_id": uconv[cid[i]],
+                                  "turn_idx": int(idx[i]), "ts": -1})
+            cid, idx, code = cid[~dup], idx[~dup], code[~dup]
+        m = len(cid)
+        if m == 0:
+            return
+        # virtual head row per conv WITH existing state: its last
+        # consumed (idx, role) — adjacency and the A-neighbour check then
+        # fall out of the uniform mask logic
+        seg_first = np.ones(m, dtype=bool)
+        seg_first[1:] = cid[1:] != cid[:-1]
+        heads = np.flatnonzero(seg_first)
+        v_rows = []           # (insert_pos, cid, idx, code)
+        carry = {}            # cid → state list (only convs seen before)
+        for h in heads:
+            st = self.frontier.get(uconv[cid[h]])
+            if st is not None:
+                carry[int(cid[h])] = st
+                v_rows.append((h, cid[h], st[0], st[1]))
+        if v_rows:
+            pos = np.array([v[0] for v in v_rows], dtype=np.int64)
+            cid = np.insert(cid, pos, [v[1] for v in v_rows])
+            idx = np.insert(idx, pos, [v[2] for v in v_rows])
+            code = np.insert(code, pos, np.array([v[3] for v in v_rows],
+                                                 dtype=np.int8))
+            virt = np.zeros(len(cid), dtype=bool)
+            virt[pos + np.arange(len(pos))] = True
+        else:
+            virt = np.zeros(m, dtype=bool)
+        n2 = len(cid)
+        adj = np.zeros(n2, dtype=bool)
+        if n2 > 1:
+            adj[1:] = (cid[1:] == cid[:-1]) & (idx[1:] == idx[:-1] + 1)
+        is_b = code == _PAT_B
+        prev_b = np.zeros(n2, dtype=bool)
+        prev_b[1:] = is_b[:-1] & adj[1:]
+        next_cont = np.zeros(n2, dtype=bool)
+        next_cont[:-1] = is_b[1:] & adj[1:]
+        starts = np.flatnonzero(is_b & ~prev_b)
+        ends = np.flatnonzero(is_b & ~next_cont)
+        run_of_end = {}
+        if len(starts):
+            sm1 = np.maximum(starts - 1, 0)
+            aok = (starts > 0) & (code[sm1] == _PAT_A) & adj[starts]
+            counts = ends - starts + 1
+            estart = idx[starts] - 1
+            # runs STARTING on a virtual row resume the carried run
+            vsr = np.flatnonzero(virt[starts])
+            for r in vsr:
+                st = carry[int(cid[starts[r]])]
+                aok[r] = st[3]
+                counts[r] += st[2] - 1   # virtual row stands in for the
+                estart[r] = st[4] - 1    # run's last consumed B
+            ep1 = np.minimum(ends + 1, n2 - 1)
+            emit = ((ends < n2 - 1) & adj[ep1] & (code[ep1] == _PAT_C)
+                    & aok)
+            for r in np.flatnonzero(emit):
+                self.emitted.append({
+                    "conv_id": uconv[cid[starts[r]]],
+                    "start_idx": int(estart[r]),
+                    "end_idx": int(idx[ends[r] + 1]),
+                    "n_tool_turns": int(counts[r])})
+            run_of_end = {int(e): r for r, e in enumerate(ends)}
+        # refresh per-conv carried state from each segment's LAST row
+        seg_last = np.ones(n2, dtype=bool)
+        seg_last[:-1] = cid[1:] != cid[:-1]
+        for p in np.flatnonzero(seg_last):
+            if virt[p]:
+                continue  # all of this conv's rows were dup-dropped
+            if is_b[p]:
+                r = run_of_end[int(p)]
+                s = starts[r]
+                run_start = (carry[int(cid[p])][4] if virt[s]
+                             else int(idx[s]))
+                new = [int(idx[p]), int(code[p]), int(counts[r]),
+                       bool(aok[r]), run_start]
+            else:
+                new = [int(idx[p]), int(code[p]), 0, False, -1]
+            self.frontier[uconv[cid[p]]] = new
+
+    def finalize(self) -> dict:
+        """End of stream: drain ALL pending rows (wm → ∞); open tool-runs
+        die unmatched. No checkpoint — terminal flush, replay-idempotent
+        (mirrors WindowShardCore.finalize)."""
+        self._consume(1 << 62)
+        self._pend = []
+        hist_emitted, hist_late = self._read_deltas()
+        return {"emitted": hist_emitted + self.emitted,
+                "late": hist_late + self.late, "watermark": self.wm,
+                "state_convs": len(self.frontier)}
+
+
+PatternShardActor = ray.remote(PatternShardCore)
+
+
+def run_streaming_patterns(input_path: str,
+                           lateness_us: int = 5 * 60 * 1_000_000,
+                           n_shards: int = 8,
+                           validate_kwargs: dict | None = None,
+                           max_pending: int = 4,
+                           checkpoint_dir: str | None = None):
+    """Streaming (A B+ C) row-pattern matching over the fragment stream
+    (validated, null-text-dropped — the same stream every other CEP
+    engine consumes). → (matches DataFrame, late DataFrame, watermarks)."""
+    fragments = list_fragments(input_path)
+    meta = {"kind": "pattern", "lateness_us": lateness_us,
+            "n_shards": n_shards}
+    _guard_checkpoint_dir(checkpoint_dir, meta, fragments)
+    actors = [PatternShardActor.remote(
+        lateness_us,
+        os.path.join(checkpoint_dir, f"shard-{s}.ckpt") if checkpoint_dir
+        else None)
+        for s in range(n_shards)]
+    finals = _pump_fragments(actors, fragments, n_shards,
+                             validate_kwargs, max_pending)
+    emitted = [row for f in finals for row in f["emitted"]]
+    late = [row for f in finals for row in f["late"]]
+    out = (pd.DataFrame(emitted) if emitted else
+           pd.DataFrame(columns=["conv_id", "start_idx", "end_idx",
+                                 "n_tool_turns"]))
+    late_df = (pd.DataFrame(late) if late else
+               pd.DataFrame(columns=["conv_id", "turn_idx", "ts"]))
+    return out, late_df, [f["watermark"] for f in finals]
