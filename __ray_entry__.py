@@ -116,6 +116,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_pattern": Q.q_turn_pattern,
         "conv_funnel": Q.q_conv_funnel,
         "conv_trajectory": Q.q_conv_trajectory,
+        # window-frame faces + token-budget sampling (round 3)
+        "user_moving_avg": Q.q_user_moving_avg,
+        "event_rank": Q.q_event_rank,
+        "token_weighted_sample": Q.q_token_weighted_sample,
     }
 
 
@@ -606,4 +610,29 @@ def oracle_sql() -> dict[str, str]:
               FROM turns GROUP BY conv_id)
             SELECT trajectory, count(*) AS n_convs
             FROM sig GROUP BY trajectory""",
+        # window-frame faces: bounded-frame AVG, row_number + NTILE
+        "user_moving_avg": """
+            WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_id, user_id, ts_us,
+                   CAST(sum(cents) OVER w AS DOUBLE) / count(*) OVER w AS mavg
+            FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+        "event_rank": """
+            WITH c AS (SELECT event_id, user_id,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_id, user_id,
+                   row_number() OVER w AS rn, ntile(4) OVER w AS tile
+            FROM c WINDOW w AS (PARTITION BY user_id
+                                ORDER BY cents DESC, event_id)""",
+        "token_weighted_sample": rf"""
+            WITH t AS (SELECT doc_id,
+                              CAST(len(regexp_extract_all(text,
+                                '[^ \t\n\r\f\v]+')) AS BIGINT) AS n_ws_tokens
+                       FROM documents)
+            SELECT doc_id, n_ws_tokens FROM t
+            WHERE ((doc_id * {Q._KNUTH}) % 4294967296) % 1000
+                  < least(n_ws_tokens, {Q.TOKEN_SAMPLE_CAP})""",
     }

@@ -1595,6 +1595,19 @@ def q_doc_repetition(sf_dir: str):
     return ds.map_batches(rep, batch_format="pandas")
 
 
+def _event_cents_prep(df: pd.DataFrame) -> pd.DataFrame:
+    """events batch → (event_id, user_id, ts_us, cents): EXACT integer
+    cents via floor(v·100 + 0.5) — identical IEEE ops on both engines, so
+    window sums never drift at any prefix/frame length."""
+    return pd.DataFrame({
+        "event_id": df["event_id"].astype("int64"),
+        "user_id": df["user_id"].astype("int64"),
+        "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+        "cents": np.floor(
+            df["value"].to_numpy(np.float64) * 100.0 + 0.5
+        ).astype(np.int64)})
+
+
 def q_user_running_value(sf_dir: str):
     """Running per-user value total in event-time order — the window
     function face (SUM OVER PARTITION BY ... ROWS UNBOUNDED PRECEDING).
@@ -1606,15 +1619,6 @@ def q_user_running_value(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts", "value"])
 
-    def prep(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "event_id": df["event_id"].astype("int64"),
-            "user_id": df["user_id"].astype("int64"),
-            "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
-            "cents": np.floor(
-                df["value"].to_numpy(np.float64) * 100.0 + 0.5
-            ).astype(np.int64)})
-
     def running(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
         out = df[["event_id", "user_id", "ts_us"]].copy()
@@ -1622,7 +1626,7 @@ def q_user_running_value(sf_dir: str):
                                 .cumsum().astype("int64"))
         return out
 
-    prepped = ds.map_batches(prep, batch_format="pandas")
+    prepped = ds.map_batches(_event_cents_prep, batch_format="pandas")
     return group_map_by_key(prepped, "user_id", running, size_ds=ds)
 
 
@@ -1762,3 +1766,112 @@ def q_conv_trajectory(sf_dir: str):
                              size_ds=turns)
     return group_map_by_key(parts, "trajectory", trajectory_fold,
                             size_ds=turns)
+
+
+# ------------------------------- round-3 widening: window-frame faces
+
+MAVG_WINDOW = 3          # ROWS BETWEEN (W-1) PRECEDING AND CURRENT ROW
+NTILE_BUCKETS = 4
+TOKEN_SAMPLE_CAP = 800   # weight cap (per-mille) for token-budget sampling
+
+
+def q_user_moving_avg(sf_dir: str):
+    """Bounded-frame WINDOW aggregate: 3-row moving average of each
+    user's event value in event-time order (AVG OVER ROWS 2 PRECEDING).
+    One user-bucket co-location, then a vectorized pass: global cumsum on
+    exact integer cents, frame sum by prefix-difference at the
+    segment-clamped frame start, ONE double division per row (the exact
+    op sequence of the oracle's sum-over-frame / count-over-frame)."""
+    from ..stages.bucketing import group_map_by_key
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    W = MAVG_WINDOW
+
+    def mavg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        cents = df["cents"].to_numpy(np.int64)
+        uid = df["user_id"].to_numpy(np.int64)
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "user_id": pd.Series(dtype="int64"),
+                                 "ts_us": pd.Series(dtype="int64"),
+                                 "mavg": pd.Series(dtype="float64")})
+        first = np.ones(n, dtype=bool)
+        first[1:] = uid[1:] != uid[:-1]
+        seg_start = np.flatnonzero(first)[np.cumsum(first) - 1]
+        pos = np.arange(n, dtype=np.int64)
+        sof = np.maximum(seg_start, pos - (W - 1))  # frame start
+        cs = np.cumsum(cents)
+        base = np.where(sof > 0, cs[np.maximum(sof - 1, 0)], 0)
+        wsum = cs - base
+        wn = pos - sof + 1
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "user_id": uid,
+            "ts_us": df["ts_us"].to_numpy(np.int64),
+            "mavg": wsum.astype(np.float64) / wn})
+
+    prepped = ds.map_batches(_event_cents_prep, batch_format="pandas")
+    return group_map_by_key(prepped, "user_id", mavg, size_ds=ds)
+
+
+def q_event_rank(sf_dir: str):
+    """Ranking window functions: per-user row_number and NTILE(4) over
+    (cents DESC, event_id) — one user-bucket pass; NTILE's
+    first-(n mod k)-buckets-get-ceil rule is computed closed-form from
+    the in-segment rank, no per-group Python."""
+    from ..stages.bucketing import group_map_by_key
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    K = NTILE_BUCKETS
+
+    def rank_tile(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "cents", "event_id"], kind="stable",
+                            ascending=[True, False, True])
+        uid = df["user_id"].to_numpy(np.int64)
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "user_id": pd.Series(dtype="int64"),
+                                 "rn": pd.Series(dtype="int64"),
+                                 "tile": pd.Series(dtype="int64")})
+        first = np.ones(n, dtype=bool)
+        first[1:] = uid[1:] != uid[:-1]
+        bounds = np.flatnonzero(first)
+        seg_id = np.cumsum(first) - 1
+        sizes = np.diff(np.append(bounds, n))[seg_id]
+        rel = np.arange(n, dtype=np.int64) - bounds[seg_id]
+        q, rem = sizes // K, sizes % K
+        cut = rem * (q + 1)
+        q_safe = np.maximum(q, 1)  # q=0 rows all fall in the first branch
+        tile = np.where(rel < cut, rel // (q + 1),
+                        rem + (rel - cut) // q_safe) + 1
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "user_id": uid, "rn": rel + 1, "tile": tile.astype(np.int64)})
+
+    prepped = ds.map_batches(_event_cents_prep, batch_format="pandas")
+    return group_map_by_key(prepped, "user_id", rank_tile, size_ds=ds)
+
+
+def q_token_weighted_sample(sf_dir: str):
+    """Token-budget (importance) sampling: keep each doc with probability
+    min(n_tokens, cap)/1000 — the deterministic hash-based form of
+    length-proportional sampling a data-mixing pipeline uses, so re-runs
+    and resumes pick identical rows. Stateless map; integer weight so
+    the threshold compare is drift-free."""
+    from ..stages.textops import WS_TOKEN_RE
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        ntok = df["text"].str.count(WS_TOKEN_RE).astype("int64")
+        w = np.minimum(ntok.to_numpy(np.int64), TOKEN_SAMPLE_CAP)
+        h = ((df["doc_id"].to_numpy(np.int64) * _KNUTH)
+             % 4294967296) % 1000
+        keep = h < w
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64)[keep],
+                             "n_ws_tokens": ntok.to_numpy(np.int64)[keep]})
+
+    return ds.map_batches(pick, batch_format="pandas")
