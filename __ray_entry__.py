@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_moving_avg": Q.q_user_moving_avg,
         "event_rank": Q.q_event_rank,
         "token_weighted_sample": Q.q_token_weighted_sample,
+        "role_transitions": Q.q_role_transitions,
+        "value_quartiles_by_type": Q.q_value_quartiles_by_type,
     }
 
 
@@ -635,4 +637,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_ws_tokens FROM t
             WHERE ((doc_id * {Q._KNUTH}) % 4294967296) % 1000
                   < least(n_ws_tokens, {Q.TOKEN_SAMPLE_CAP})""",
+        "role_transitions": f"""WITH {_T},
+            p AS (SELECT conv_id, role,
+                         lag(role) OVER (PARTITION BY conv_id
+                                         ORDER BY turn_idx) AS prev_role
+                  FROM turns)
+            SELECT prev_role, role, count(*) AS n
+            FROM p WHERE prev_role IS NOT NULL
+            GROUP BY prev_role, role""",
+        # grouped exact quantiles — the token_quantiles integer-ceil-rank
+        # convention, partitioned by event_type
+        "value_quartiles_by_type": """
+            WITH c AS (SELECT event_type,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                       FROM events),
+            hist AS (SELECT event_type, v, count(*) AS cnt
+                     FROM c GROUP BY event_type, v),
+            cc AS (SELECT event_type, v,
+                          sum(cnt) OVER (PARTITION BY event_type
+                                         ORDER BY v) AS cum
+                   FROM hist),
+            tot AS (SELECT event_type, count(*) AS n
+                    FROM c GROUP BY event_type),
+            ps AS (SELECT unnest([25, 50, 75]) AS p)
+            SELECT cc.event_type, CAST(ps.p AS BIGINT) AS p,
+                   CAST(min(cc.v) AS BIGINT) AS cents
+            FROM ps, tot, cc
+            WHERE cc.event_type = tot.event_type
+              AND cc.cum >= (ps.p * tot.n + 99) // 100
+            GROUP BY cc.event_type, ps.p""",
     }

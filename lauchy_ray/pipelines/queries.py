@@ -1875,3 +1875,81 @@ def q_token_weighted_sample(sf_dir: str):
                              "n_ws_tokens": ntok.to_numpy(np.int64)[keep]})
 
     return ds.map_batches(pick, batch_format="pandas")
+
+
+def q_role_transitions(sf_dir: str):
+    """Role TRANSITION MATRIX (Markov bigram over per-conv turn order) —
+    the agent-analytics face of the CEP family: counts of (prev_role →
+    role) steps. Conv-bucket co-location, vectorized shift-compare per
+    bucket emitting bounded (role×role) partials, single-task sum."""
+    from ..stages.bucketing import group_map_by_key
+    proj, turns = _turn_roles(sf_dir)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+        conv = g["conv_id"].to_numpy()
+        role = g["role"].to_numpy()
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"prev_role": pd.Series(dtype=object),
+                                 "role": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        same = conv[1:] == conv[:-1]
+        out = pd.DataFrame({"prev_role": role[:-1][same],
+                            "role": role[1:][same]})
+        p = out.groupby(["prev_role", "role"], sort=False).size()
+        p = p.reset_index(name="n")
+        p["n"] = p["n"].astype("int64")
+        return p
+
+    parts = group_map_by_key(proj, "conv_id", pairs, size_ds=turns)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["prev_role", "role"], sort=True)["n"]
+               .sum().reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return parts.repartition(1).map_batches(merge, batch_format="pandas",
+                                            batch_size=None)
+
+
+QUARTILE_PS = [25, 50, 75]  # exactly-representable binary fractions
+
+
+def q_value_quartiles_by_type(sf_dir: str):
+    """Grouped EXACT quantiles: p25/p50/p75 of integer event cents per
+    event_type, as value-count histogram partials (cardinality bounded by
+    the cents domain, never corpus size) + one single-task cumsum
+    rank-select. Rank is INTEGER ceil(p·n/100) on both sides — the
+    token_quantiles convention (a float p×n product rounds differently
+    across engines)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["value"].to_numpy(np.float64) * 100.0
+                         + 0.5).astype(np.int64)
+        g = (pd.DataFrame({"event_type": df["event_type"], "v": cents})
+             .groupby(["event_type", "v"], sort=False).size()
+             .reset_index(name="c"))
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    def select(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df.groupby(["event_type", "v"], sort=True)["c"].sum()
+             .reset_index())
+        rows = []
+        for et, grp in h.groupby("event_type", sort=True):
+            v = grp["v"].to_numpy(np.int64)
+            cum = np.cumsum(grp["c"].to_numpy(np.int64))
+            n = int(cum[-1])
+            for p in QUARTILE_PS:
+                rank = (p * n + 99) // 100
+                rows.append((et, p, int(v[np.searchsorted(cum, rank)])))
+        return pd.DataFrame(rows, columns=["event_type", "p", "cents"]) \
+            .astype({"p": "int64", "cents": "int64"})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .repartition(1).map_batches(select, batch_format="pandas",
+                                        batch_size=None))
