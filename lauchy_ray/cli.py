@@ -112,6 +112,15 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument("--shards", type=int, default=8)
     sd.add_argument("--checkpoint-dir", default=None)
 
+    sp = sub.add_parser("stream-patterns", parents=[common],
+                        help="streaming row-pattern CEP matcher "
+                             "(user → tool+ → assistant), exactly-once")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--lateness-min", type=int, default=5)
+    sp.add_argument("--shards", type=int, default=8)
+    sp.add_argument("--checkpoint-dir", default=None)
+
     nd = sub.add_parser("dedup-docs", parents=[common],
                         help="near-dup cluster assignment (doc_id, rep_id, "
                              "keep) written to a parquet sink — the LINEAR "
@@ -150,7 +159,8 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         if args.cmd in ("validate", "stream", "stream-sessions",
-                        "stream-dedup", "sessions", "windows"):
+                        "stream-dedup", "stream-patterns", "sessions",
+                        "windows"):
             from .sources.stream import list_fragments
             try:
                 frags = list_fragments(args.input)
@@ -275,6 +285,22 @@ def main(argv: list[str] | None = None) -> int:
             pq.write_table(pa.Table.from_pandas(late),
                            os.path.join(args.out, "late.parquet"))
             print(json.dumps({"out": args.out, "sessions": len(sess),
+                              "late_rows": len(late),
+                              "watermarks": [int(w) for w in wms]}))
+        elif args.cmd == "stream-patterns":
+            import os
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from .state.streaming import run_streaming_patterns
+            matches, late, wms = run_streaming_patterns(
+                args.input, lateness_us=args.lateness_min * 60 * 1_000_000,
+                n_shards=args.shards, checkpoint_dir=args.checkpoint_dir)
+            os.makedirs(args.out, exist_ok=True)
+            pq.write_table(pa.Table.from_pandas(matches),
+                           os.path.join(args.out, "matches.parquet"))
+            pq.write_table(pa.Table.from_pandas(late),
+                           os.path.join(args.out, "late.parquet"))
+            print(json.dumps({"out": args.out, "matches": len(matches),
                               "late_rows": len(late),
                               "watermarks": [int(w) for w in wms]}))
         elif args.cmd == "stream-dedup":
