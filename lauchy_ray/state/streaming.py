@@ -993,6 +993,13 @@ class PatternShardCore(ShardActorBase):
     State is O(active convs + pending rows within the lateness horizon):
     per conv five scalars, plus the pending arrays. Emissions ride the
     ShardActorBase delta-log/snapshot protocol for exactly-once replay.
+
+    Input contract: ts is non-decreasing with turn_idx within a
+    conversation (the bridge invariant — turn_idx IS the ts rank); rows
+    violating it may be conservatively stale-dropped. Duplicate
+    (conv, idx) arrivals are resolved to the (min ts, earliest arrival)
+    copy — the slicing-invariant winner — with losers routed to the late
+    output marked ts = -1 (watermark drops carry their real ts).
     """
 
     def __init__(self, lateness_us: int, checkpoint_path: str | None = None):
@@ -1071,20 +1078,36 @@ class PatternShardCore(ShardActorBase):
         rest = ~take
         self._pend = ([(conv[rest], idx[rest], code[rest], ts[rest],
                         arr[rest])] if rest.any() else [])
-        conv, idx, code, arr = conv[take], idx[take], code[take], arr[take]
+        conv, idx, code, tss, arr = (conv[take], idx[take], code[take],
+                                     ts[take], arr[take])
         # factorize convs once: lexsort and segment logic run on int codes
         uconv, cid = np.unique(conv, return_inverse=True)
-        order = np.lexsort((arr, idx, cid))
-        cid, idx, code, arr = cid[order], idx[order], code[order], arr[order]
-        # duplicate (conv, idx) arrivals: keep the earliest (stable above)
+        # ts before arrival in the tiebreak: among duplicate (conv, idx)
+        # copies the MIN-ts copy is the one gradual watermark advance
+        # would consume first, so keeping it is what makes the winner
+        # independent of micro-batch slicing
+        order = np.lexsort((arr, tss, idx, cid))
+        cid, idx, code = cid[order], idx[order], code[order]
+        # duplicate (conv, idx) arrivals: keep the (min ts, earliest) copy
         dup = np.zeros(len(cid), dtype=bool)
         if len(cid) > 1:
             dup[1:] = (cid[1:] == cid[:-1]) & (idx[1:] == idx[:-1])
-        if dup.any():
-            for i in np.flatnonzero(dup):
+        # stale guard: a copy of an ALREADY-CONSUMED (conv, idx) — e.g. a
+        # duplicate with an inflated ts arriving after the original's
+        # region was finalized — must never re-enter the DFA: it would
+        # regress the frontier and could re-emit a match (exactly-once
+        # violation). Routed like dup drops, marked ts = -1.
+        last = np.full(len(uconv), NEG_INF, dtype=np.int64)
+        for u, c in enumerate(uconv):
+            st = self.frontier.get(c)
+            if st is not None:
+                last[u] = st[0]
+        drop = dup | (idx <= last[cid])
+        if drop.any():
+            for i in np.flatnonzero(drop):
                 self.late.append({"conv_id": uconv[cid[i]],
                                   "turn_idx": int(idx[i]), "ts": -1})
-            cid, idx, code = cid[~dup], idx[~dup], code[~dup]
+            cid, idx, code = cid[~drop], idx[~drop], code[~drop]
         m = len(cid)
         if m == 0:
             return
