@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_weighted_sample": Q.q_token_weighted_sample,
         "role_transitions": Q.q_role_transitions,
         "value_quartiles_by_type": Q.q_value_quartiles_by_type,
+        "interval_join": Q.q_interval_join,
     }
 
 
@@ -666,4 +667,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE cc.event_type = tot.event_type
               AND cc.cum >= (ps.p * tot.n + 99) // 100
             GROUP BY cc.event_type, ps.p""",
+        # stream-stream interval join: all same-user pairs in the window
+        "interval_join": f"""
+            SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+                   p.user_id,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+            FROM events p JOIN events c ON p.user_id = c.user_id
+            WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+              AND epoch_us(c.ts)
+                  BETWEEN epoch_us(p.ts) - {Q.INTERVAL_W_US}
+                      AND epoch_us(p.ts)""",
     }

@@ -1953,3 +1953,36 @@ def q_value_quartiles_by_type(sf_dir: str):
     return (ds.map_batches(partial, batch_format="pandas")
             .repartition(1).map_batches(select, batch_format="pandas",
                                         batch_size=None))
+
+
+INTERVAL_W_US = 3600 * 1_000_000  # interval-join window width (1h)
+
+
+def q_interval_join(sf_dir: str):
+    """Stream-stream INTERVAL JOIN (Flink-style windowed join): every
+    purchase paired with EVERY click of the same user within the hour
+    before it (multi-touch attribution — the all-pairs-in-window
+    counterpart of the as-of join's most-recent-only). One scan tags
+    both streams; stages/join.interval_join_tagged co-locates per user
+    and expands pairs in O(output)."""
+    from ..stages.join import interval_join_tagged
+    raw = rd.read_parquet(f"{sf_dir}/events.parquet",
+                          columns=["event_id", "user_id", "ts",
+                                   "event_type"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["event_type"].isin(["purchase", "click"])]
+        return pd.DataFrame({
+            "event_id": sub["event_id"].astype("int64"),
+            "user_id": sub["user_id"].astype("int64"),
+            "ts_us": sub["ts"].astype("datetime64[us]").astype("int64"),
+            "side": np.where(sub["event_type"].to_numpy() == "click",
+                             np.int64(0), np.int64(1)),
+        })
+
+    both = raw.map_batches(tag, batch_format="pandas")
+    out = interval_join_tagged(both, "user_id", INTERVAL_W_US, size_ds=raw)
+    return out.map_batches(
+        lambda df: df.rename(columns={"left_id": "purchase_id",
+                                      "right_id": "click_id"}),
+        batch_format="pandas")

@@ -22,6 +22,10 @@ Four faces:
 - ``full_outer_join``: hash FULL OUTER join of two keyed datasets — tag +
   union + key co-location + per-bucket pandas outer merge (m×n per key);
   unmatched rows survive with nullable-NA payload.
+- ``interval_join_tagged``: stream-stream WINDOWED join (Flink-style
+  interval join) — all same-key (left, right) pairs with right.ts within
+  [left.ts − width, left.ts]; two searchsorted probes per left row over a
+  composite (key, ts) int64, O(output) pair expansion.
 """
 
 from __future__ import annotations
@@ -292,3 +296,73 @@ def asof_join_tagged(both: rd.Dataset, key: str = "user_id",
     from .bucketing import group_map_by_key
     return group_map_by_key(both, key, lambda g: _asof_bucket(g, key),
                             size_ds=size_ds)
+
+
+# ------------------------------------------------- interval (windowed) join
+
+def _interval_bucket(df: pd.DataFrame, key: str, width_us: int) -> pd.DataFrame:
+    """All keys of one bucket: every left row (side=1) paired with every
+    right row (side=0) of the same key with right.ts ∈ [left.ts − width,
+    left.ts], both bounds inclusive. Fully vectorized: right rows sort by
+    a composite (factorized key, ts-offset) int64 — ts spans epoch-us
+    ranges ≪ 2^51 and the factorized index is bounded by the bucket's
+    distinct keys, so the product cannot overflow (asserted) — then each
+    left row's window is two np.searchsorted probes and the pair list
+    expands with the standard O(output) repeat/arange construction.
+    Output is the TRUE pair count — inherently m×n for a key whose rows
+    all share one window (the operator's contract), never all-pairs
+    across keys."""
+    right = df[df["side"] == 0]
+    left = df[df["side"] == 1]
+    empty = pd.DataFrame({"left_id": pd.Series(dtype="int64"),
+                          "right_id": pd.Series(dtype="int64"),
+                          key: pd.Series(dtype="int64"),
+                          "gap_us": pd.Series(dtype="int64")})
+    if not len(right) or not len(left):
+        return empty
+    keys = np.concatenate([right[key].to_numpy(), left[key].to_numpy()])
+    uniq, inv = np.unique(keys, return_inverse=True)
+    r_key, l_key = inv[:len(right)], inv[len(right):]
+    r_ts = right["ts_us"].to_numpy(np.int64)
+    l_ts = left["ts_us"].to_numpy(np.int64)
+    base = min(int(r_ts.min()), int(l_ts.min()))
+    span = max(int(r_ts.max()), int(l_ts.max())) - base + width_us + 2
+    assert len(uniq) * span < (1 << 62), "composite key would overflow"
+    r_comp = r_key.astype(np.int64) * span + (r_ts - base)
+    order = np.argsort(r_comp, kind="stable")
+    r_comp = r_comp[order]
+    r_ids = right["event_id"].to_numpy(np.int64)[order]
+    r_ts_s = r_ts[order]
+    lo_val = l_key.astype(np.int64) * span + np.maximum(
+        l_ts - width_us - base, 0)
+    hi_val = l_key.astype(np.int64) * span + (l_ts - base)
+    lo = np.searchsorted(r_comp, lo_val, side="left")
+    hi = np.searchsorted(r_comp, hi_val, side="right")
+    counts = hi - lo
+    total = int(counts.sum())
+    if total == 0:
+        return empty
+    l_rep = np.repeat(np.arange(len(left)), counts)
+    r_idx = (np.arange(total)
+             - np.repeat(np.cumsum(counts) - counts, counts)
+             + np.repeat(lo, counts))
+    l_ids = left["event_id"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "left_id": l_ids[l_rep],
+        "right_id": r_ids[r_idx],
+        key: left[key].to_numpy(np.int64)[l_rep],
+        "gap_us": l_ts[l_rep] - r_ts_s[r_idx],
+    })
+
+
+def interval_join_tagged(both: rd.Dataset, key: str = "user_id",
+                         width_us: int = 3600 * 1_000_000,
+                         size_ds=None) -> rd.Dataset:
+    """Stream-stream INTERVAL join (Flink-style windowed join) over a
+    pre-tagged union (columns event_id, key, ts_us, side: 0=right,
+    1=left): all (left, right) pairs of the same key within
+    [left.ts − width, left.ts]."""
+    from .bucketing import group_map_by_key
+    return group_map_by_key(
+        both, key, lambda g: _interval_bucket(g, key, width_us),
+        size_ds=size_ds)

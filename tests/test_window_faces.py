@@ -64,3 +64,37 @@ def test_ntile_closed_form_matches_duckdb():
         "SELECT grp, rel, ntile(4) OVER (PARTITION BY grp ORDER BY rel)"
         " AS t FROM df ORDER BY grp, rel").fetchdf()["t"].to_numpy()
     np.testing.assert_array_equal(tile, exp)
+
+
+def test_interval_bucket_boundaries_and_key_isolation():
+    from lauchy_ray.stages.join import _interval_bucket
+    W = 10
+    df = pd.DataFrame({
+        "event_id": np.array([1, 2, 3, 4, 10, 11, 20], np.int64),
+        "user_id":  np.array([7, 7, 7, 7, 8, 8, 9], np.int64),
+        "ts_us":    np.array([0, 10, 20, 15, 15, 15, 15], np.int64),
+        # user 7: clicks at 0,10,20 and a purchase at 15 → window [5,15]
+        # pairs with the click at 10 ONLY (0 < 5 excluded, 20 > 15
+        # excluded); user 8: click+purchase at EQUAL ts → inclusive pair;
+        # user 9: purchase with no clicks → no pair, and it must NOT see
+        # user 8's click at the same ts
+        "side":     np.array([0, 0, 0, 1, 0, 1, 1], np.int64)})
+    out = _interval_bucket(df, "user_id", W).sort_values("left_id")
+    assert list(map(tuple, out[["left_id", "right_id", "gap_us"]]
+                    .itertuples(index=False))) == [(4, 2, 5), (11, 10, 0)]
+
+
+def test_interval_bucket_exact_lower_bound_and_mxn():
+    from lauchy_ray.stages.join import _interval_bucket
+    df = pd.DataFrame({
+        "event_id": np.array([1, 2, 3, 4], np.int64),
+        "user_id":  np.array([5, 5, 5, 5], np.int64),
+        "ts_us":    np.array([0, 5, 10, 10], np.int64),
+        "side":     np.array([0, 0, 1, 1], np.int64)})
+    # width 10: both purchases at 10 pair with clicks at 0 (== lower
+    # bound, inclusive) and 5 → full 2×2 expansion
+    out = _interval_bucket(df, "user_id", 10)
+    assert len(out) == 4
+    assert set(map(tuple, out[["left_id", "right_id"]]
+                   .itertuples(index=False))) == {(3, 1), (3, 2),
+                                                  (4, 1), (4, 2)}
