@@ -123,6 +123,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "role_transitions": Q.q_role_transitions,
         "value_quartiles_by_type": Q.q_value_quartiles_by_type,
         "interval_join": Q.q_interval_join,
+        # normalize / densify / argmax widening (round 3)
+        "user_last_event": Q.q_user_last_event,
+        "window_user_distinct": Q.q_window_user_distinct,
+        "events_gap_fill": Q.q_events_gap_fill,
+        "value_zscore": Q.q_value_zscore,
     }
 
 
@@ -677,4 +682,45 @@ def oracle_sql() -> dict[str, str]:
               AND epoch_us(c.ts)
                   BETWEEN epoch_us(p.ts) - {Q.INTERVAL_W_US}
                       AND epoch_us(p.ts)""",
+        # per-group argmax (DISTINCT ON face): same (ts, event_id) tiebreak
+        "user_last_event": """
+            SELECT user_id, event_id AS last_event_id,
+                   epoch_us(ts) AS ts_us, event_type AS last_type
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1""",
+        "window_user_distinct": """
+            SELECT epoch_us(ts) // 3600000000 AS window_id,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1""",
+        # zero-filled (day × type) grid over the observed day range
+        "events_gap_fill": """
+            WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day_id,
+                              event_type FROM events),
+            bounds AS (SELECT min(day_id) AS lo, max(day_id) AS hi FROM e),
+            days AS (SELECT unnest(range(lo, hi + 1)) AS day_id FROM bounds),
+            types AS (SELECT DISTINCT event_type FROM e),
+            c AS (SELECT day_id, event_type, count(*) AS n
+                  FROM e GROUP BY 1, 2)
+            SELECT d.day_id, t.event_type, COALESCE(c.n, 0) AS n
+            FROM days d CROSS JOIN types t
+            LEFT JOIN c ON c.day_id = d.day_id
+                       AND c.event_type = t.event_type""",
+        # z-score with exact integer interior: HUGEINT sums, ONE rounding
+        # to DOUBLE per operand — bitwise-equal to the Python-int fold
+        "value_zscore": """
+            WITH c AS (SELECT event_id, event_type,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                AS cents
+                       FROM events),
+            s AS (SELECT event_type, count(*) AS n,
+                         sum(CAST(cents AS HUGEINT)) AS s,
+                         sum(CAST(cents AS HUGEINT) * cents) AS q
+                  FROM c GROUP BY event_type)
+            SELECT c.event_id, c.event_type,
+                   (CAST(c.cents AS DOUBLE) * s.n - CAST(s.s AS DOUBLE))
+                     / sqrt(CAST(s.n * s.q - s.s * s.s AS DOUBLE)) AS z
+            FROM c JOIN s USING (event_type)""",
     }

@@ -1986,3 +1986,145 @@ def q_interval_join(sf_dir: str):
         lambda df: df.rename(columns={"left_id": "purchase_id",
                                       "right_id": "click_id"}),
         batch_format="pandas")
+
+
+# ----------------------- round-3 widening: normalize / densify / argmax
+
+def q_user_last_event(sf_dir: str):
+    """Per-group argmax — each user's most recent event (the SELECT
+    row_number()=1 / DISTINCT ON face). Per-batch partial keeps ONE row
+    per user per batch (bounded: distinct users per batch), then one
+    user-bucket co-location re-runs the same keep-last kernel — raw
+    events never shuffle. Tiebreak (ts, event_id) ascending-keep-last ≡
+    the oracle's ORDER BY ts DESC, event_id DESC LIMIT 1."""
+    from ..stages.bucketing import group_map_by_key
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "last_event_id": df["event_id"].astype("int64"),
+            "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+            "last_type": df["event_type"]})
+
+    def keep_last(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "last_event_id"],
+                            kind="stable")
+        return (df.groupby("user_id", sort=False).tail(1)
+                .reset_index(drop=True))
+
+    partials = ds.map_batches(lambda df: keep_last(prep(df)),
+                              batch_format="pandas")
+    return group_map_by_key(partials, "user_id", keep_last, size_ds=ds)
+
+
+def q_window_user_distinct(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per tumbling hour — the distinct
+    aggregate whose key space GROWS with the corpus (unlike the bounded
+    _grouped_counts faces). Per-batch distinct (window, user) pairs
+    collapse repeats before anything moves; the shuffle co-locates each
+    WINDOW's pair set on a hash bucket; one vectorized drop_duplicates +
+    size per bucket yields the exact figure. Bytes shuffled = distinct
+    pairs, never raw events."""
+    from ..stages.bucketing import group_map_by_key
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "window_id": (df["ts"].astype("datetime64[us]")
+                          .astype("int64") // HOUR_US),
+            "user_id": df["user_id"].astype("int64"),
+        }).drop_duplicates()
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.drop_duplicates().groupby("window_id", sort=False)
+             .size().reset_index(name="n_users"))
+        g["window_id"] = g["window_id"].astype("int64")
+        g["n_users"] = g["n_users"].astype("int64")
+        return g
+
+    return group_map_by_key(ds.map_batches(pairs, batch_format="pandas"),
+                            "window_id", count, size_ds=ds)
+
+
+def q_events_gap_fill(sf_dir: str):
+    """Time-series densify: daily counts per event_type with every
+    missing (day, type) cell zero-filled over the observed [min, max]
+    day range. The scan side is the shared bounded (day, type) combiner;
+    the final single task merges partials and cross-products the day
+    range × type set — output is O(days × types), never row-scaled."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+
+    def densify(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["day_id", "event_type", "n"]
+        if not len(df):
+            return pd.DataFrame({"day_id": pd.Series(dtype="int64"),
+                                 "event_type": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        c = (df.groupby(["day_id", "event_type"], sort=True)["n"]
+             .sum().reset_index())
+        days = np.arange(c["day_id"].min(), c["day_id"].max() + 1,
+                         dtype=np.int64)
+        types = np.sort(c["event_type"].unique())
+        full = pd.MultiIndex.from_product(
+            [days, types], names=["day_id", "event_type"]).to_frame(
+            index=False)
+        out = full.merge(c, how="left", on=["day_id", "event_type"])
+        out["n"] = out["n"].fillna(0).astype("int64")
+        out["day_id"] = out["day_id"].astype("int64")
+        return out[cols]
+
+    return (ds.map_batches(_day_type_partial(None), batch_format="pyarrow")
+            .repartition(1).map_batches(densify, batch_format="pandas",
+                                        batch_size=None))
+
+
+def q_value_zscore(sf_dir: str):
+    """Per-type z-score normalization (feature scaling): two-phase —
+    a bounded (type, n, Σc, Σc²) combiner whose per-batch partials fold
+    EXACTLY on the driver in arbitrary-precision Python ints (Σc² at the
+    100-TB envelope overflows int64; n·Q − S² must be exact before the
+    one rounding to double), then a broadcast stats map over the stream.
+    z = (c·n − S) / sqrt(n·Q − S²) keeps every operand an exactly-
+    representable integer until a single double multiply/subtract/
+    divide — bitwise-equal to the oracle's HUGEINT-then-DOUBLE form
+    (precondition, documented: c·n and S below 2^53 per type; holds
+    through sf10)."""
+    import math
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def stat_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["value"].to_numpy(np.float64) * 100.0 + 0.5
+                         ).astype(np.int64)
+        part = pd.DataFrame({"event_type": df["event_type"],
+                             "c": cents, "c2": cents * cents})
+        g = part.groupby("event_type", sort=False).agg(
+            n=("c", "size"), s=("c", "sum"), q=("c2", "sum")).reset_index()
+        return g
+
+    # driver fold over bounded partials (batches × types rows): Python
+    # ints so n·Q − S² is exact regardless of magnitude
+    parts = ds.map_batches(stat_partial, batch_format="pandas").to_pandas()
+    agg: dict[str, list[int]] = {}
+    for t, n, s, q in parts.itertuples(index=False):
+        cur = agg.setdefault(t, [0, 0, 0])
+        cur[0] += int(n); cur[1] += int(s); cur[2] += int(q)
+    stats = {t: (float(n), float(s), math.sqrt(float(n * q - s * s)))
+             for t, (n, s, q) in agg.items()}
+
+    def zmap(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["value"].to_numpy(np.float64) * 100.0 + 0.5)
+        tv = df["event_type"]
+        n = tv.map({t: v[0] for t, v in stats.items()}).to_numpy(np.float64)
+        s = tv.map({t: v[1] for t, v in stats.items()}).to_numpy(np.float64)
+        d = tv.map({t: v[2] for t, v in stats.items()}).to_numpy(np.float64)
+        return pd.DataFrame({"event_id": df["event_id"].astype("int64"),
+                             "event_type": tv,
+                             "z": (cents * n - s) / d})
+
+    return ds.map_batches(zmap, batch_format="pandas")
