@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_user_distinct": Q.q_window_user_distinct,
         "events_gap_fill": Q.q_events_gap_fill,
         "value_zscore": Q.q_value_zscore,
+        "inverted_index": Q.q_inverted_index,
+        "value_outliers": Q.q_value_outliers,
     }
 
 
@@ -723,4 +725,42 @@ def oracle_sql() -> dict[str, str]:
                    (CAST(c.cents AS DOUBLE) * s.n - CAST(s.s AS DOUBLE))
                      / sqrt(CAST(s.n * s.q - s.s * s.s AS DOUBLE)) AS z
             FROM c JOIN s USING (event_type)""",
+        # inverted index: exact df + capped ascending posting list
+        "inverted_index": rf"""
+            WITH p AS (
+              SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text,
+                         '[^ \t\n\r\f\v]+')) AS term
+                FROM documents)),
+            r AS (SELECT doc_id, term, row_number() OVER (
+                    PARTITION BY term ORDER BY doc_id) AS rn
+                  FROM p)
+            SELECT term, count(*) AS df,
+                   string_agg(CASE WHEN rn <= {Q.POSTINGS_CAP}
+                              THEN CAST(doc_id AS VARCHAR) END,
+                              ',' ORDER BY doc_id) AS postings
+            FROM r GROUP BY term""",
+        # p99 outlier filter: same integer-ceil rank as the quartile CTE
+        "value_outliers": f"""
+            WITH c AS (SELECT event_id, event_type,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                AS cents
+                       FROM events),
+            hist AS (SELECT event_type, cents AS v, count(*) AS cnt
+                     FROM c GROUP BY 1, 2),
+            cc AS (SELECT event_type, v,
+                          sum(cnt) OVER (PARTITION BY event_type
+                                         ORDER BY v) AS cum
+                   FROM hist),
+            tot AS (SELECT event_type, count(*) AS n
+                    FROM c GROUP BY 1),
+            p99 AS (SELECT cc.event_type, min(cc.v) AS thr
+                    FROM tot, cc
+                    WHERE cc.event_type = tot.event_type
+                      AND cc.cum >= ({Q.OUTLIER_P} * tot.n + 99) // 100
+                    GROUP BY cc.event_type)
+            SELECT c.event_id, c.event_type, c.cents
+            FROM c JOIN p99 USING (event_type)
+            WHERE c.cents > p99.thr""",
     }

@@ -2128,3 +2128,85 @@ def q_value_zscore(sf_dir: str):
                              "z": (cents * n - s) / d})
 
     return ds.map_batches(zmap, batch_format="pandas")
+
+
+POSTINGS_CAP = 20   # doc ids kept per posting list (scale-honest cap)
+OUTLIER_P = 99      # percentile threshold for the outlier filter
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted index build (IR face): term → exact document frequency +
+    a CAPPED posting list (first POSTINGS_CAP doc_ids ascending, comma-
+    joined). Per-batch (term, doc) explosion partials are globally
+    distinct (a document lives in exactly one batch), the shuffle
+    co-locates each TERM, and the per-bucket pass is one sort + grouped
+    head — output is O(vocabulary), each row O(cap), never O(corpus)."""
+    from ..stages.bucketing import group_map_by_key
+    from ..stages.terms import term_doc_partial
+    docs = _docs_text(sf_dir)
+    parts = docs.map_batches(
+        lambda df: term_doc_partial(df)[["term", "doc_id"]],
+        batch_format="pandas")
+
+    def posting(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["term", "doc_id"], kind="stable")
+        sizes = df.groupby("term", sort=False).size()
+        posts = (df.groupby("term", sort=False).head(POSTINGS_CAP)
+                 .groupby("term", sort=False)["doc_id"]
+                 .agg(lambda s: ",".join(map(str, s))))
+        return pd.DataFrame({
+            "term": sizes.index.to_numpy(),
+            "df": sizes.to_numpy(np.int64),
+            "postings": posts.reindex(sizes.index).to_numpy()})
+
+    return group_map_by_key(parts, "term", posting, size_ds=docs)
+
+
+def q_value_outliers(sf_dir: str):
+    """Percentile-threshold outlier filter: keep events strictly above
+    their type's exact p99 — the compute-stat → broadcast → filter
+    pattern. Phase 1 reuses the value-count histogram combiner (bounded
+    by the cents domain); the per-type thresholds come back to the
+    driver as O(types) rows and ride into the filter pass as a plain
+    broadcast dict. Identical integer ceil(p·n/100) rank as the
+    quartile/token-quantile family."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["value"].to_numpy(np.float64) * 100.0
+                         + 0.5).astype(np.int64)
+        g = (pd.DataFrame({"event_type": df["event_type"], "v": cents})
+             .groupby(["event_type", "v"], sort=False).size()
+             .reset_index(name="c"))
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    def thresholds(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df.groupby(["event_type", "v"], sort=True)["c"].sum()
+             .reset_index())
+        rows = []
+        for et, grp in h.groupby("event_type", sort=True):
+            v = grp["v"].to_numpy(np.int64)
+            cum = np.cumsum(grp["c"].to_numpy(np.int64))
+            n = int(cum[-1])
+            rank = (OUTLIER_P * n + 99) // 100
+            rows.append((et, int(v[np.searchsorted(cum, rank)])))
+        return pd.DataFrame(rows, columns=["event_type", "thr"])
+
+    thr_df = (ds.map_batches(hist_partial, batch_format="pandas")
+              .repartition(1)
+              .map_batches(thresholds, batch_format="pandas",
+                           batch_size=None).to_pandas())
+    thr = dict(zip(thr_df["event_type"], thr_df["thr"].astype("int64")))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["value"].to_numpy(np.float64) * 100.0
+                         + 0.5).astype(np.int64)
+        keep = cents > df["event_type"].map(thr).to_numpy(np.int64)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64)[keep],
+            "event_type": df["event_type"].to_numpy()[keep],
+            "cents": cents[keep]})
+
+    return ds.map_batches(pick, batch_format="pandas")
