@@ -289,3 +289,37 @@ def late_rows(rows: list[dict], lateness_us: int = 5 * 60 * 1_000_000) -> list[d
         if wm is None or row["ts"] > wm:
             max_ts[row["conv_id"]] = row["ts"]
     return out
+
+
+def streaming_distinct_rows(rows: list[dict], width_us: int,
+                            lateness_us: int, n_shards: int):
+    """Single-threaded mirror of state.streaming.DistinctShardCore:
+    per-shard sequential scan in arrival order, per-window conv_id SET,
+    emission when wm passes the window end, late = arrival after the
+    row's window closed. Shard counts SUM because conv→shard is a
+    partition. → (counts list, late list, wms)."""
+    wm = [(-(1 << 62))] * n_shards
+    open_sets: list[dict] = [dict() for _ in range(n_shards)]
+    emitted: dict[int, int] = {}
+    late = []
+    for row in rows:
+        s = shard_of(row["conv_id"], n_shards)
+        wid = row["ts"] // width_us
+        if wid * width_us + width_us <= wm[s]:
+            late.append({"conv_id": row["conv_id"],
+                         "turn_idx": row["turn_idx"],
+                         "ts": row["ts"], "window_id": wid})
+        else:
+            open_sets[s].setdefault(wid, set()).add(row["conv_id"])
+        if row["ts"] - lateness_us > wm[s]:
+            wm[s] = row["ts"] - lateness_us
+            closed = [w for w in open_sets[s]
+                      if w * width_us + width_us <= wm[s]]
+            for w in closed:
+                emitted[w] = emitted.get(w, 0) + len(open_sets[s].pop(w))
+    for s in range(n_shards):
+        for w, cs in open_sets[s].items():
+            emitted[w] = emitted.get(w, 0) + len(cs)
+    counts = [{"window_id": w, "n_convs": n}
+              for w, n in sorted(emitted.items())]
+    return counts, late, wm

@@ -956,6 +956,125 @@ def run_streaming_window_counts(input_path: str, width_us: int,
     return wc, late_df, [f["watermark"] for f in finals]
 
 
+class DistinctShardCore(ShardActorBase):
+    """Streaming exact COUNT(DISTINCT conv_id) per tumbling window.
+
+    Sharding is hash(conv_id) — a conversation's rows live entirely on
+    ONE shard, so per-shard per-window distinct sets are DISJOINT and
+    the driver merge simply SUMS shard counts: no set ever crosses the
+    wire, and per-shard state is O(open windows × active convs on this
+    shard), never O(rows). The same prefix-watermark late rule as
+    WindowShardCore (batch-boundary invariant); rows landing in an
+    already-closed window route to the late output (they can no longer
+    change an emitted count)."""
+
+    def __init__(self, width_us: int, lateness_us: int,
+                 checkpoint_path: str | None = None):
+        self.width = width_us
+        self.lateness = lateness_us
+        self.open: dict[int, set] = {}    # window_id → conv_id set
+        self._init_shard_state(checkpoint_path,
+                               ("distinct", width_us, lateness_us))
+
+    def _core_state(self):
+        return self.open
+
+    def _restore_core(self, core) -> None:
+        self.open = core
+
+    def ingest(self, table: pa.Table, seq: int | None = None) -> int:
+        if seq is not None and seq <= self.seq:
+            return 0  # replay of an already-checkpointed micro-batch
+        n = table.num_rows
+        if n == 0:
+            if seq is not None:
+                self.seq = seq
+                self._checkpoint()
+            return 0
+        ts = table["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        wm_cand = ts - self.lateness
+        cm = np.maximum.accumulate(wm_cand)
+        prefix_wm = np.empty(n, dtype=np.int64)
+        prefix_wm[0] = self.wm
+        if n > 1:
+            np.maximum(self.wm, cm[:-1], out=prefix_wm[1:])
+        wid = ts // self.width
+        late_mask = wid * self.width + self.width <= prefix_wm
+        convs = np.asarray(table["conv_id"].to_pylist(), dtype=object)
+        if late_mask.any():
+            idxs = table["turn_idx"].to_numpy(zero_copy_only=False)
+            for i in np.flatnonzero(late_mask):
+                self.late.append({"conv_id": convs[i],
+                                  "turn_idx": int(idxs[i]),
+                                  "ts": int(ts[i]),
+                                  "window_id": int(wid[i])})
+        ok = ~late_mask
+        if ok.any():
+            pairs = (pd.DataFrame({"wid": wid[ok], "conv": convs[ok]})
+                     .drop_duplicates())
+            # O(distinct windows in batch) Python calls, not O(rows)
+            for w, grp in pairs.groupby("wid", sort=False)["conv"]:
+                self.open.setdefault(int(w), set()).update(grp)
+        if cm[-1] > self.wm:
+            self.wm = int(cm[-1])
+        self._emit_closed()
+        if seq is not None:
+            self.seq = seq
+            self._checkpoint()
+        return n
+
+    def _emit_closed(self) -> None:
+        closed = [w for w in self.open
+                  if w * self.width + self.width <= self.wm]
+        for w in sorted(closed):
+            self.emitted.append({"window_id": w,
+                                 "n_convs": len(self.open.pop(w))})
+
+    def finalize(self) -> dict:
+        for w in sorted(self.open):
+            self.emitted.append({"window_id": w,
+                                 "n_convs": len(self.open[w])})
+        self.open.clear()
+        hist_emitted, hist_late = self._read_deltas()
+        return {"emitted": hist_emitted + self.emitted,
+                "late": hist_late + self.late, "watermark": self.wm}
+
+
+DistinctShardActor = ray.remote(DistinctShardCore)
+
+
+def run_streaming_distinct(input_path: str, width_us: int, lateness_us: int,
+                           n_shards: int = 8,
+                           validate_kwargs: dict | None = None,
+                           max_pending: int = 4,
+                           checkpoint_dir: str | None = None):
+    """Streaming windowed COUNT(DISTINCT conv_id) over the fragment
+    stream (same prepare/pump/checkpoint discipline as the window-count
+    runner). Shard counts sum exactly because conv→shard is a partition.
+    → (counts DataFrame, late DataFrame, per-shard watermarks)."""
+    fragments = list_fragments(input_path)
+    meta = {"kind": "distinct", "width_us": width_us,
+            "lateness_us": lateness_us, "n_shards": n_shards}
+    _guard_checkpoint_dir(checkpoint_dir, meta, fragments)
+    actors = [DistinctShardActor.remote(
+        width_us, lateness_us,
+        os.path.join(checkpoint_dir, f"shard-{s}.ckpt")
+        if checkpoint_dir else None)
+        for s in range(n_shards)]
+    finals = _pump_fragments(actors, fragments, n_shards,
+                             validate_kwargs, max_pending)
+    emitted = [row for f in finals for row in f["emitted"]]
+    late = [row for f in finals for row in f["late"]]
+    dc = (pd.DataFrame(emitted) if emitted else
+          pd.DataFrame(columns=["window_id", "n_convs"]))
+    if len(dc):
+        dc = dc.groupby("window_id", as_index=False)["n_convs"].sum()
+    late_df = (pd.DataFrame(late) if late else
+               pd.DataFrame(columns=["conv_id", "turn_idx", "ts",
+                                     "window_id"]))
+    return dc, late_df, [f["watermark"] for f in finals]
+
+
 # ---------------------------------------------------------------- patterns
 
 # role codes for the (A B+ C) row-pattern DFA; 3 = anything else

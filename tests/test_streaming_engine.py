@@ -558,3 +558,96 @@ def test_streaming_dedup_refuses_dirty_out_dir(fixture_dir, streamed, tmp_path):
     with pytest.raises(ValueError):
         run_streaming_dedup(fixture_dir["turns"], out, n_shards=2,
                             validate_kwargs={"entity_codes": sorted(codes)})
+
+
+def test_streaming_distinct_matches_oracle(fixture_dir, streamed):
+    """Streaming windowed COUNT(DISTINCT conv): engine == single-threaded
+    per-shard oracle, and shard counts sum exactly (conv→shard is a
+    partition)."""
+    from lauchy_ray.state.streaming import run_streaming_distinct
+
+    _, _, _, codes = streamed
+    dc, late, wms = run_streaming_distinct(
+        fixture_dir["turns"], HOUR_US, LATENESS_US, n_shards=N_SHARDS,
+        validate_kwargs={"entity_codes": sorted(codes)})
+    turns = pq.ParquetDataset(fixture_dir["turns"]).read()
+    turns = turns.set_column(turns.schema.get_field_index("ts"), "ts",
+                             turns["ts"].cast(pa.int64()))
+    rows = oracle.validate_table(turns.to_pylist(), entity_codes=codes)
+    exp_counts, exp_late, exp_wms = oracle.streaming_distinct_rows(
+        rows, HOUR_US, LATENESS_US, N_SHARDS)
+    got = dict(zip(dc["window_id"], dc["n_convs"]))
+    exp = {r["window_id"]: r["n_convs"] for r in exp_counts}
+    assert got == exp
+    got_late = set(map(tuple,
+                       late[["conv_id", "turn_idx", "ts"]]
+                       .itertuples(index=False)))
+    exp_late_set = {(r["conv_id"], r["turn_idx"], r["ts"]) for r in exp_late}
+    assert got_late == exp_late_set
+    assert sorted(wms) == sorted(exp_wms)
+
+
+def test_streaming_distinct_infinite_lateness_equals_batch(fixture_dir,
+                                                           streamed):
+    """With lateness → ∞ nothing routes late, so the streamed figure must
+    equal the BATCH distinct-conv-per-window over the same rows."""
+    from lauchy_ray.state.streaming import run_streaming_distinct
+
+    _, _, _, codes = streamed
+    dc, late, _ = run_streaming_distinct(
+        fixture_dir["turns"], HOUR_US, 1 << 60, n_shards=N_SHARDS,
+        validate_kwargs={"entity_codes": sorted(codes)})
+    assert len(late) == 0
+    turns = pq.ParquetDataset(fixture_dir["turns"]).read().to_pandas()
+    turns = turns[turns["text"].notna()]
+    wid = turns["ts"].astype("datetime64[us]").astype("int64") // HOUR_US
+    exp = (pd.DataFrame({"window_id": wid, "conv": turns["conv_id"]})
+           .groupby("window_id")["conv"].nunique())
+    got = dict(zip(dc["window_id"], dc["n_convs"]))
+    assert got == exp.to_dict()
+
+
+def test_streaming_distinct_checkpoint_resume(fixture_dir, streamed,
+                                              tmp_path):
+    """Distinct shard actors share the delta-log + snapshot commit
+    protocol: crash after 2 fragments, resume-replay == the clean run."""
+    import os
+
+    import pyarrow.compute as pc_
+    import pyarrow.parquet as pq_
+    import ray
+
+    from lauchy_ray.sources.stream import list_fragments
+    from lauchy_ray.stages.validator import Validator
+    from lauchy_ray.state.streaming import (
+        DistinctShardActor, _shard_tables, run_streaming_distinct)
+
+    _, _, _, codes = streamed
+    dc_full, late_full, wms_full = run_streaming_distinct(
+        fixture_dir["turns"], HOUR_US, LATENESS_US, n_shards=N_SHARDS,
+        validate_kwargs={"entity_codes": sorted(codes)})
+
+    ckpt = str(tmp_path / "ckpt_distinct")
+    os.makedirs(ckpt)
+    frags = list_fragments(fixture_dir["turns"])
+    actors = [DistinctShardActor.remote(
+        HOUR_US, LATENESS_US, os.path.join(ckpt, f"shard-{s}.ckpt"))
+        for s in range(N_SHARDS)]
+    v = Validator(entity_codes=sorted(codes))
+    for seq, frag in enumerate(frags[:2]):
+        t = pq_.read_table(frag)
+        shards = _shard_tables(v(t.filter(pc_.is_valid(t["text"]))), N_SHARDS)
+        ray.get([actors[s].ingest.remote(tab, seq)
+                 for s, tab in shards.items()])
+    for a in actors:
+        ray.kill(a)
+
+    dc, late, wms = run_streaming_distinct(
+        fixture_dir["turns"], HOUR_US, LATENESS_US, n_shards=N_SHARDS,
+        validate_kwargs={"entity_codes": sorted(codes)},
+        checkpoint_dir=ckpt)
+    pd.testing.assert_frame_equal(
+        dc.sort_values("window_id").reset_index(drop=True),
+        dc_full.sort_values("window_id").reset_index(drop=True))
+    assert len(late) == len(late_full)
+    assert sorted(wms) == sorted(wms_full)
