@@ -1603,9 +1603,7 @@ def _event_cents_prep(df: pd.DataFrame) -> pd.DataFrame:
         "event_id": df["event_id"].astype("int64"),
         "user_id": df["user_id"].astype("int64"),
         "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
-        "cents": np.floor(
-            df["value"].to_numpy(np.float64) * 100.0 + 0.5
-        ).astype(np.int64)})
+        "cents": _event_cents(df)})
 
 
 def q_user_running_value(sf_dir: str):
@@ -1917,42 +1915,56 @@ def q_role_transitions(sf_dir: str):
 QUARTILE_PS = [25, 50, 75]  # exactly-representable binary fractions
 
 
+def _event_cents(df: pd.DataFrame) -> np.ndarray:
+    """THE shared exact-cents derivation: floor(v·100 + 0.5), identical
+    IEEE ops to the oracles' CAST(floor(value*100+0.5) AS BIGINT). Every
+    cents-based query must call this — the expression is parity-load-
+    bearing and inline copies drift (review finding)."""
+    return np.floor(df["value"].to_numpy(np.float64) * 100.0
+                    + 0.5).astype(np.int64)
+
+
+def _cents_hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch (event_type, cents-value, count) histogram partial —
+    cardinality bounded by the cents DOMAIN × types, never corpus size.
+    Shared by the quantile, outlier and z-score stats phases."""
+    g = (pd.DataFrame({"event_type": df["event_type"],
+                       "v": _event_cents(df)})
+         .groupby(["event_type", "v"], sort=False).size()
+         .reset_index(name="c"))
+    g["c"] = g["c"].astype("int64")
+    return g
+
+
+def _hist_rank_select(df: pd.DataFrame, ps: list[int]) -> pd.DataFrame:
+    """Merge histogram partials and rank-select the given percentiles per
+    event_type. Rank is INTEGER ceil(p·n/100) on both engines — the
+    token_quantiles convention (a float p×n product rounds differently
+    across engines). → (event_type, p, cents)."""
+    h = (df.groupby(["event_type", "v"], sort=True)["c"].sum()
+         .reset_index())
+    rows = []
+    for et, grp in h.groupby("event_type", sort=True):
+        v = grp["v"].to_numpy(np.int64)
+        cum = np.cumsum(grp["c"].to_numpy(np.int64))
+        n = int(cum[-1])
+        for p in ps:
+            rank = (p * n + 99) // 100
+            rows.append((et, p, int(v[np.searchsorted(cum, rank)])))
+    return pd.DataFrame(rows, columns=["event_type", "p", "cents"]) \
+        .astype({"p": "int64", "cents": "int64"})
+
+
 def q_value_quartiles_by_type(sf_dir: str):
     """Grouped EXACT quantiles: p25/p50/p75 of integer event cents per
-    event_type, as value-count histogram partials (cardinality bounded by
-    the cents domain, never corpus size) + one single-task cumsum
-    rank-select. Rank is INTEGER ceil(p·n/100) on both sides — the
-    token_quantiles convention (a float p×n product rounds differently
-    across engines)."""
+    event_type — the shared histogram combiner + one single-task
+    rank-select."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_type", "value"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        cents = np.floor(df["value"].to_numpy(np.float64) * 100.0
-                         + 0.5).astype(np.int64)
-        g = (pd.DataFrame({"event_type": df["event_type"], "v": cents})
-             .groupby(["event_type", "v"], sort=False).size()
-             .reset_index(name="c"))
-        g["c"] = g["c"].astype("int64")
-        return g
-
-    def select(df: pd.DataFrame) -> pd.DataFrame:
-        h = (df.groupby(["event_type", "v"], sort=True)["c"].sum()
-             .reset_index())
-        rows = []
-        for et, grp in h.groupby("event_type", sort=True):
-            v = grp["v"].to_numpy(np.int64)
-            cum = np.cumsum(grp["c"].to_numpy(np.int64))
-            n = int(cum[-1])
-            for p in QUARTILE_PS:
-                rank = (p * n + 99) // 100
-                rows.append((et, p, int(v[np.searchsorted(cum, rank)])))
-        return pd.DataFrame(rows, columns=["event_type", "p", "cents"]) \
-            .astype({"p": "int64", "cents": "int64"})
-
-    return (ds.map_batches(partial, batch_format="pandas")
-            .repartition(1).map_batches(select, batch_format="pandas",
-                                        batch_size=None))
+    return (ds.map_batches(_cents_hist_partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(lambda df: _hist_rank_select(df, QUARTILE_PS),
+                         batch_format="pandas", batch_size=None))
 
 
 INTERVAL_W_US = 3600 * 1_000_000  # interval-join window width (1h)
@@ -2024,10 +2036,12 @@ def q_window_user_distinct(sf_dir: str):
     """Exact COUNT(DISTINCT user) per tumbling hour — the distinct
     aggregate whose key space GROWS with the corpus (unlike the bounded
     _grouped_counts faces). Per-batch distinct (window, user) pairs
-    collapse repeats before anything moves; the shuffle co-locates each
-    WINDOW's pair set on a hash bucket; one vectorized drop_duplicates +
-    size per bucket yields the exact figure. Bytes shuffled = distinct
-    pairs, never raw events."""
+    collapse repeats before anything moves; the shuffle then co-locates
+    by USER hash bucket — not by window, whose low cardinality would
+    pile a peak hour's whole distinct set on one task (review finding) —
+    so per-bucket (window, user) sets are disjoint partitions of each
+    window's set, each bucket emits O(windows) counts, and the bounded
+    sum is exact (the q_distinct_users_by_type design)."""
     from ..stages.bucketing import group_map_by_key
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["ts", "user_id"])
@@ -2039,15 +2053,20 @@ def q_window_user_distinct(sf_dir: str):
             "user_id": df["user_id"].astype("int64"),
         }).drop_duplicates()
 
-    def count(df: pd.DataFrame) -> pd.DataFrame:
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
         g = (df.drop_duplicates().groupby("window_id", sort=False)
-             .size().reset_index(name="n_users"))
+             .size().reset_index(name="n"))
         g["window_id"] = g["window_id"].astype("int64")
-        g["n_users"] = g["n_users"].astype("int64")
+        g["n"] = g["n"].astype("int64")
         return g
 
-    return group_map_by_key(ds.map_batches(pairs, batch_format="pandas"),
-                            "window_id", count, size_ds=ds)
+    partials = group_map_by_key(
+        ds.map_batches(pairs, batch_format="pandas"),
+        "user_id", bucket_counts, size_ds=ds)
+    return _grouped_sums(partials, ["window_id"], ["n"]).map_batches(
+        lambda df: pd.DataFrame({"window_id": df["window_id"].astype("int64"),
+                                 "n_users": df["n"].astype("int64")}),
+        batch_format="pandas")
 
 
 def q_events_gap_fill(sf_dir: str):
@@ -2085,10 +2104,12 @@ def q_events_gap_fill(sf_dir: str):
 
 def q_value_zscore(sf_dir: str):
     """Per-type z-score normalization (feature scaling): two-phase —
-    a bounded (type, n, Σc, Σc²) combiner whose per-batch partials fold
-    EXACTLY on the driver in arbitrary-precision Python ints (Σc² at the
-    100-TB envelope overflows int64; n·Q − S² must be exact before the
-    one rounding to double), then a broadcast stats map over the stream.
+    the shared bounded cents-histogram combiner, folded EXACTLY on the
+    driver in arbitrary-precision Python ints (Σv²·c at the 100-TB
+    envelope overflows int64, inside a single batch partial long before
+    any driver fold; the histogram keeps every distributed count small
+    and the big products driver-side and exact), then a broadcast stats
+    map over the stream.
     z = (c·n − S) / sqrt(n·Q − S²) keeps every operand an exactly-
     representable integer until a single double multiply/subtract/
     divide — bitwise-equal to the oracle's HUGEINT-then-DOUBLE form
@@ -2098,31 +2119,34 @@ def q_value_zscore(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "event_type", "value"])
 
-    def stat_partial(df: pd.DataFrame) -> pd.DataFrame:
-        cents = np.floor(df["value"].to_numpy(np.float64) * 100.0 + 0.5
-                         ).astype(np.int64)
-        part = pd.DataFrame({"event_type": df["event_type"],
-                             "c": cents, "c2": cents * cents})
-        g = part.groupby("event_type", sort=False).agg(
-            n=("c", "size"), s=("c", "sum"), q=("c2", "sum")).reset_index()
-        return g
-
-    # driver fold over bounded partials (batches × types rows): Python
-    # ints so n·Q − S² is exact regardless of magnitude
-    parts = ds.map_batches(stat_partial, batch_format="pandas").to_pandas()
+    # stats from the SHARED cents histogram (bounded by cents domain ×
+    # types): n = Σc, S = Σ v·c, Q = Σ v²·c folded in Python ints on the
+    # bounded merged histogram — v²·c in int64 would wrap inside a single
+    # partial long before the driver fold could save it (review finding)
+    hist = (ds.map_batches(_cents_hist_partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(lambda df: df.groupby(["event_type", "v"],
+                                               sort=True)["c"].sum()
+                         .reset_index(),
+                         batch_format="pandas", batch_size=None)
+            .to_pandas())
     agg: dict[str, list[int]] = {}
-    for t, n, s, q in parts.itertuples(index=False):
+    for t, v, c in hist.itertuples(index=False):
+        v, c = int(v), int(c)
         cur = agg.setdefault(t, [0, 0, 0])
-        cur[0] += int(n); cur[1] += int(s); cur[2] += int(q)
+        cur[0] += c; cur[1] += v * c; cur[2] += v * v * c
     stats = {t: (float(n), float(s), math.sqrt(float(n * q - s * s)))
              for t, (n, s, q) in agg.items()}
+    n_map = {t: v[0] for t, v in stats.items()}
+    s_map = {t: v[1] for t, v in stats.items()}
+    d_map = {t: v[2] for t, v in stats.items()}
 
     def zmap(df: pd.DataFrame) -> pd.DataFrame:
-        cents = np.floor(df["value"].to_numpy(np.float64) * 100.0 + 0.5)
+        cents = _event_cents(df).astype(np.float64)
         tv = df["event_type"]
-        n = tv.map({t: v[0] for t, v in stats.items()}).to_numpy(np.float64)
-        s = tv.map({t: v[1] for t, v in stats.items()}).to_numpy(np.float64)
-        d = tv.map({t: v[2] for t, v in stats.items()}).to_numpy(np.float64)
+        n = tv.map(n_map).to_numpy(np.float64)
+        s = tv.map(s_map).to_numpy(np.float64)
+        d = tv.map(d_map).to_numpy(np.float64)
         return pd.DataFrame({"event_id": df["event_id"].astype("int64"),
                              "event_type": tv,
                              "z": (cents * n - s) / d})
@@ -2172,37 +2196,15 @@ def q_value_outliers(sf_dir: str):
     quartile/token-quantile family."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "event_type", "value"])
-
-    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
-        cents = np.floor(df["value"].to_numpy(np.float64) * 100.0
-                         + 0.5).astype(np.int64)
-        g = (pd.DataFrame({"event_type": df["event_type"], "v": cents})
-             .groupby(["event_type", "v"], sort=False).size()
-             .reset_index(name="c"))
-        g["c"] = g["c"].astype("int64")
-        return g
-
-    def thresholds(df: pd.DataFrame) -> pd.DataFrame:
-        h = (df.groupby(["event_type", "v"], sort=True)["c"].sum()
-             .reset_index())
-        rows = []
-        for et, grp in h.groupby("event_type", sort=True):
-            v = grp["v"].to_numpy(np.int64)
-            cum = np.cumsum(grp["c"].to_numpy(np.int64))
-            n = int(cum[-1])
-            rank = (OUTLIER_P * n + 99) // 100
-            rows.append((et, int(v[np.searchsorted(cum, rank)])))
-        return pd.DataFrame(rows, columns=["event_type", "thr"])
-
-    thr_df = (ds.map_batches(hist_partial, batch_format="pandas")
+    thr_df = (ds.map_batches(_cents_hist_partial, batch_format="pandas")
               .repartition(1)
-              .map_batches(thresholds, batch_format="pandas",
-                           batch_size=None).to_pandas())
-    thr = dict(zip(thr_df["event_type"], thr_df["thr"].astype("int64")))
+              .map_batches(lambda df: _hist_rank_select(df, [OUTLIER_P]),
+                           batch_format="pandas", batch_size=None)
+              .to_pandas())
+    thr = dict(zip(thr_df["event_type"], thr_df["cents"].astype("int64")))
 
     def pick(df: pd.DataFrame) -> pd.DataFrame:
-        cents = np.floor(df["value"].to_numpy(np.float64) * 100.0
-                         + 0.5).astype(np.int64)
+        cents = _event_cents(df)
         keep = cents > df["event_type"].map(thr).to_numpy(np.int64)
         return pd.DataFrame({
             "event_id": df["event_id"].to_numpy(np.int64)[keep],

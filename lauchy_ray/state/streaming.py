@@ -1000,17 +1000,19 @@ class DistinctShardCore(ShardActorBase):
             np.maximum(self.wm, cm[:-1], out=prefix_wm[1:])
         wid = ts // self.width
         late_mask = wid * self.width + self.width <= prefix_wm
-        convs = np.asarray(table["conv_id"].to_pylist(), dtype=object)
+        convs = table["conv_id"].to_pandas()  # C conversion, not row boxing
         if late_mask.any():
             idxs = table["turn_idx"].to_numpy(zero_copy_only=False)
+            late_convs = convs.to_numpy()
             for i in np.flatnonzero(late_mask):
-                self.late.append({"conv_id": convs[i],
+                self.late.append({"conv_id": late_convs[i],
                                   "turn_idx": int(idxs[i]),
                                   "ts": int(ts[i]),
                                   "window_id": int(wid[i])})
         ok = ~late_mask
         if ok.any():
-            pairs = (pd.DataFrame({"wid": wid[ok], "conv": convs[ok]})
+            pairs = (pd.DataFrame({"wid": wid[ok],
+                                   "conv": convs[ok].to_numpy()})
                      .drop_duplicates())
             # O(distinct windows in batch) Python calls, not O(rows)
             for w, grp in pairs.groupby("wid", sort=False)["conv"]:
