@@ -125,7 +125,7 @@ def run_streaming(paths: dict[str, str]) -> dict:
     import pyarrow.parquet as pq
 
     from lauchy_ray.state.streaming import (
-        run_streaming_dedup, run_streaming_patterns,
+        run_streaming_dedup, run_streaming_distinct, run_streaming_patterns,
         run_streaming_sessions, run_streaming_window_counts)
 
     codes = sorted(pq.read_table(paths["entities"], columns=["code"])
@@ -156,6 +156,8 @@ def run_streaming(paths: dict[str, str]) -> dict:
         paths["turns"], gap, late, n_shards=8, validate_kwargs=vk))
     timed("cep_patterns", lambda: run_streaming_patterns(
         paths["turns"], late, n_shards=8, validate_kwargs=vk))
+    timed("cep_distinct", lambda: run_streaming_distinct(
+        paths["turns"], hour, late, n_shards=8, validate_kwargs=vk))
 
     dd = "/tmp/lauchy_bench/stream_dedup_out"
 
