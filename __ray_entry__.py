@@ -25,8 +25,8 @@ from lauchy_ray.events_bridge import validated_cte, turns_cte  # noqa: E402
 from lauchy_ray.pipelines import queries as Q  # noqa: E402
 from lauchy_ray.rules import rules_sql_cte  # noqa: E402
 from lauchy_ray.stages.dedup_near import (  # noqa: E402
-    ann_ivf_sql, embedding_near_dups_ivf_sql, minhash_clusters_sql,
-    minhash_sql, simhash_clusters_sql, simhash_sql)
+    ann_ivf_sql, embedding_near_dups_ivf_sql, knn_join_sql,
+    minhash_clusters_sql, minhash_sql, simhash_clusters_sql, simhash_sql)
 from lauchy_ray.stages.multimodal import media_features_sql  # noqa: E402
 from lauchy_ray.stages.decontam import decontam_sql  # noqa: E402
 from lauchy_ray.stages.sketches import cms_sql, hll_sql  # noqa: E402
@@ -130,6 +130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_zscore": Q.q_value_zscore,
         "inverted_index": Q.q_inverted_index,
         "value_outliers": Q.q_value_outliers,
+        "doc_token_offsets": Q.q_doc_token_offsets,
+        "knn_join": Q.q_knn_join,
     }
 
 
@@ -763,4 +765,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.event_id, c.event_type, c.cents
             FROM c JOIN p99 USING (event_type)
             WHERE c.cents > p99.thr""",
+        # global ordered running offset (distributed prefix sum) + pack id
+        "doc_token_offsets": rf"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '[^ \t\n\r\f\v]+'))
+                          AS BIGINT) AS n_tokens
+              FROM documents),
+            o AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS start_offset
+              FROM t)
+            SELECT doc_id, n_tokens, start_offset,
+                   start_offset // {Q.PACK_TOKENS} AS pack_id
+            FROM o""",
+        # IVF-blocked KNN self-join: identical blocking re-derived in SQL
+        "knn_join": knn_join_sql(k=3),
     }

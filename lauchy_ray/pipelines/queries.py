@@ -2212,3 +2212,60 @@ def q_value_outliers(sf_dir: str):
             "cents": cents[keep]})
 
     return ds.map_batches(pick, batch_format="pandas")
+
+
+PACK_TOKENS = 2048   # training-sequence pack capacity (token offsets)
+OFFSET_RANGE = 1024  # doc_ids per prefix-sum range partition
+
+
+def q_doc_token_offsets(sf_dir: str):
+    """GLOBAL ordered running offset — the distributed prefix sum: each
+    doc's start offset in the doc_id-ordered token stream, and the
+    training pack (file shard) its first token lands in. Two phases:
+    (1) per-batch token sums folded per doc_id RANGE (bounded: one row
+    per range), prefix-summed on the driver in Python ints (exact at any
+    corpus size); (2) range co-location (hash of the range id) + one
+    vectorized per-range inner cumsum with the broadcast base added.
+    Nothing sequential ever exceeds O(ranges) on the driver."""
+    from ..stages.bucketing import group_map_by_key
+    from ..stages.textops import WS_TOKEN_RE
+    docs = _docs_text(sf_dir)
+
+    def tok(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "range_id": df["doc_id"].astype("int64") // OFFSET_RANGE,
+            "n_tokens": df["text"].str.count(WS_TOKEN_RE).astype("int64")})
+
+    toks = docs.map_batches(tok, batch_format="pandas")
+    sums = (toks.map_batches(
+        lambda df: df.groupby("range_id", sort=False)["n_tokens"].sum()
+        .reset_index(name="s"), batch_format="pandas").to_pandas())
+    base_map: dict[int, int] = {}
+    running = 0
+    folded = sums.groupby("range_id", sort=True)["s"].sum()
+    for rid, s in folded.items():
+        base_map[int(rid)] = running
+        running += int(s)
+
+    def within(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["range_id", "doc_id"], kind="stable")
+        cum = (df.groupby("range_id", sort=False)["n_tokens"].cumsum()
+               - df["n_tokens"])
+        start = (cum + df["range_id"].map(base_map)).astype("int64")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_tokens": df["n_tokens"].to_numpy(np.int64),
+            "start_offset": start.to_numpy(np.int64),
+            "pack_id": (start // PACK_TOKENS).to_numpy(np.int64)})
+
+    return group_map_by_key(toks, "range_id", within, size_ds=docs)
+
+
+def q_knn_join(sf_dir: str):
+    """IVF-blocked KNN self-join: every embedding's top-3 cosine
+    neighbours — all-vectors-as-queries (the similarity-graph build step
+    embedding dedup / clustering pipelines start from)."""
+    from ..stages.dedup_near import knn_join_ivf, read_vectors
+    _, cents = read_vectors(f"{sf_dir}/embeddings.parquet", 16)
+    return knn_join_ivf(_emb_ds(sf_dir), k=3, centroids=cents)

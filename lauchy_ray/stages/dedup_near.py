@@ -1035,6 +1035,49 @@ class _IvfPairScan:
             "b": pa.array(np.maximum(ids[ii[keep]], ids[jj[keep]]).astype(np.int64))})
 
 
+def _fetch_centroids(emb_ds: rd.Dataset, n_centroids: int,
+                     centroids: np.ndarray | None) -> np.ndarray:
+    """THE shared data-point quantizer fetch (vec_id < n_centroids by
+    convention, so the SQL oracles re-derive it): pushdown-filtered read
+    unless the caller already holds the matrix."""
+    if centroids is None:
+        cents_df = (emb_ds.filter(expr=f"vec_id < {n_centroids}")
+                    .to_pandas().sort_values("vec_id"))
+        if len(cents_df) == 0:
+            raise ValueError(
+                f"no data-point centroids: the corpus has no vec_id < "
+                f"{n_centroids} (the quantizer seeds are the first "
+                f"n_centroids ids by convention)")
+        return np.stack(cents_df["embedding"].to_numpy()).astype(np.float64)
+    cents = np.asarray(centroids, np.float64)
+    if len(cents) == 0:
+        raise ValueError("empty centroids matrix")
+    return cents
+
+
+def _multiprobe_assigned(emb_ds: rd.Dataset, cents: np.ndarray,
+                         nassign: int) -> rd.Dataset:
+    """Multiprobe IVF assignment shared by the near-dup and KNN-join
+    blockings: each vector lands in its ``nassign`` nearest centroids'
+    buckets (squared-L2 argsort, ties → smallest cid ≡ the oracles'
+    ORDER BY list_distance, cid). One broadcast ray.put of the quantizer;
+    the embedding list column rides along zero-copy."""
+    nassign = min(nassign, len(cents))  # fewer centroids than probes
+    cents_ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        emb = emb_matrix(t)
+        d = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        near = np.argsort(d, axis=1, kind="stable")[:, :nassign]
+        return pa.concat_tables([
+            pa.table({"bucket": pa.array(near[:, j].astype(np.int64)),
+                      "vec_id": t["vec_id"], "embedding": t["embedding"]})
+            for j in range(nassign)])
+
+    return emb_ds.map_batches(assign, batch_format="pyarrow")
+
+
 def embedding_near_dups_ivf(emb_ds: rd.Dataset, threshold: float = 0.98,
                             n_centroids: int = 16,
                             nassign: int = 2,
@@ -1053,35 +1096,8 @@ def embedding_near_dups_ivf(emb_ds: rd.Dataset, threshold: float = 0.98,
     ``centroids``: pass the (C, d) quantizer matrix directly (e.g. from a
     pushdown read_vectors) to skip the extra Ray execution fetching it
     from emb_ds costs. → DataFrame (a, b)."""
-    if centroids is None:
-        cents_df = (emb_ds.filter(expr=f"vec_id < {n_centroids}")
-                    .to_pandas().sort_values("vec_id"))
-        if len(cents_df) == 0:
-            raise ValueError(
-                f"no data-point centroids: the corpus has no vec_id < "
-                f"{n_centroids} (the quantizer seeds are the first "
-                f"n_centroids ids by convention)")
-        cents = np.stack(cents_df["embedding"].to_numpy()).astype(np.float64)
-    else:
-        cents = np.asarray(centroids, np.float64)
-        if len(cents) == 0:
-            raise ValueError("empty centroids matrix")
-    nassign = min(nassign, len(cents))  # fewer centroids than probes
-    cents_ref = ray.put(cents)
-
-    def assign(t: pa.Table) -> pa.Table:
-        c = ray.get(cents_ref)
-        emb = emb_matrix(t)
-        d = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(-1)
-        near = np.argsort(d, axis=1, kind="stable")[:, :nassign]
-        # one copy of the batch per probe, bucket column attached — the
-        # embedding list column rides along zero-copy (chunked refs)
-        return pa.concat_tables([
-            pa.table({"bucket": pa.array(near[:, j].astype(np.int64)),
-                      "vec_id": t["vec_id"], "embedding": t["embedding"]})
-            for j in range(nassign)])
-
-    assigned = emb_ds.map_batches(assign, batch_format="pyarrow")
+    cents = _fetch_centroids(emb_ds, n_centroids, centroids)
+    assigned = _multiprobe_assigned(emb_ds, cents, nassign)
     scan = _IvfPairScan(threshold)
     # lambda wrapper is REQUIRED: Ray's map_groups reads fn.__name__,
     # which a callable instance lacks
@@ -1169,19 +1185,7 @@ def ann_ivf_topk(emb_ds: rd.Dataset, query_ids: np.ndarray, query_mat: np.ndarra
     per-batch top-k partials reach the driver. ``centroids``: pass the
     quantizer matrix directly (pushdown read) to skip the fetch execution.
     → DataFrame (qid, vec_id)."""
-    if centroids is None:
-        cents_df = (emb_ds.filter(expr=f"vec_id < {n_centroids}")
-                    .to_pandas().sort_values("vec_id"))
-        if len(cents_df) == 0:
-            raise ValueError(
-                f"no data-point centroids: the corpus has no vec_id < "
-                f"{n_centroids} (the quantizer seeds are the first "
-                f"n_centroids ids by convention)")
-        cents = np.stack(cents_df["embedding"].to_numpy()).astype(np.float64)
-    else:
-        cents = np.asarray(centroids, np.float64)
-        if len(cents) == 0:
-            raise ValueError("empty centroids matrix")
+    cents = _fetch_centroids(emb_ds, n_centroids, centroids)
 
     # probe sets per query: nprobe nearest centroids in RAW space, ties by
     # centroid id (stable argsort == SQL ORDER BY distance, cid)
@@ -1237,6 +1241,101 @@ sims AS (
   JOIN e qe ON qe.vec_id = p.qid
   JOIN e ce ON ce.vec_id = a.vec_id
   WHERE a.vec_id <> p.qid)
+SELECT qid, vec_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
+  FROM sims) WHERE rn <= {k}"""
+
+
+# ---------------------------------------------------------------- KNN join
+
+class _IvfKnnScan:
+    """One IVF bucket of the KNN self-join: within-bucket normalized
+    matmul, per-row top-k. Bucket rows are sorted by vec_id FIRST so the
+    stable argsort's tie order ≡ the oracle's ORDER BY s DESC, vec_id
+    (same float-tie caveat as ann_ivf_sql)."""
+
+    def __init__(self, k: int):
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n < 2:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64())})
+        vids = t["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(vids, kind="stable")
+        vids = vids[order].astype(np.int64)
+        emb = emb_matrix(t)[order]
+        en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        s = en @ en.T
+        np.fill_diagonal(s, -np.inf)   # one row per vec_id per bucket
+        k = min(self.k, n - 1)
+        idx = np.argsort(-s, axis=1, kind="stable")[:, :k]
+        return pa.table({
+            "qid": pa.array(np.repeat(vids, k)),
+            "vec_id": pa.array(vids[idx.ravel()]),
+            "s": pa.array(np.take_along_axis(s, idx, axis=1).ravel())})
+
+
+def knn_join_ivf(emb_ds: rd.Dataset, k: int = 3, n_centroids: int = 16,
+                 nassign: int = 2,
+                 centroids: np.ndarray | None = None) -> rd.Dataset:
+    """KNN SELF-JOIN: every vector → its k nearest neighbours (cosine),
+    IVF-blocked — the all-vectors counterpart of :func:`ann_ivf_topk`
+    (whose queries are a fixed handful). Shape: shared multiprobe
+    assignment → within-bucket matmul + per-row top-k (bounded: each
+    vector emits ≤ nassign·k candidate rows) → per-vector merge
+    co-located on a qid hash bucket (dedupe cross-bucket repeats, global
+    (s DESC, vec_id) head-k). Recall < 1 only for true neighbours
+    separated in ALL assigned buckets — the standard IVF tradeoff the
+    SQL oracle reproduces by construction. → Dataset (qid, vec_id)."""
+    from .bucketing import group_map_by_key
+    cents = _fetch_centroids(emb_ds, n_centroids, centroids)
+    assigned = _multiprobe_assigned(emb_ds, cents, nassign)
+    scan = _IvfKnnScan(k)
+    # lambda wrapper: map_groups reads fn.__name__ (callable instances lack it)
+    partials = (assigned.groupby("bucket")
+                .map_groups(lambda g: scan(g), batch_format="pyarrow"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        # a pair co-occurring in two shared buckets repeats with the SAME
+        # similarity (identical normalized dot, identical summation
+        # order) — plain dedupe, then the global per-vector head-k
+        df = df.drop_duplicates(subset=["qid", "vec_id"])
+        df = df.sort_values(["qid", "s", "vec_id"],
+                            ascending=[True, False, True], kind="stable")
+        out = df.groupby("qid", sort=False).head(k)
+        return (out[["qid", "vec_id"]]
+                .astype({"qid": "int64", "vec_id": "int64"})
+                .reset_index(drop=True))
+
+    return group_map_by_key(partials, "qid", merge, size_ds=emb_ds)
+
+
+def knn_join_sql(k: int = 3, n_centroids: int = 16, nassign: int = 2,
+                 emb_rel: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`knn_join_ivf` — identical multiprobe
+    blocking, candidate dedupe and (s DESC, vec_id) head-k, so the
+    result includes the blocking's recall loss by construction (float
+    boundary-tie caveat as in ann_ivf_sql)."""
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {emb_rel}),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {n_centroids}),
+assign AS (
+  SELECT vec_id, cid AS bucket FROM (
+    SELECT a.vec_id, c.cid, row_number() OVER (
+      PARTITION BY a.vec_id ORDER BY list_distance(a.v, c.cv), c.cid) AS rn
+    FROM e a CROSS JOIN cents c) WHERE rn <= {nassign}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS qid, y.vec_id AS vec_id
+  FROM assign x JOIN assign y USING (bucket)
+  WHERE x.vec_id <> y.vec_id),
+sims AS (
+  SELECT c.qid, c.vec_id, list_cosine_similarity(eq.v, ev.v) AS s
+  FROM cand c
+  JOIN e eq ON eq.vec_id = c.qid
+  JOIN e ev ON ev.vec_id = c.vec_id)
 SELECT qid, vec_id FROM (
   SELECT *, row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
   FROM sims) WHERE rn <= {k}"""
