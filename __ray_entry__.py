@@ -27,6 +27,8 @@ from lauchy_ray.rules import rules_sql_cte  # noqa: E402
 from lauchy_ray.stages.dedup_near import (  # noqa: E402
     ann_ivf_sql, embedding_near_dups_ivf_sql, knn_join_sql,
     minhash_clusters_sql, minhash_sql, simhash_clusters_sql, simhash_sql)
+from lauchy_ray.stages.graph import (  # noqa: E402
+    connected_components_sql, user_item_edges_sql)
 from lauchy_ray.stages.multimodal import media_features_sql  # noqa: E402
 from lauchy_ray.stages.decontam import decontam_sql  # noqa: E402
 from lauchy_ray.stages.sketches import cms_sql, hll_sql  # noqa: E402
@@ -132,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outliers": Q.q_value_outliers,
         "doc_token_offsets": Q.q_doc_token_offsets,
         "knn_join": Q.q_knn_join,
+        "user_item_components": Q.q_user_item_components,
     }
 
 
@@ -783,4 +786,7 @@ def oracle_sql() -> dict[str, str]:
             FROM o""",
         # IVF-blocked KNN self-join: identical blocking re-derived in SQL
         "knn_join": knn_join_sql(k=3),
+        # distributed connected components vs recursive-CTE closure
+        "user_item_components": connected_components_sql(
+            user_item_edges_sql()),
     }

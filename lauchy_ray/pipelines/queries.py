@@ -2274,3 +2274,24 @@ def q_knn_join(sf_dir: str):
     from ..stages.dedup_near import knn_join_ivf, read_vectors
     _, cents = read_vectors(f"{sf_dir}/embeddings.parquet", 16)
     return knn_join_ivf(_emb_ds(sf_dir), k=3, centroids=cents)
+
+
+def q_user_item_components(sf_dir: str):
+    """Distributed connected components (identity resolution) over a
+    sparse user↔item interaction graph: every 101st event links its
+    user to item ``event_id % 4093`` (items offset into a disjoint id
+    space). Labels via alternating large-star/small-star rounds
+    (stages/graph.py) — O(log² n) bucketed shuffles, exact star-forest
+    termination, no driver union-find over the edge list."""
+    from ..stages.graph import connected_components
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        uid = t["user_id"].to_numpy().astype(np.int64)
+        m = (eid % 101) == 0
+        return pa.table({"u": uid[m],
+                         "v": 1_000_000 + eid[m] % 4093})
+
+    return connected_components(ds.map_batches(edges, batch_format="pyarrow"))

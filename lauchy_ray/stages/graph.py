@@ -1,0 +1,232 @@
+"""Distributed graph operators: iterative connected components.
+
+Beyond-reference operator family (training-data pipelines run identity
+resolution / cross-record linking over general edge graphs — user↔item,
+doc↔cluster — not just the near-dup pair relation that
+``dedup_near.cluster_assignments`` union-finds driver-side).
+
+Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", ACM SoCC'14 — public
+paper). Each half-round is ONE per-node co-location over the doubled
+edge list (``group_map_by_key``), entirely vectorized inside each
+bucket; the edge set converges to a star forest whose centers are the
+component minima in O(log² n) rounds on any graph — no O(diameter)
+propagation, no driver-side union-find over the full edge list. Per
+round the driver holds only two scalars (edge count, star-violation
+count); edges live in the object store and are re-shuffled by node
+bucket, so the operator scales to edge lists far beyond driver memory.
+
+Semantics (both passes preserve the connectivity relation exactly):
+- large-star at node u: link every neighbor v > u to
+  m = min(Γ(u) ∪ {u}).
+- small-star at node u: over N = {v ∈ Γ(u): v < u} ∪ {u} (nonempty
+  smaller-neighborhood only), link every member except the minimum to
+  the minimum.
+
+Termination is detected EXACTLY (no hash-of-edge-set heuristics): the
+star-forest predicate "every node either has only larger neighbors
+(root) or exactly one neighbor, which is smaller (leaf)" is evaluated
+per node-segment during the same bucketed pass and summed; the paper
+shows star forests are precisely the fixpoints, and at a star forest
+labels read directly off the edges (leaf → center, center → itself).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from .bucketing import group_map_by_key, safe_size_bytes
+
+# One undirected edge, int64 endpoints. Self-loops are dropped on entry;
+# duplicate edges and both-direction duplicates are tolerated anywhere.
+_EDGE_COLS = ["u", "v"]
+
+
+def _doubled(df: pd.DataFrame) -> pd.DataFrame:
+    """Both directions of each edge, self-loops dropped."""
+    u = df["u"].to_numpy(np.int64, copy=False)
+    v = df["v"].to_numpy(np.int64, copy=False)
+    keep = u != v
+    u, v = u[keep], v[keep]
+    return pd.DataFrame({"u": np.concatenate([u, v]),
+                         "v": np.concatenate([v, u])})
+
+
+def _segments(u: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, lengths) of equal-u runs in a sorted key array."""
+    starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    lengths = np.diff(np.r_[starts, len(u)])
+    return starts, lengths
+
+
+def _star_pass(df: pd.DataFrame, large: bool) -> pd.DataFrame:
+    """One star half-round over ONE node bucket of the doubled edge list.
+
+    Input rows (u, v) = "v is a neighbor of u"; every copy of a given u
+    lands in the same bucket, so per-u neighborhoods are complete here.
+    Output: emitted undirected edges (u, v) plus a ``viol`` counter
+    column — per-node star-forest violations (0 on every row except one
+    synthetic-free carrier: we attach the bucket's violation total to
+    the first emitted row; an empty emission with violations emits one
+    (min, min) self-loop-free sentinel is NOT needed because a node
+    with violations always emits at least one edge in one of the two
+    passes — see note below)."""
+    u = df["u"].to_numpy(np.int64, copy=False)
+    v = df["v"].to_numpy(np.int64, copy=False)
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    dup = np.zeros(len(u), dtype=bool)
+    dup[1:] = (u[1:] == u[:-1]) & (v[1:] == v[:-1])
+    u, v = u[~dup], v[~dup]
+    if not len(u):
+        return pd.DataFrame({"u": np.array([], np.int64),
+                             "v": np.array([], np.int64),
+                             "viol": np.array([], np.int64)})
+    starts, lengths = _segments(u)
+    u_seg = u[starts]
+    vmin_seg = v[starts]                    # v ascending within segment
+    vmax_seg = v[starts + lengths - 1]
+    # star-forest predicate per node: root (all neighbors larger) or
+    # leaf (exactly one neighbor, smaller).
+    ok = (vmin_seg > u_seg) | ((lengths == 1) & (vmax_seg < u_seg))
+    viol_total = int((~ok).sum())
+
+    if large:
+        # m = min(Γ(u) ∪ {u}); emit (v, m) for strictly larger neighbors
+        m_seg = np.minimum(vmin_seg, u_seg)
+        m = np.repeat(m_seg, lengths)
+        sel = v > u
+        out_u, out_v = v[sel], m[sel]
+    else:
+        # N = smaller neighbors ∪ {u}; m = min(N); emit N \ {m} → m
+        has_small = vmin_seg < u_seg
+        m_seg = np.where(has_small, vmin_seg, u_seg)
+        m = np.repeat(m_seg, lengths)
+        sel = (v < u) & (v != m)            # smaller neighbors except m
+        out_u, out_v = v[sel], m[sel]
+        # the node itself (u != m whenever it has a smaller neighbor)
+        self_sel = has_small
+        out_u = np.concatenate([out_u, u_seg[self_sel]])
+        out_v = np.concatenate([out_v, m_seg[self_sel]])
+
+    viol = np.zeros(len(out_u), dtype=np.int64)
+    if len(viol):
+        viol[0] = viol_total
+    elif viol_total:
+        # A bucket can emit nothing yet hold violations only if every
+        # node here has exclusively smaller neighbors that all equal m —
+        # impossible for viol (leaf predicate covers it) EXCEPT the
+        # multi-smaller-neighbor corner; carry it on a (m, m) row that
+        # _doubled() will drop as a self-loop next round but the sum
+        # still sees this round.
+        out_u = np.array([int(u_seg[~ok][0])], np.int64)
+        out_v = out_u.copy()
+        viol = np.array([viol_total], np.int64)
+    return pd.DataFrame({"u": out_u, "v": out_v, "viol": viol})
+
+
+def _half_round(edges: rd.Dataset, large: bool) -> tuple[rd.Dataset, int, int]:
+    """Run one star half-round; returns (new_edges, n_edges, violations).
+
+    ``edges`` must be materialized (so its size gates the bucket
+    shuffle without re-executing lineage); the returned dataset is
+    materialized too — each round's edges are read twice (violation sum
+    + next round's input). The carried ``viol`` column is ignored by
+    every downstream kernel (each rebuilds {u, v} from scratch)."""
+    size = safe_size_bytes(edges)
+    doubled = edges.map_batches(_doubled, batch_format="pandas")
+    passed = group_map_by_key(
+        doubled, "u",
+        (lambda g: _star_pass(g, True)) if large
+        else (lambda g: _star_pass(g, False)),
+        size_bytes=(2 * size) if size else None)
+    passed = passed.materialize()
+    agg = passed.map_batches(
+        lambda d: pd.DataFrame({"viol": [int(d["viol"].sum())],
+                                "n": [len(d)]}),
+        batch_format="pandas").to_pandas()
+    viol = int(agg["viol"].sum()) if len(agg) else 0
+    n = int(agg["n"].sum()) if len(agg) else 0
+    return passed, n, viol
+
+
+def connected_components(edges: rd.Dataset, max_rounds: int = 64,
+                         return_rounds: bool = False):
+    """(node_id, rep_id) for every node in ``edges`` — rep_id is the
+    smallest node id in the node's connected component.
+
+    ``edges``: Dataset with int64 columns ``u`` and ``v`` (undirected;
+    duplicates / reversed duplicates / self-loops tolerated).
+    ``max_rounds`` bounds the large+small round count (the algorithm
+    needs O(log² n); 64 covers any physically storable graph) — raises
+    RuntimeError instead of returning wrong labels if exceeded."""
+    cur = edges.select_columns(_EDGE_COLS).materialize()
+    rounds = 0
+    converged = False
+    while rounds < max_rounds:
+        cur, n1, v1 = _half_round(cur, large=True)
+        cur, n2, v2 = _half_round(cur, large=False)
+        rounds += 1
+        if n2 == 0 or v2 == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds")
+
+    def labels(df: pd.DataFrame) -> pd.DataFrame:
+        # star edges: u = leaf, v = center (small-star emits child→min);
+        # centers label themselves.
+        child = df["u"].to_numpy(np.int64, copy=False)
+        rep = df["v"].to_numpy(np.int64, copy=False)
+        lo, hi = np.minimum(child, rep), np.maximum(child, rep)
+        return pd.DataFrame({
+            "node_id": np.concatenate([hi, lo]),
+            "rep_id": np.concatenate([lo, lo])})
+
+    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        # all duplicates agree (labels are functions of the component)
+        return df.drop_duplicates(subset=["node_id"])
+
+    size = safe_size_bytes(cur)
+    lab = cur.map_batches(labels, batch_format="pandas")
+    out = group_map_by_key(lab, "node_id", dedupe,
+                           size_bytes=(2 * size) if size else None)
+    if return_rounds:
+        return out, rounds
+    return out
+
+
+# ---------------------------------------------------------------- SQL side
+
+def user_item_edges_sql(mod: int = 101, n_items: int = 4093,
+                        item_base: int = 1_000_000,
+                        events_rel: str = "events") -> str:
+    """Edge CTE body mirrored by :func:`q_user_item_components`'s
+    edge derivation: a sparse deterministic user↔item interaction
+    graph (every ``mod``-th event links its user to item
+    ``event_id % n_items``, offset into a disjoint id space)."""
+    return f"""
+  SELECT DISTINCT user_id AS u,
+         {item_base} + event_id % {n_items} AS v
+  FROM {events_rel} WHERE event_id % {mod} = 0"""
+
+
+def connected_components_sql(edges_body: str) -> str:
+    """DuckDB oracle: recursive min-label reachability (transitive
+    closure — oracle-scale only) over an edge query with columns
+    (u, v); rep_id = least node id reachable. Mirrors the star-forest
+    fixpoint of :func:`connected_components` exactly."""
+    return f"""
+WITH RECURSIVE edges0 AS ({edges_body}),
+edges AS (SELECT u, v FROM edges0 WHERE u <> v
+          UNION SELECT v, u FROM edges0 WHERE u <> v),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (SELECT u AS node_id, least(u, min(v)) AS rep_id
+         FROM reach GROUP BY u)
+SELECT node_id, rep_id FROM comp"""

@@ -1,0 +1,92 @@
+"""Connected components (stages/graph.py): alternating large/small-star
+vs a union-find reference — random graphs, adversarial shapes, the
+forced bucket-shuffle path, and the driver query at sf0.001."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from lauchy_ray.stages import bucketing
+from lauchy_ray.stages.graph import connected_components
+
+
+def _ref(df: pd.DataFrame) -> pd.DataFrame:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in zip(df["u"], df["v"]):
+        a, b = int(a), int(b)
+        if a == b:
+            continue
+        nodes.update((a, b))
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+            parent.setdefault(lo, lo)
+    return pd.DataFrame(
+        [(n, find(n)) for n in sorted(nodes)],
+        columns=["node_id", "rep_id"]).astype("int64")
+
+
+def _run(df: pd.DataFrame, **kw) -> pd.DataFrame:
+    out = connected_components(rd.from_pandas(df), **kw)
+    if isinstance(out, tuple):
+        out = out[0]
+    return (out.to_pandas().astype("int64")
+            .sort_values("node_id").reset_index(drop=True))
+
+
+def test_random_graphs_match_union_find(ray_session):
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        n = int(rng.integers(5, 80))
+        ne = int(rng.integers(2, 150))
+        df = pd.DataFrame({
+            "u": rng.integers(0, n, ne).astype(np.int64),
+            "v": rng.integers(0, n, ne).astype(np.int64)})
+        df = df[df.u != df.v]
+        if not len(df):
+            continue
+        pd.testing.assert_frame_equal(_run(df), _ref(df))
+
+
+def test_path_graph_converges_logarithmically(ray_session):
+    n = 512
+    df = pd.DataFrame({"u": np.arange(n - 1, dtype=np.int64),
+                       "v": np.arange(1, n, dtype=np.int64)})
+    out, rounds = connected_components(rd.from_pandas(df),
+                                       return_rounds=True)
+    got = out.to_pandas().astype("int64")
+    assert len(got) == n and (got["rep_id"] == 0).all()
+    assert rounds <= 12, f"path-{n} took {rounds} rounds (want O(log n))"
+
+
+def test_duplicate_and_reversed_edges(ray_session):
+    df = pd.DataFrame({"u": [1, 2, 2, 9, 9, 5],
+                       "v": [2, 1, 1, 5, 5, 9]}).astype("int64")
+    pd.testing.assert_frame_equal(_run(df), _ref(df))
+
+
+def test_self_loops_only_is_empty(ray_session):
+    df = pd.DataFrame({"u": [3, 3], "v": [3, 3]}).astype("int64")
+    out = connected_components(rd.from_pandas(df))
+    assert out.count() == 0
+
+
+def test_bucketed_shuffle_path(ray_session, monkeypatch):
+    """Force the real hash-bucket groupby path (no single-task gate):
+    per-u neighborhoods must still be complete within a bucket."""
+    monkeypatch.setattr(bucketing, "SINGLE_TASK_BYTES", 0)
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "u": rng.integers(0, 40, 60).astype(np.int64),
+        "v": rng.integers(0, 40, 60).astype(np.int64)})
+    df = df[df.u != df.v]
+    pd.testing.assert_frame_equal(_run(df), _ref(df))
