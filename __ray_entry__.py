@@ -27,6 +27,7 @@ from lauchy_ray.rules import rules_sql_cte  # noqa: E402
 from lauchy_ray.stages.dedup_near import (  # noqa: E402
     ann_ivf_sql, embedding_near_dups_ivf_sql, knn_join_sql,
     minhash_clusters_sql, minhash_sql, simhash_clusters_sql, simhash_sql)
+from lauchy_ray.stages.fuzzy import fuzzy_pairs_sql  # noqa: E402
 from lauchy_ray.stages.graph import (  # noqa: E402
     connected_components_sql, user_item_edges_sql)
 from lauchy_ray.stages.multimodal import media_features_sql  # noqa: E402
@@ -135,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_offsets": Q.q_doc_token_offsets,
         "knn_join": Q.q_knn_join,
         "user_item_components": Q.q_user_item_components,
+        "fuzzy_part_names": Q.q_fuzzy_part_names,
     }
 
 
@@ -789,4 +791,6 @@ def oracle_sql() -> dict[str, str]:
         # distributed connected components vs recursive-CTE closure
         "user_item_components": connected_components_sql(
             user_item_edges_sql()),
+        # byte-exact levenshtein re-derived by DuckDB over the value space
+        "fuzzy_part_names": fuzzy_pairs_sql(max_dist=1),
     }

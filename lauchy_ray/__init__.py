@@ -38,8 +38,8 @@ from . import rules, schema  # noqa: E402,F401
 from .functions import checksums, text  # noqa: E402,F401
 from .sources import json_ingest, stream  # noqa: E402,F401
 from .stages import (bucketing, decontam, dedup, dedup_near,  # noqa: E402,F401
-                     graph, join, multimodal, patterns, sessionize, sketches,
-                     terms, textops, validator, watermark, windows)
+                     fuzzy, graph, join, multimodal, patterns, sessionize,
+                     sketches, terms, textops, validator, watermark, windows)
 from .state import sink, streaming  # noqa: E402,F401
 from . import datagen, events_bridge, oracle  # noqa: E402,F401
 from .pipelines import checkpointed, queries, validate  # noqa: E402,F401

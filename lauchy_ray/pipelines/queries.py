@@ -2295,3 +2295,13 @@ def q_user_item_components(sf_dir: str):
                          "v": 1_000_000 + eid[m] % 4093})
 
     return connected_components(ds.map_batches(edges, batch_format="pyarrow"))
+
+
+def q_fuzzy_part_names(sf_dir: str):
+    """Edit-distance self-join (entity resolution) over the part-name
+    value space: all distinct p_name pairs within levenshtein ≤ 1, with
+    occurrence counts. Distinct-value reduction → lossless length-band
+    blocking → one vectorized numpy DP per block (stages/fuzzy.py)."""
+    from ..stages.fuzzy import fuzzy_self_join
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+    return fuzzy_self_join(ds, "p_name", max_dist=1)
