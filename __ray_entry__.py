@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join": Q.q_knn_join,
         "user_item_components": Q.q_user_item_components,
         "fuzzy_part_names": Q.q_fuzzy_part_names,
+        "window_topk_convs": Q.q_window_topk_convs,
     }
 
 
@@ -793,4 +794,14 @@ def oracle_sql() -> dict[str, str]:
             user_item_edges_sql()),
         # byte-exact levenshtein re-derived by DuckDB over the value space
         "fuzzy_part_names": fuzzy_pairs_sql(max_dist=1),
+        # exact windowed heavy hitters ((n DESC, conv ASC) tiebreak)
+        "window_topk_convs": f"""WITH {_T},
+            wc AS (SELECT epoch_us(ts) // 3600000000 AS window_id, conv_id,
+                          count(*) AS n
+                   FROM turns GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY window_id ORDER BY n DESC, conv_id) AS rk
+                  FROM wc)
+            SELECT window_id, conv_id, n, rk FROM r
+            WHERE rk <= {Q.WINDOW_TOPK_K}""",
     }

@@ -126,7 +126,8 @@ def run_streaming(paths: dict[str, str]) -> dict:
 
     from lauchy_ray.state.streaming import (
         run_streaming_dedup, run_streaming_distinct, run_streaming_patterns,
-        run_streaming_sessions, run_streaming_window_counts)
+        run_streaming_sessions, run_streaming_topk,
+        run_streaming_window_counts)
 
     codes = sorted(pq.read_table(paths["entities"], columns=["code"])
                    ["code"].to_pylist())
@@ -158,6 +159,8 @@ def run_streaming(paths: dict[str, str]) -> dict:
         paths["turns"], late, n_shards=8, validate_kwargs=vk))
     timed("cep_distinct", lambda: run_streaming_distinct(
         paths["turns"], hour, late, n_shards=8, validate_kwargs=vk))
+    timed("cep_topk", lambda: run_streaming_topk(
+        paths["turns"], hour, 5, late, n_shards=8, validate_kwargs=vk))
 
     dd = "/tmp/lauchy_bench/stream_dedup_out"
 

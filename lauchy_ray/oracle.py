@@ -323,3 +323,52 @@ def streaming_distinct_rows(rows: list[dict], width_us: int,
     counts = [{"window_id": w, "n_convs": n}
               for w, n in sorted(emitted.items())]
     return counts, late, wm
+
+
+def streaming_topk_rows(rows: list[dict], width_us: int, k: int,
+                        lateness_us: int, n_shards: int):
+    """Single-threaded mirror of state.streaming.TopKShardCore +
+    merge_topk_partials: per-shard sequential scan in arrival order,
+    per-window conv→count dict, shard-local top-k emission at close
+    ((n DESC, conv ASC) tiebreak), global merge = sort + head(k) per
+    window. → (topk rows, late list, wms)."""
+    import heapq
+
+    wm = [(-(1 << 62))] * n_shards
+    open_counts: list[dict] = [dict() for _ in range(n_shards)]
+    emitted: list[dict] = []
+    late = []
+
+    def emit(s: int, w: int) -> None:
+        d = open_counts[s].pop(w)
+        for c, cnt in heapq.nsmallest(k, d.items(),
+                                      key=lambda kv: (-kv[1], kv[0])):
+            emitted.append({"window_id": w, "conv_id": c, "n": cnt})
+
+    for row in rows:
+        s = shard_of(row["conv_id"], n_shards)
+        wid = row["ts"] // width_us
+        if wid * width_us + width_us <= wm[s]:
+            late.append({"conv_id": row["conv_id"],
+                         "turn_idx": row["turn_idx"],
+                         "ts": row["ts"], "window_id": wid})
+        else:
+            d = open_counts[s].setdefault(wid, {})
+            d[row["conv_id"]] = d.get(row["conv_id"], 0) + 1
+        if row["ts"] - lateness_us > wm[s]:
+            wm[s] = row["ts"] - lateness_us
+            for w in sorted(w for w in open_counts[s]
+                            if w * width_us + width_us <= wm[s]):
+                emit(s, w)
+    for s in range(n_shards):
+        for w in sorted(open_counts[s]):
+            emit(s, w)
+    merged: dict[int, list] = {}
+    for r in emitted:
+        merged.setdefault(r["window_id"], []).append(r)
+    topk = []
+    for w in sorted(merged):
+        best = sorted(merged[w], key=lambda r: (-r["n"], r["conv_id"]))[:k]
+        for rk, r in enumerate(best, 1):
+            topk.append({**r, "rk": rk})
+    return topk, late, wm

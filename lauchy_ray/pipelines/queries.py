@@ -2305,3 +2305,36 @@ def q_fuzzy_part_names(sf_dir: str):
     from ..stages.fuzzy import fuzzy_self_join
     ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
     return fuzzy_self_join(ds, "p_name", max_dist=1)
+
+
+WINDOW_TOPK_K = 5
+
+
+def q_window_topk_convs(sf_dir: str):
+    """Per tumbling hour, the top-5 conversations by turn count (exact
+    heavy hitters, (n DESC, conv_id ASC) tiebreak). Per-batch pyarrow
+    (window, conv) partials, window-bucketed fold + rank — raw turns
+    never shuffle, only the partial count rows do. Streaming sibling:
+    state/streaming.TopKShardCore (same tiebreak, watermark-closed)."""
+    from ..stages.bucketing import group_map_by_key
+    turns = _turns(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        wid = pc.divide(t["ts"].cast(pa.int64()), HOUR_US)
+        return (pa.TableGroupBy(pa.table({"window_id": wid,
+                                          "conv_id": t["conv_id"]}),
+                                ["window_id", "conv_id"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["window_id", "conv_id", "n"]))
+
+    def fold_rank(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["window_id", "conv_id"], sort=False)["n"].sum()
+             .reset_index())
+        g = g.sort_values(["window_id", "n", "conv_id"],
+                          ascending=[True, False, True], kind="stable")
+        g = g.groupby("window_id", sort=False).head(WINDOW_TOPK_K)
+        g["rk"] = g.groupby("window_id", sort=False).cumcount() + 1
+        return g.reset_index(drop=True)
+
+    parts = turns.map_batches(partial, batch_format="pyarrow")
+    return group_map_by_key(parts, "window_id", fold_rank, size_ds=_events(sf_dir))

@@ -1045,6 +1045,152 @@ class DistinctShardCore(ShardActorBase):
 DistinctShardActor = ray.remote(DistinctShardCore)
 
 
+class TopKShardCore(ShardActorBase):
+    """Streaming exact windowed top-k heavy hitters: per tumbling window,
+    the k conversations with the most turns (ties broken by conv_id
+    ascending — fully deterministic).
+
+    EXACTNESS BY PARTITION: conv→shard is a partition, so a shard's
+    per-window count for a conv IS its global count. A conv in the
+    GLOBAL top-k has < k convs anywhere ranked above it, in particular
+    on its own shard — so every global top-k row is inside the union of
+    the shards' LOCAL top-k emissions, and the driver merge (sort by
+    (n DESC, conv ASC), head k per window) is exact while only
+    O(shards × k) rows per window ever cross the wire.
+
+    Per-shard state is O(open windows × active convs on this shard) —
+    the same bound as DistinctShardCore's sets (exact heavy hitters
+    cannot do better; the bounded-memory APPROXIMATE alternative is a
+    SpaceSaving/Misra-Gries summary per window, the published route when
+    even per-shard key counts don't fit). Late rule, delta-log
+    checkpointing and exactly-once emission are inherited unchanged."""
+
+    def __init__(self, width_us: int, k: int, lateness_us: int,
+                 checkpoint_path: str | None = None):
+        self.width = width_us
+        self.k = int(k)
+        self.lateness = lateness_us
+        self.open: dict[int, dict] = {}    # window_id → {conv_id: count}
+        self._init_shard_state(checkpoint_path,
+                               ("topk", width_us, k, lateness_us))
+
+    def _core_state(self):
+        return self.open
+
+    def _restore_core(self, core) -> None:
+        self.open = core
+
+    def ingest(self, table: pa.Table, seq: int | None = None) -> int:
+        if seq is not None and seq <= self.seq:
+            return 0  # replay of an already-checkpointed micro-batch
+        n = table.num_rows
+        if n == 0:
+            if seq is not None:
+                self.seq = seq
+                self._checkpoint()
+            return 0
+        ts = table["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        wm_cand = ts - self.lateness
+        cm = np.maximum.accumulate(wm_cand)
+        prefix_wm = np.empty(n, dtype=np.int64)
+        prefix_wm[0] = self.wm
+        if n > 1:
+            np.maximum(self.wm, cm[:-1], out=prefix_wm[1:])
+        wid = ts // self.width
+        late_mask = wid * self.width + self.width <= prefix_wm
+        convs = table["conv_id"].to_pandas()
+        if late_mask.any():
+            idxs = table["turn_idx"].to_numpy(zero_copy_only=False)
+            late_convs = convs.to_numpy()
+            for i in np.flatnonzero(late_mask):
+                self.late.append({"conv_id": late_convs[i],
+                                  "turn_idx": int(idxs[i]),
+                                  "ts": int(ts[i]),
+                                  "window_id": int(wid[i])})
+        ok = ~late_mask
+        if ok.any():
+            pairs = (pd.DataFrame({"wid": wid[ok],
+                                   "conv": convs[ok].to_numpy()})
+                     .groupby(["wid", "conv"], sort=False).size())
+            # O(distinct (window, conv) pairs in the batch), not O(rows)
+            for (w, c), cnt in pairs.items():
+                d = self.open.setdefault(int(w), {})
+                d[c] = d.get(c, 0) + int(cnt)
+        if cm[-1] > self.wm:
+            self.wm = int(cm[-1])
+        self._emit_closed()
+        if seq is not None:
+            self.seq = seq
+            self._checkpoint()
+        return n
+
+    def _emit_window(self, w: int) -> None:
+        import heapq
+        d = self.open.pop(w)
+        for c, cnt in heapq.nsmallest(self.k, d.items(),
+                                      key=lambda kv: (-kv[1], kv[0])):
+            self.emitted.append({"window_id": w, "conv_id": c,
+                                 "n": int(cnt)})
+
+    def _emit_closed(self) -> None:
+        closed = [w for w in self.open
+                  if w * self.width + self.width <= self.wm]
+        for w in sorted(closed):
+            self._emit_window(w)
+
+    def finalize(self) -> dict:
+        for w in sorted(self.open):
+            self._emit_window(w)
+        hist_emitted, hist_late = self._read_deltas()
+        return {"emitted": hist_emitted + self.emitted,
+                "late": hist_late + self.late, "watermark": self.wm}
+
+
+TopKShardActor = ray.remote(TopKShardCore)
+
+
+def merge_topk_partials(emitted: list[dict], k: int) -> pd.DataFrame:
+    """Exact global per-window top-k from the shards' local top-k rows
+    (disjoint convs ⇒ counts are already global)."""
+    if not emitted:
+        return pd.DataFrame(columns=["window_id", "conv_id", "n", "rk"])
+    df = (pd.DataFrame(emitted)
+          .sort_values(["window_id", "n", "conv_id"],
+                       ascending=[True, False, True], kind="stable"))
+    df = df.groupby("window_id", sort=True).head(k).reset_index(drop=True)
+    df["rk"] = df.groupby("window_id", sort=False).cumcount() + 1
+    return df
+
+
+def run_streaming_topk(input_path: str, width_us: int, k: int,
+                       lateness_us: int, n_shards: int = 8,
+                       validate_kwargs: dict | None = None,
+                       max_pending: int = 4,
+                       checkpoint_dir: str | None = None):
+    """Streaming exact windowed top-k heavy hitters over the fragment
+    stream (same prepare/pump/checkpoint discipline as the other
+    runners). → (topk DataFrame [window_id, conv_id, n, rk], late
+    DataFrame, per-shard watermarks)."""
+    fragments = list_fragments(input_path)
+    meta = {"kind": "topk", "width_us": width_us, "k": k,
+            "lateness_us": lateness_us, "n_shards": n_shards}
+    _guard_checkpoint_dir(checkpoint_dir, meta, fragments)
+    actors = [TopKShardActor.remote(
+        width_us, k, lateness_us,
+        os.path.join(checkpoint_dir, f"shard-{s}.ckpt")
+        if checkpoint_dir else None)
+        for s in range(n_shards)]
+    finals = _pump_fragments(actors, fragments, n_shards,
+                             validate_kwargs, max_pending)
+    emitted = [row for f in finals for row in f["emitted"]]
+    late = [row for f in finals for row in f["late"]]
+    topk = merge_topk_partials(emitted, k)
+    late_df = (pd.DataFrame(late) if late else
+               pd.DataFrame(columns=["conv_id", "turn_idx", "ts",
+                                     "window_id"]))
+    return topk, late_df, [f["watermark"] for f in finals]
+
+
 def run_streaming_distinct(input_path: str, width_us: int, lateness_us: int,
                            n_shards: int = 8,
                            validate_kwargs: dict | None = None,

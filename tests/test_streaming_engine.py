@@ -651,3 +651,104 @@ def test_streaming_distinct_checkpoint_resume(fixture_dir, streamed,
         dc_full.sort_values("window_id").reset_index(drop=True))
     assert len(late) == len(late_full)
     assert sorted(wms) == sorted(wms_full)
+
+
+def test_streaming_topk_matches_oracle(fixture_dir, streamed):
+    """Streaming windowed top-k heavy hitters: engine == single-threaded
+    per-shard oracle (local top-k emission + exact global merge)."""
+    from lauchy_ray.state.streaming import run_streaming_topk
+
+    _, _, _, codes = streamed
+    K = 3
+    tk, late, wms = run_streaming_topk(
+        fixture_dir["turns"], HOUR_US, K, LATENESS_US, n_shards=N_SHARDS,
+        validate_kwargs={"entity_codes": sorted(codes)})
+    turns = pq.ParquetDataset(fixture_dir["turns"]).read()
+    turns = turns.set_column(turns.schema.get_field_index("ts"), "ts",
+                             turns["ts"].cast(pa.int64()))
+    rows = oracle.validate_table(turns.to_pylist(), entity_codes=codes)
+    exp_topk, exp_late, exp_wms = oracle.streaming_topk_rows(
+        rows, HOUR_US, K, LATENESS_US, N_SHARDS)
+    key = ["window_id", "rk"]
+    got = tk.sort_values(key).reset_index(drop=True)
+    exp = pd.DataFrame(exp_topk).sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+    got_late = set(map(tuple,
+                       late[["conv_id", "turn_idx", "ts"]]
+                       .itertuples(index=False)))
+    assert got_late == {(r["conv_id"], r["turn_idx"], r["ts"])
+                        for r in exp_late}
+    assert sorted(wms) == sorted(exp_wms)
+
+
+def test_streaming_topk_infinite_lateness_equals_batch(fixture_dir,
+                                                       streamed):
+    """With lateness → ∞ nothing routes late: the streamed top-k must
+    equal the BATCH per-window top-k ((n DESC, conv ASC) tiebreak) over
+    the same rows."""
+    from lauchy_ray.state.streaming import run_streaming_topk
+
+    _, _, _, codes = streamed
+    K = 3
+    tk, late, _ = run_streaming_topk(
+        fixture_dir["turns"], HOUR_US, K, 1 << 60, n_shards=N_SHARDS,
+        validate_kwargs={"entity_codes": sorted(codes)})
+    assert len(late) == 0
+    turns = pq.ParquetDataset(fixture_dir["turns"]).read().to_pandas()
+    turns = turns[turns["text"].notna()]
+    wid = turns["ts"].astype("datetime64[us]").astype("int64") // HOUR_US
+    g = (pd.DataFrame({"window_id": wid, "conv_id": turns["conv_id"]})
+         .groupby(["window_id", "conv_id"], as_index=False).size()
+         .rename(columns={"size": "n"})
+         .sort_values(["window_id", "n", "conv_id"],
+                      ascending=[True, False, True], kind="stable"))
+    exp = g.groupby("window_id", sort=True).head(K).reset_index(drop=True)
+    exp["rk"] = exp.groupby("window_id", sort=False).cumcount() + 1
+    got = tk.sort_values(["window_id", "rk"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+
+
+def test_streaming_topk_checkpoint_resume(fixture_dir, streamed, tmp_path):
+    """Top-k shard actors share the delta-log + snapshot commit protocol:
+    crash after 2 fragments, resume-replay == the clean run."""
+    import os
+
+    import pyarrow.compute as pc_
+    import pyarrow.parquet as pq_
+    import ray
+
+    from lauchy_ray.sources.stream import list_fragments
+    from lauchy_ray.stages.validator import Validator
+    from lauchy_ray.state.streaming import (
+        TopKShardActor, _shard_tables, run_streaming_topk)
+
+    _, _, _, codes = streamed
+    K = 3
+    tk_full, late_full, wms_full = run_streaming_topk(
+        fixture_dir["turns"], HOUR_US, K, LATENESS_US, n_shards=N_SHARDS,
+        validate_kwargs={"entity_codes": sorted(codes)})
+
+    ckpt = str(tmp_path / "ckpt_topk")
+    os.makedirs(ckpt)
+    frags = list_fragments(fixture_dir["turns"])
+    actors = [TopKShardActor.remote(
+        HOUR_US, K, LATENESS_US, os.path.join(ckpt, f"shard-{s}.ckpt"))
+        for s in range(N_SHARDS)]
+    v = Validator(entity_codes=sorted(codes))
+    for seq, frag in enumerate(frags[:2]):
+        t = pq_.read_table(frag)
+        shards = _shard_tables(v(t.filter(pc_.is_valid(t["text"]))), N_SHARDS)
+        ray.get([actors[s].ingest.remote(tab, seq)
+                 for s, tab in shards.items()])
+    for a in actors:
+        ray.kill(a)
+
+    tk, late, wms = run_streaming_topk(
+        fixture_dir["turns"], HOUR_US, K, LATENESS_US, n_shards=N_SHARDS,
+        validate_kwargs={"entity_codes": sorted(codes)},
+        checkpoint_dir=ckpt)
+    pd.testing.assert_frame_equal(
+        tk.sort_values(["window_id", "rk"]).reset_index(drop=True),
+        tk_full.sort_values(["window_id", "rk"]).reset_index(drop=True))
+    assert len(late) == len(late_full)
+    assert sorted(wms) == sorted(wms_full)
