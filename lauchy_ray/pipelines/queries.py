@@ -28,7 +28,7 @@ from ..stages.dedup import dedup_exact
 from ..stages.dedup_near import emb_matrix
 from ..stages.sessionize import sessionize
 from ..stages.watermark import flag_late
-from ..stages.windows import window_counts
+from ..stages.windows import topk_rank, window_counts
 from .validate import validated_stream
 
 def _round2(x):
@@ -2330,11 +2330,7 @@ def q_window_topk_convs(sf_dir: str):
     def fold_rank(df: pd.DataFrame) -> pd.DataFrame:
         g = (df.groupby(["window_id", "conv_id"], sort=False)["n"].sum()
              .reset_index())
-        g = g.sort_values(["window_id", "n", "conv_id"],
-                          ascending=[True, False, True], kind="stable")
-        g = g.groupby("window_id", sort=False).head(WINDOW_TOPK_K)
-        g["rk"] = g.groupby("window_id", sort=False).cumcount() + 1
-        return g.reset_index(drop=True)
+        return topk_rank(g, WINDOW_TOPK_K)
 
     parts = turns.map_batches(partial, batch_format="pyarrow")
     return group_map_by_key(parts, "window_id", fold_rank, size_ds=_events(sf_dir))

@@ -34,6 +34,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from .bucketing import group_map_by_key, safe_size_bytes
@@ -92,6 +93,10 @@ def _distinct_counts(ds: rd.Dataset, col: str) -> rd.Dataset:
     partials, then a name-bucketed vectorized fold (NOT the bounded-key
     single-task merge: value spaces grow with the corpus)."""
     def partial(t: pa.Table) -> pa.Table:
+        # NULL values never match anything (the SQL oracle's
+        # `a.name < b.name` predicate drops NULLs) — filter them here so
+        # the length/blocking arithmetic downstream never sees NaN
+        t = t.filter(pc.is_valid(t[col]))
         return (pa.TableGroupBy(t.select([col]), [col])
                 .aggregate([([], "count_all")])
                 .rename_columns(["name", "n"]))
@@ -130,13 +135,18 @@ def _block_kernel(df: pd.DataFrame, max_dist: int) -> pd.DataFrame:
                 f"length block {blk}: {len(names)} distinct values exceeds "
                 f"MAX_BLOCK_VALUES={MAX_BLOCK_VALUES}; use PassJoin-style "
                 "segment blocking for hot blocks")
-        i, j = np.triu_indices(len(names), k=1)
-        if not len(i):
-            continue
-        # pair owned by this block: shorter side length == block key
-        ok = (np.minimum(Ls[i], Ls[j]) == blk) & \
-             (np.abs(Ls[i] - Ls[j]) <= max_dist)
-        i, j = i[ok], j[ok]
+        # generate ONLY the pairs this block owns (shorter side length ==
+        # block key): triu over the len==blk values plus their cross
+        # product with the longer replicas — never the full block triu
+        # (which would be mostly next-block-owned pairs discarded after
+        # materializing O(block²) index arrays)
+        short = np.flatnonzero(Ls == blk)
+        longer = np.flatnonzero(Ls > blk)   # replicas: blk < L ≤ blk+k
+        si, sj = np.triu_indices(len(short), k=1)
+        ci, cj = (np.repeat(short, len(longer)),
+                  np.tile(longer, len(short)))
+        i = np.concatenate([short[si], ci])
+        j = np.concatenate([short[sj], cj])
         if not len(i):
             continue
         # canonical lexicographic order

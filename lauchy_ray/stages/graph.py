@@ -127,22 +127,25 @@ def _star_pass(df: pd.DataFrame, large: bool) -> pd.DataFrame:
     return pd.DataFrame({"u": out_u, "v": out_v, "viol": viol})
 
 
-def _half_round(edges: rd.Dataset, large: bool) -> tuple[rd.Dataset, int, int]:
+def _half_round(edges: rd.Dataset, large: bool,
+                measure: bool = True) -> tuple[rd.Dataset, int, int]:
     """Run one star half-round; returns (new_edges, n_edges, violations).
 
     ``edges`` must be materialized (so its size gates the bucket
     shuffle without re-executing lineage); the returned dataset is
-    materialized too — each round's edges are read twice (violation sum
-    + next round's input). The carried ``viol`` column is ignored by
-    every downstream kernel (each rebuilds {u, v} from scratch)."""
+    materialized too — each round's edges are read again as the next
+    input. ``measure=False`` skips the (n, violations) aggregation pass
+    (the convergence test only reads the small half-round's figures).
+    The carried ``viol`` column is ignored by every downstream kernel
+    (each rebuilds {u, v} from scratch)."""
     size = safe_size_bytes(edges)
     doubled = edges.map_batches(_doubled, batch_format="pandas")
     passed = group_map_by_key(
-        doubled, "u",
-        (lambda g: _star_pass(g, True)) if large
-        else (lambda g: _star_pass(g, False)),
+        doubled, "u", lambda g: _star_pass(g, large),
         size_bytes=(2 * size) if size else None)
     passed = passed.materialize()
+    if not measure:
+        return passed, 0, 0
     agg = passed.map_batches(
         lambda d: pd.DataFrame({"viol": [int(d["viol"].sum())],
                                 "n": [len(d)]}),
@@ -166,7 +169,7 @@ def connected_components(edges: rd.Dataset, max_rounds: int = 64,
     rounds = 0
     converged = False
     while rounds < max_rounds:
-        cur, n1, v1 = _half_round(cur, large=True)
+        cur, _, _ = _half_round(cur, large=True, measure=False)
         cur, n2, v2 = _half_round(cur, large=False)
         rounds += 1
         if n2 == 0 or v2 == 0:

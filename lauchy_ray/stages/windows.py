@@ -78,3 +78,15 @@ def window_counts(validated: rd.Dataset, width_us: int = HOUR_US,
             Sum("n_rejected", alias_name="n_rejected"))
     return partials.repartition(1).map_batches(
         _merge_counts, batch_format="pyarrow", batch_size=None)
+
+
+def topk_rank(df, k: int):
+    """Per-window top-k with the CONTRACT tiebreak (n DESC, conv_id ASC),
+    rk = 1..k — shared by the batch query (q_window_topk_convs) and the
+    streaming merge (merge_topk_partials) so the tiebreak the SQL oracle
+    cross-checks lives in exactly one place."""
+    df = df.sort_values(["window_id", "n", "conv_id"],
+                        ascending=[True, False, True], kind="stable")
+    df = df.groupby("window_id", sort=True).head(k).reset_index(drop=True)
+    df["rk"] = df.groupby("window_id", sort=False).cumcount() + 1
+    return df

@@ -43,6 +43,7 @@ from ..oracle import shard_of
 from ..pipelines.validate import _drop_null_text
 from ..sources.stream import list_fragments
 from ..stages.validator import Validator
+from ..stages.windows import topk_rank
 from .sink import _atomic_write
 
 NEG_INF = -(1 << 62)
@@ -94,6 +95,59 @@ class ShardActorBase:
 
     def _restore_core(self, core) -> None:
         raise NotImplementedError
+
+    # ---- shared ingest machinery for the lateness-windowed cores
+    # (WindowShardCore / DistinctShardCore / TopKShardCore). The seq
+    # replay guard, the prefix-watermark computation and the late-row
+    # routing are CONTRACT — the oracles mirror them row-at-a-time — so
+    # they live once here and a semantics fix lands in every core
+    # (round-3 review finding: three near-verbatim copies had grown).
+
+    def _skip_replay(self, table: pa.Table, seq: int | None) -> bool:
+        """True when this micro-batch needs no processing: a replay of an
+        already-checkpointed seq, or an empty batch (which still bumps
+        seq + checkpoint so resume skips it)."""
+        if seq is not None and seq <= self.seq:
+            return True
+        if table.num_rows == 0:
+            if seq is not None:
+                self.seq = seq
+                self._checkpoint()
+            return True
+        return False
+
+    def _prefix_watermark(self, ts: np.ndarray):
+        """(cummax(ts - lateness), wm-before-each-row): the watermark only
+        ever advances, so wm before row i is max(incoming wm, cummax over
+        prior rows) — one prefix max, batch-boundary invariant."""
+        cm = np.maximum.accumulate(ts - self.lateness)
+        prefix_wm = np.empty(len(ts), dtype=np.int64)
+        prefix_wm[0] = self.wm
+        if len(ts) > 1:
+            np.maximum(self.wm, cm[:-1], out=prefix_wm[1:])
+        return cm, prefix_wm
+
+    def _route_late_rows(self, table: pa.Table, ts: np.ndarray,
+                         wid: np.ndarray, late_mask: np.ndarray) -> None:
+        """Append late rows to the late output — materializes ONLY the
+        late rows' conv ids, not the whole batch."""
+        late_idx = np.flatnonzero(late_mask)
+        if not len(late_idx):
+            return
+        convs = table["conv_id"].take(pa.array(late_idx)).to_pylist()
+        idxs = table["turn_idx"].to_numpy(zero_copy_only=False)
+        for c, i in zip(convs, late_idx):
+            self.late.append({"conv_id": c, "turn_idx": int(idxs[i]),
+                              "ts": int(ts[i]), "window_id": int(wid[i])})
+
+    def _advance_and_commit(self, cm_last: int, seq: int | None) -> None:
+        """Advance the watermark, emit newly-closed windows, checkpoint."""
+        if cm_last > self.wm:
+            self.wm = int(cm_last)
+        self._emit_closed()
+        if seq is not None:
+            self.seq = seq
+            self._checkpoint()
 
     def _delta_path(self) -> str:
         return self.checkpoint_path + ".deltas.pkl"
@@ -216,35 +270,14 @@ class WindowShardCore(ShardActorBase):
         max. Late/open decisions per row then become array expressions, and
         cell updates collapse to one pandas groupby per window offset (the
         work is O(distinct cells), not O(rows))."""
-        if seq is not None and seq <= self.seq:
-            return 0  # replay of an already-checkpointed micro-batch
-        n = table.num_rows
-        if n == 0:
-            if seq is not None:
-                self.seq = seq
-                self._checkpoint()
+        if self._skip_replay(table, seq):
             return 0
         ts = table["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         valids = table["valid"].to_numpy(zero_copy_only=False)
-
-        wm_cand = ts - self.lateness
-        cm = np.maximum.accumulate(wm_cand)
-        prefix_wm = np.empty(n, dtype=np.int64)
-        prefix_wm[0] = self.wm
-        if n > 1:
-            np.maximum(self.wm, cm[:-1], out=prefix_wm[1:])
-
+        cm, prefix_wm = self._prefix_watermark(ts)
         last = ts // self.slide
         late_mask = last * self.slide + self.width <= prefix_wm  # newest closed
-
-        if late_mask.any():
-            # materialize ONLY the late rows' conv ids, not the whole batch
-            late_idx = np.flatnonzero(late_mask)
-            convs = table["conv_id"].take(pa.array(late_idx)).to_pylist()
-            idxs = table["turn_idx"].to_numpy(zero_copy_only=False)
-            for c, i in zip(convs, late_idx):
-                self.late.append({"conv_id": c, "turn_idx": int(idxs[i]),
-                                  "ts": int(ts[i]), "window_id": int(last[i])})
+        self._route_late_rows(table, ts, last, late_mask)
 
         roles = table["role"].to_pandas()  # C conversion, not row boxing
         tools = table["tool"].to_pandas()
@@ -289,13 +322,8 @@ class WindowShardCore(ShardActorBase):
                 cell = self.open.setdefault((int(w), r, t2), [0, 0])
                 cell[0] += int(ok_v)
                 cell[1] += int(tot - ok_v)
-        if cm[-1] > self.wm:
-            self.wm = int(cm[-1])
-        self._emit_closed()
-        if seq is not None:
-            self.seq = seq
-            self._checkpoint()
-        return n
+        self._advance_and_commit(cm[-1], seq)
+        return table.num_rows
 
     def _emit_closed(self) -> None:
         closed = [k for k in self.open
@@ -983,47 +1011,24 @@ class DistinctShardCore(ShardActorBase):
         self.open = core
 
     def ingest(self, table: pa.Table, seq: int | None = None) -> int:
-        if seq is not None and seq <= self.seq:
-            return 0  # replay of an already-checkpointed micro-batch
-        n = table.num_rows
-        if n == 0:
-            if seq is not None:
-                self.seq = seq
-                self._checkpoint()
+        if self._skip_replay(table, seq):
             return 0
         ts = table["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        wm_cand = ts - self.lateness
-        cm = np.maximum.accumulate(wm_cand)
-        prefix_wm = np.empty(n, dtype=np.int64)
-        prefix_wm[0] = self.wm
-        if n > 1:
-            np.maximum(self.wm, cm[:-1], out=prefix_wm[1:])
+        cm, prefix_wm = self._prefix_watermark(ts)
         wid = ts // self.width
         late_mask = wid * self.width + self.width <= prefix_wm
-        convs = table["conv_id"].to_pandas()  # C conversion, not row boxing
-        if late_mask.any():
-            idxs = table["turn_idx"].to_numpy(zero_copy_only=False)
-            late_convs = convs.to_numpy()
-            for i in np.flatnonzero(late_mask):
-                self.late.append({"conv_id": late_convs[i],
-                                  "turn_idx": int(idxs[i]),
-                                  "ts": int(ts[i]),
-                                  "window_id": int(wid[i])})
+        self._route_late_rows(table, ts, wid, late_mask)
         ok = ~late_mask
         if ok.any():
+            convs = table["conv_id"].to_pandas()  # C conversion, no boxing
             pairs = (pd.DataFrame({"wid": wid[ok],
                                    "conv": convs[ok].to_numpy()})
                      .drop_duplicates())
             # O(distinct windows in batch) Python calls, not O(rows)
             for w, grp in pairs.groupby("wid", sort=False)["conv"]:
                 self.open.setdefault(int(w), set()).update(grp)
-        if cm[-1] > self.wm:
-            self.wm = int(cm[-1])
-        self._emit_closed()
-        if seq is not None:
-            self.seq = seq
-            self._checkpoint()
-        return n
+        self._advance_and_commit(cm[-1], seq)
+        return table.num_rows
 
     def _emit_closed(self) -> None:
         closed = [w for w in self.open
@@ -1081,34 +1086,16 @@ class TopKShardCore(ShardActorBase):
         self.open = core
 
     def ingest(self, table: pa.Table, seq: int | None = None) -> int:
-        if seq is not None and seq <= self.seq:
-            return 0  # replay of an already-checkpointed micro-batch
-        n = table.num_rows
-        if n == 0:
-            if seq is not None:
-                self.seq = seq
-                self._checkpoint()
+        if self._skip_replay(table, seq):
             return 0
         ts = table["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        wm_cand = ts - self.lateness
-        cm = np.maximum.accumulate(wm_cand)
-        prefix_wm = np.empty(n, dtype=np.int64)
-        prefix_wm[0] = self.wm
-        if n > 1:
-            np.maximum(self.wm, cm[:-1], out=prefix_wm[1:])
+        cm, prefix_wm = self._prefix_watermark(ts)
         wid = ts // self.width
         late_mask = wid * self.width + self.width <= prefix_wm
-        convs = table["conv_id"].to_pandas()
-        if late_mask.any():
-            idxs = table["turn_idx"].to_numpy(zero_copy_only=False)
-            late_convs = convs.to_numpy()
-            for i in np.flatnonzero(late_mask):
-                self.late.append({"conv_id": late_convs[i],
-                                  "turn_idx": int(idxs[i]),
-                                  "ts": int(ts[i]),
-                                  "window_id": int(wid[i])})
+        self._route_late_rows(table, ts, wid, late_mask)
         ok = ~late_mask
         if ok.any():
+            convs = table["conv_id"].to_pandas()  # C conversion, no boxing
             pairs = (pd.DataFrame({"wid": wid[ok],
                                    "conv": convs[ok].to_numpy()})
                      .groupby(["wid", "conv"], sort=False).size())
@@ -1116,13 +1103,8 @@ class TopKShardCore(ShardActorBase):
             for (w, c), cnt in pairs.items():
                 d = self.open.setdefault(int(w), {})
                 d[c] = d.get(c, 0) + int(cnt)
-        if cm[-1] > self.wm:
-            self.wm = int(cm[-1])
-        self._emit_closed()
-        if seq is not None:
-            self.seq = seq
-            self._checkpoint()
-        return n
+        self._advance_and_commit(cm[-1], seq)
+        return table.num_rows
 
     def _emit_window(self, w: int) -> None:
         import heapq
@@ -1154,12 +1136,7 @@ def merge_topk_partials(emitted: list[dict], k: int) -> pd.DataFrame:
     (disjoint convs ⇒ counts are already global)."""
     if not emitted:
         return pd.DataFrame(columns=["window_id", "conv_id", "n", "rk"])
-    df = (pd.DataFrame(emitted)
-          .sort_values(["window_id", "n", "conv_id"],
-                       ascending=[True, False, True], kind="stable"))
-    df = df.groupby("window_id", sort=True).head(k).reset_index(drop=True)
-    df["rk"] = df.groupby("window_id", sort=False).cumcount() + 1
-    return df
+    return topk_rank(pd.DataFrame(emitted), k)
 
 
 def run_streaming_topk(input_path: str, width_us: int, k: int,

@@ -80,3 +80,15 @@ def test_hot_block_guard():
                        "block": np.full(len(names), 6, np.int64)})
     with pytest.raises(ValueError, match="MAX_BLOCK_VALUES"):
         _block_kernel(df, 1)
+
+
+def test_null_values_are_dropped(ray_session):
+    """NULLs never pair (SQL `a.name < b.name` semantics) and must not
+    poison the length/blocking arithmetic."""
+    df = pd.DataFrame({"p_name": ["ring", None, "king", None, "ring"]})
+    got = (fuzzy_self_join(rd.from_pandas(df), "p_name", max_dist=1)
+           .to_pandas())
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert (row["name_a"], row["name_b"], row["dist"],
+            row["n_a"], row["n_b"]) == ("king", "ring", 1, 1, 2)
