@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_item_components": Q.q_user_item_components,
         "fuzzy_part_names": Q.q_fuzzy_part_names,
         "window_topk_convs": Q.q_window_topk_convs,
+        "q5_region_revenue": Q.q_q5_region_revenue,
     }
 
 
@@ -804,4 +805,18 @@ def oracle_sql() -> dict[str, str]:
                   FROM wc)
             SELECT window_id, conv_id, n, rk FROM r
             WHERE rk <= {Q.WINDOW_TOPK_K}""",
+        # TPC-H Q5 shape: five-way join, revenue per same-nation pair
+        "q5_region_revenue": f"""
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue
+            FROM region, nation, supplier, customer, orders, lineitem
+            WHERE r_name = '{Q.Q5_REGION}'
+              AND n_regionkey = r_regionkey
+              AND s_nationkey = n_nationkey
+              AND l_suppkey = s_suppkey
+              AND o_orderkey = l_orderkey
+              AND c_custkey = o_custkey
+              AND c_nationkey = s_nationkey
+            GROUP BY n_name""",
     }

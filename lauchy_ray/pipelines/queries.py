@@ -2334,3 +2334,150 @@ def q_window_topk_convs(sf_dir: str):
 
     parts = turns.map_batches(partial, batch_format="pyarrow")
     return group_map_by_key(parts, "window_id", fold_rank, size_ds=_events(sf_dir))
+
+
+Q5_REGION = "ASIA"
+
+
+def _np_lookup(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray,
+               default: int = -1) -> np.ndarray:
+    """Vectorized sorted-array lookup: vals[keys.searchsorted(probe)] with
+    ``default`` where probe ∉ keys (the broadcast-join inner kernel)."""
+    if not len(keys):
+        return np.full(len(probe), default, dtype=vals.dtype if len(vals)
+                       else np.int64)
+    pos = np.clip(np.searchsorted(keys, probe), 0, len(keys) - 1)
+    hit = keys[pos] == probe
+    out = np.full(len(probe), default, dtype=np.int64)
+    out[hit] = vals[pos[hit]]
+    return out
+
+
+def q_q5_region_revenue(sf_dir: str):
+    """TPC-H Q5 shape: revenue per nation for one region, where the
+    supplying and purchasing nations coincide — a FIVE-way join
+    (region ⋈ nation ⋈ supplier ⋈ customer ⋈ orders ⋈ lineitem).
+
+    Scale plan: region+nation are driver-side constants; supplier,
+    customer and the o_orderkey→o_custkey map are DIMENSION lookups,
+    each independently gated on on-disk size (BROADCAST_DIM_BYTES) and
+    shipped as sorted numpy arrays — so the fact table (lineitem)
+    streams through ONE map_batches with three vectorized lookups and a
+    bincount partial per nation; nothing fact-scale ever shuffles. Over
+    the gate, the plan degrades to partitioned hash joins
+    (Dataset.join) — correctness-identical, paying the shuffle only
+    when a side genuinely cannot be broadcast."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pydict()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pydict()
+    rk = dict(zip(reg["r_name"], reg["r_regionkey"]))[Q5_REGION]
+    region_nk = [nk for nk, nrk in zip(nat["n_nationkey"], nat["n_regionkey"])
+                 if nrk == rk]
+    code_of = {nk: i for i, nk in enumerate(region_nk)}  # region-local codes
+    names = np.asarray(
+        [dict(zip(nat["n_nationkey"], nat["n_name"]))[nk]
+         for nk in region_nk], dtype=object)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+    paths = {t: f"{sf_dir}/{t}.parquet"
+             for t in ("supplier", "customer", "orders")}
+    if all(os.path.getsize(p) <= BROADCAST_DIM_BYTES
+           for p in paths.values()):
+        sup = (pq.read_table(paths["supplier"],
+                             columns=["s_suppkey", "s_nationkey"])
+               .sort_by("s_suppkey"))
+        cus = (pq.read_table(paths["customer"],
+                             columns=["c_custkey", "c_nationkey"])
+               .sort_by("c_custkey"))
+        orders = (pq.read_table(paths["orders"],
+                                columns=["o_orderkey", "o_custkey"])
+                  .sort_by("o_orderkey"))
+        to_code = np.vectorize(lambda nk: code_of.get(nk, -1),
+                               otypes=[np.int64])
+        ref = ray.put((
+            sup["s_suppkey"].to_numpy(),
+            to_code(sup["s_nationkey"].to_numpy()),
+            cus["c_custkey"].to_numpy(),
+            to_code(cus["c_nationkey"].to_numpy()),
+            orders["o_orderkey"].to_numpy(),
+            orders["o_custkey"].to_numpy()))
+
+        def partial(t: pa.Table) -> pd.DataFrame:
+            sk, sc, ck, cc, ok, oc = ray.get(ref)
+            s_code = _np_lookup(sk, sc, t["l_suppkey"].to_numpy())
+            keep = s_code >= 0          # supplier inside the region
+            if not keep.any():
+                return pd.DataFrame({
+                    "n_name": pd.Series([], dtype=object),
+                    "revenue": pd.Series([], dtype=np.float64)})
+            cust = _np_lookup(ok, oc, t["l_orderkey"].to_numpy()[keep])
+            c_code = _np_lookup(ck, cc, cust)
+            m = c_code == s_code[keep]  # same purchasing nation
+            code = c_code[m]
+            price = t["l_extendedprice"].to_numpy()[keep][m]
+            disc = t["l_discount"].to_numpy()[keep][m]
+            sums = np.bincount(code, weights=price * (1.0 - disc),
+                               minlength=len(names))
+            nz = np.flatnonzero(sums != 0.0)
+            return pd.DataFrame({"n_name": names[nz], "revenue": sums[nz]})
+
+        parts = li.map_batches(partial, batch_format="pyarrow")
+    else:  # a side too big to broadcast: composable bucketed hash joins
+        from ..stages.join import hash_inner_join
+        sizes = {t: os.path.getsize(p) for t, p in paths.items()}
+        li_bytes = os.path.getsize(f"{sf_dir}/lineitem.parquet")
+        orders_ds = rd.read_parquet(paths["orders"],
+                                    columns=["o_orderkey", "o_custkey"])
+        sup_ds = rd.read_parquet(paths["supplier"],
+                                 columns=["s_suppkey", "s_nationkey"])
+        cus_ds = rd.read_parquet(paths["customer"],
+                                 columns=["c_custkey", "c_nationkey"])
+        j = hash_inner_join(
+            li, orders_ds, "l_orderkey",
+            {"l_suppkey": "Int64", "l_extendedprice": "Float64",
+             "l_discount": "Float64"},
+            {"o_custkey": "Int64"}, right_key="o_orderkey",
+            size_bytes=li_bytes + sizes["orders"])
+        j = hash_inner_join(
+            j, sup_ds, "l_suppkey",
+            {"o_custkey": "Int64", "l_extendedprice": "Float64",
+             "l_discount": "Float64"},
+            {"s_nationkey": "Int64"}, right_key="s_suppkey",
+            size_bytes=li_bytes + sizes["supplier"])
+        j = hash_inner_join(
+            j, cus_ds, "o_custkey",
+            {"s_nationkey": "Int64", "l_extendedprice": "Float64",
+             "l_discount": "Float64"},
+            {"c_nationkey": "Int64"}, right_key="c_custkey",
+            size_bytes=li_bytes + sizes["customer"])
+
+        # dense nationkey→code table (nation keys are a bounded dictionary)
+        code_tab = np.full(max(nat["n_nationkey"]) + 1, -1, np.int64)
+        for nk, c in code_of.items():
+            code_tab[nk] = c
+
+        def partial_joined(df: pd.DataFrame) -> pd.DataFrame:
+            s_nat = df["s_nationkey"].astype("int64").to_numpy()
+            c_nat = df["c_nationkey"].astype("int64").to_numpy()
+            code = code_tab[np.clip(s_nat, 0, len(code_tab) - 1)]
+            code[(s_nat < 0) | (s_nat >= len(code_tab))] = -1
+            m = (code >= 0) & (s_nat == c_nat)
+            code = code[m]
+            rev = (df["l_extendedprice"].astype("float64").to_numpy()[m]
+                   * (1.0 - df["l_discount"].astype("float64").to_numpy()[m]))
+            sums = np.bincount(code, weights=rev, minlength=len(names))
+            nz = np.flatnonzero(sums != 0.0)
+            return pd.DataFrame({"n_name": names[nz], "revenue": sums[nz]})
+
+        parts = j.map_batches(partial_joined, batch_format="pandas")
+
+    out = _grouped_sums(parts, ["n_name"], ["revenue"])
+    return out.map_batches(
+        lambda df: pd.DataFrame({"n_name": df["n_name"],
+                                 "revenue": _round2(df["revenue"])}),
+        batch_format="pandas")

@@ -366,3 +366,51 @@ def interval_join_tagged(both: rd.Dataset, key: str = "user_id",
     return group_map_by_key(
         both, key, lambda g: _interval_bucket(g, key, width_us),
         size_ds=size_ds)
+
+
+def _inner_bucket(df: pd.DataFrame, key: str, left_cols: list[str],
+                  right_cols: list[str]) -> pd.DataFrame:
+    lhs = df.loc[df["side"] == 0, [key] + left_cols]
+    rhs = df.loc[df["side"] == 1, [key] + right_cols]
+    return lhs.merge(rhs, on=key)  # m:n inner, C-vectorized
+
+
+def hash_inner_join(left: rd.Dataset, right: rd.Dataset, key: str,
+                    left_cols: dict[str, str], right_cols: dict[str, str],
+                    right_key: str | None = None, key_dtype: str = "Int64",
+                    size_ds=None, size_bytes: int | None = None) -> rd.Dataset:
+    """Distributed INNER hash join on the repo's one bucket-shuffle
+    co-location (same machinery as full_outer_join) — used where a
+    broadcast gate falls back to a shuffle join. Unlike chaining
+    Dataset.join (whose per-join aggregator-actor pools deadlock small
+    CPU budgets when several joins pipeline), each hash_inner_join is
+    one map + one keyed shuffle, so plans compose. Payload column names
+    must be disjoint across sides; dtypes are DECLARED (nullable pandas
+    dtypes) so both union branches emit one schema. ``right_key`` (if
+    the right side names its key differently) is renamed to ``key``."""
+    from .bucketing import group_map_by_key
+    schema = {**left_cols, **right_cols}
+
+    def tag(side: int, own: dict[str, str], key_in: str):
+        def add(df: pd.DataFrame) -> pd.DataFrame:
+            # key dtype is declared too — a chained join's output key is
+            # nullable Int64 while a raw parquet read's is int64, and the
+            # union branches must emit ONE schema
+            out = pd.DataFrame({key: df[key_in].astype(key_dtype),
+                                "side": np.int64(side)})
+            for c, dt in schema.items():
+                if c in own:
+                    out[c] = df[c].astype(dt)
+                else:
+                    out[c] = pd.Series(pd.NA, index=df.index, dtype=dt)
+            return out
+        return add
+
+    both = left.map_batches(tag(0, left_cols, key),
+                            batch_format="pandas").union(
+        right.map_batches(tag(1, right_cols, right_key or key),
+                          batch_format="pandas"))
+    lc, rc = list(left_cols), list(right_cols)
+    return group_map_by_key(
+        both, key, lambda g: _inner_bucket(g, key, lc, rc),
+        size_ds=size_ds, size_bytes=size_bytes)

@@ -85,3 +85,17 @@ def test_empty_customer_dimension_broadcast_path(tmp_path):
                    d / "orders.parquet")
     coded, names = Q._orders_coded_by_nation(str(d), ["o_totalprice"])
     assert len(coded.to_pandas()) == 0
+
+
+def test_q5_fallback_join_path_matches_broadcast(ray_session, monkeypatch):
+    """Over the broadcast gate, q5_region_revenue degrades to partitioned
+    hash joins — same rows as the broadcast plan."""
+    import lauchy_ray.pipelines.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    fast = (Q.q_q5_region_revenue(sf).to_pandas()
+            .sort_values("n_name").reset_index(drop=True))
+    monkeypatch.setattr(Q, "BROADCAST_DIM_BYTES", 0)
+    slow = (Q.q_q5_region_revenue(sf).to_pandas()
+            .sort_values("n_name").reset_index(drop=True))
+    pd.testing.assert_frame_equal(fast, slow)
