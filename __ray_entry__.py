@@ -33,7 +33,8 @@ from lauchy_ray.stages.graph import (  # noqa: E402
 from lauchy_ray.stages.multimodal import media_features_sql  # noqa: E402
 from lauchy_ray.stages.decontam import decontam_sql  # noqa: E402
 from lauchy_ray.stages.sketches import cms_sql, hll_sql  # noqa: E402
-from lauchy_ray.stages.terms import TFIDF_K, TOP_TERMS_K  # noqa: E402
+from lauchy_ray.stages.terms import (  # noqa: E402
+    TFIDF_K, TOP_TERMS_K, bigram_sql)
 from lauchy_ray.stages.textops import (  # noqa: E402
     fingerprint_sql, lang_id_sql, pii_scrub_sql)
 
@@ -139,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_part_names": Q.q_fuzzy_part_names,
         "window_topk_convs": Q.q_window_topk_convs,
         "q5_region_revenue": Q.q_q5_region_revenue,
+        "bigram_lm": Q.q_bigram_lm,
     }
 
 
@@ -819,4 +821,6 @@ def oracle_sql() -> dict[str, str]:
               AND c_custkey = o_custkey
               AND c_nationkey = s_nationkey
             GROUP BY n_name""",
+        # bigram LM counts: same tokenizer + total order re-derived
+        "bigram_lm": bigram_sql(),
     }

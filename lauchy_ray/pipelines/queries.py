@@ -2481,3 +2481,18 @@ def q_q5_region_revenue(sf_dir: str):
         lambda df: pd.DataFrame({"n_name": df["n_name"],
                                  "revenue": _round2(df["revenue"])}),
         batch_format="pandas")
+
+
+def q_bigram_lm(sf_dir: str):
+    """Corpus bigram language-model counts: top-50 adjacent token pairs
+    with left-context totals and conditional probability P(w2|w1) —
+    explode → per-batch fold → w1-bucket shuffle (n1 exact per bucket)
+    → bounded-partial top-k merge (stages/terms.py)."""
+    from ..stages.bucketing import group_map_by_key
+    from ..stages.terms import (BIGRAM_K, bigram_bucket_topk, bigram_partial,
+                                merge_bigram_topk)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    parts = ds.map_batches(bigram_partial, batch_format="pandas")
+    bucket_tops = group_map_by_key(parts, "w1", bigram_bucket_topk,
+                                   size_ds=ds)
+    return merge_bigram_topk(bucket_tops.to_pandas(), BIGRAM_K)

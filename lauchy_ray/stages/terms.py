@@ -106,3 +106,75 @@ def doc_topk_tfidf(df: pd.DataFrame, n_docs: int, k: int = TFIDF_K,
     out["rank"] = (out.groupby(id_col, sort=False).cumcount() + 1).astype("int64")
     out["cnt"] = out["cnt"].astype("int64")
     return out[[id_col, "rank", "term", "cnt", "df", "score"]]
+
+
+BIGRAM_K = 50
+
+
+def bigram_partial(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """One batch → its (w1, w2, n12) adjacent-bigram explosion partial.
+    Vectorized: one findall per doc (C regex), one flat concatenate,
+    doc-boundary pairs masked out by end-index — no Python loop over
+    tokens."""
+    toks = df[text_col].str.findall(WS_TOKEN_RE)
+    lens = toks.str.len().to_numpy(np.int64)
+    nz = lens > 0
+    if nz.sum() == 0 or lens.sum() < 2:
+        return pd.DataFrame({"w1": pd.Series(dtype=object),
+                             "w2": pd.Series(dtype=object),
+                             "n12": pd.Series(dtype="int64")})
+    flat = np.concatenate(toks.to_numpy()[nz])
+    lens = lens[nz]
+    valid = np.ones(len(flat) - 1, dtype=bool)
+    ends = np.cumsum(lens) - 1          # last-token index per doc
+    valid[ends[:-1]] = False            # no pair crosses a doc boundary
+    pairs = pd.DataFrame({"w1": flat[:-1][valid], "w2": flat[1:][valid]})
+    g = pairs.groupby(["w1", "w2"], sort=False).size().reset_index()
+    g.columns = ["w1", "w2", "n12"]
+    g["n12"] = g["n12"].astype("int64")
+    return g
+
+
+def bigram_bucket_topk(df: pd.DataFrame, k: int = BIGRAM_K) -> pd.DataFrame:
+    """All partials of a LEFT word land in one bucket, so both n12 and
+    the left-context total n1 = Σ_w2 n12(w1, w2) are exact here; the
+    conditional probability p = n12 / n1 is ONE double division (IEEE-
+    identical to the oracle's CAST(n12 AS DOUBLE) / n1). Any global
+    top-k bigram is in its own bucket's top-k, so k rows per bucket are
+    lossless."""
+    g = (df.groupby(["w1", "w2"], sort=False)["n12"].sum()
+         .reset_index())
+    g["n12"] = g["n12"].astype("int64")
+    n1 = g.groupby("w1", sort=False)["n12"].transform("sum").astype("int64")
+    g["n1"] = n1
+    g = g.sort_values(["n12", "w1", "w2"],
+                      ascending=[False, True, True], kind="stable").head(k)
+    g["p"] = g["n12"].to_numpy(np.float64) / g["n1"].to_numpy(np.float64)
+    return g.reset_index(drop=True)
+
+
+def merge_bigram_topk(parts: pd.DataFrame, k: int = BIGRAM_K) -> pd.DataFrame:
+    """Bounded merge of per-bucket candidates (O(buckets × k) rows)."""
+    return (parts.sort_values(["n12", "w1", "w2"],
+                              ascending=[False, True, True], kind="stable")
+            .head(k).reset_index(drop=True))
+
+
+def bigram_sql(k: int = BIGRAM_K, docs_rel: str = "documents") -> str:
+    """DuckDB oracle: identical WS tokenization (regexp_extract_all),
+    list_zip of shifted slices for adjacent pairs, same (n12 DESC, w1,
+    w2) total order for the top-k cut. NB DuckDB list slicing is 1-based
+    and INCLUSIVE of a negative end index (lst[:-1] is the WHOLE list),
+    so "all but last" must be written lst[1:len(lst)-1] — the shorthand
+    would make list_zip pad a spurious (w_last, NULL) pair per doc."""
+    return rf"""
+WITH lsts AS (SELECT regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS lst
+              FROM {docs_rel}),
+z AS (SELECT unnest(list_zip(lst[1:len(lst)-1], lst[2:len(lst)])) AS pr
+      FROM lsts WHERE len(lst) >= 2),
+big AS (SELECT pr[1] AS w1, pr[2] AS w2, count(*) AS n12
+        FROM z GROUP BY 1, 2),
+tot AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM big GROUP BY w1)
+SELECT b.w1, b.w2, b.n12, t.n1, CAST(b.n12 AS DOUBLE) / t.n1 AS p
+FROM big b JOIN tot t USING (w1)
+ORDER BY b.n12 DESC, b.w1, b.w2 LIMIT {k}"""

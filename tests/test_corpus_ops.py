@@ -135,3 +135,18 @@ def test_repetition_ratio(tmp_path):
     assert out.loc[1, "rep_ratio"] == pytest.approx(1 - 3 / 7)
     assert out.loc[2, "rep_ratio"] == 0.0
     assert out.loc[3, "n_trigrams"] == 0 and out.loc[3, "rep_ratio"] == 0.0
+
+
+def test_bigram_partial_doc_boundaries():
+    """No pair crosses a doc boundary; empty and single-token docs
+    contribute nothing; counts sum to Σ(len_i − 1)."""
+    import pandas as pd
+
+    from lauchy_ray.stages.terms import bigram_partial
+
+    df = pd.DataFrame({"text": ["a b c", "", "x", "c a b a b"]})
+    out = bigram_partial(df)
+    assert out["n12"].sum() == (3 - 1) + (5 - 1)
+    got = dict(zip(zip(out["w1"], out["w2"]), out["n12"]))
+    assert got == {("a", "b"): 3, ("b", "c"): 1, ("c", "a"): 1,
+                   ("b", "a"): 1}
