@@ -372,3 +372,69 @@ def streaming_topk_rows(rows: list[dict], width_us: int, k: int,
         for rk, r in enumerate(best, 1):
             topk.append({**r, "rk": rk})
     return topk, late, wm
+
+
+def streaming_approx_topk_rows(frag_rows: list[list[dict]], width_us: int,
+                               k: int, capacity: int, lateness_us: int,
+                               n_shards: int):
+    """Single-threaded mirror of state.streaming.ApproxTopKShardCore:
+    per-shard per-FRAGMENT scan (Misra-Gries results depend on
+    micro-batch slicing, so the mirror consumes the same fragment
+    boundaries the runner pumps), exact batch counts merged via
+    mg_merge, shard-local top-k emission at close, global merge by
+    estimate. → (topk rows, late list, wms)."""
+    import heapq
+
+    from .state.streaming import mg_merge
+
+    wm = [(-(1 << 62))] * n_shards
+    open_st: list[dict] = [dict() for _ in range(n_shards)]  # wid→[cnts,sub]
+    emitted: list[dict] = []
+    late = []
+
+    def emit(s: int, w: int) -> None:
+        counts, sub = open_st[s].pop(w)
+        for c, cnt in heapq.nsmallest(k, counts.items(),
+                                      key=lambda kv: (-kv[1], kv[0])):
+            emitted.append({"window_id": w, "conv_id": c, "n_est": cnt,
+                            "err_bound": sub})
+
+    for frag in frag_rows:
+        slices: dict[int, list[dict]] = {}
+        for row in frag:
+            slices.setdefault(shard_of(row["conv_id"], n_shards),
+                              []).append(row)
+        for s, rows in slices.items():
+            batch: dict[int, dict] = {}
+            run_wm = wm[s]
+            for row in rows:
+                wid = row["ts"] // width_us
+                if wid * width_us + width_us <= run_wm:
+                    late.append({"conv_id": row["conv_id"],
+                                 "turn_idx": row["turn_idx"],
+                                 "ts": row["ts"], "window_id": wid})
+                else:
+                    d = batch.setdefault(wid, {})
+                    d[row["conv_id"]] = d.get(row["conv_id"], 0) + 1
+                run_wm = max(run_wm, row["ts"] - lateness_us)
+            for w, add in batch.items():
+                counts, sub = open_st[s].setdefault(w, [{}, 0])
+                counts, extra = mg_merge(counts, add, capacity)
+                open_st[s][w] = [counts, sub + extra]
+            wm[s] = run_wm
+            for w in sorted(w for w in open_st[s]
+                            if w * width_us + width_us <= wm[s]):
+                emit(s, w)
+    for s in range(n_shards):
+        for w in sorted(open_st[s]):
+            emit(s, w)
+    merged: dict[int, list] = {}
+    for r in emitted:
+        merged.setdefault(r["window_id"], []).append(r)
+    topk = []
+    for w in sorted(merged):
+        best = sorted(merged[w],
+                      key=lambda r: (-r["n_est"], r["conv_id"]))[:k]
+        for rk, r in enumerate(best, 1):
+            topk.append({**r, "rk": rk})
+    return topk, late, wm

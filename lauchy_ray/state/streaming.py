@@ -1131,6 +1131,158 @@ class TopKShardCore(ShardActorBase):
 TopKShardActor = ray.remote(TopKShardCore)
 
 
+def mg_merge(counts: dict, add: dict, capacity: int) -> tuple[dict, int]:
+    """Misra-Gries summary merge (Agarwal, Cormode, Huang, Phillips,
+    Wei, Yi — "Mergeable Summaries", PODS'12, public): sum the two count
+    maps; if more than ``capacity`` keys survive, subtract the
+    (capacity+1)-th largest count from every key and drop the
+    non-positives. Returns (merged, subtracted) — ``subtracted``
+    accumulates into the window's error bound: for every key,
+    est ≤ true ≤ est + Σ subtracted, and any key with
+    true > Σ subtracted is guaranteed present. Deterministic (pure
+    arithmetic, no tie-dependent eviction choice)."""
+    for c, n in add.items():
+        counts[c] = counts.get(c, 0) + n
+    if len(counts) <= capacity:
+        return counts, 0
+    vals = np.fromiter(counts.values(), np.int64, len(counts))
+    # (capacity+1)-th largest = the largest count that must go to zero
+    thresh = int(np.partition(vals, len(vals) - capacity - 1)
+                 [len(vals) - capacity - 1])
+    out = {c: n - thresh for c, n in counts.items() if n > thresh}
+    return out, thresh
+
+
+class ApproxTopKShardCore(ShardActorBase):
+    """Streaming windowed heavy hitters in BOUNDED memory: per open
+    window, a Misra-Gries summary of at most ``capacity`` keys instead
+    of TopKShardCore's exact-but-O(active keys) count map — the scale
+    path when even one shard's per-window key space doesn't fit.
+
+    Per micro-batch the batch is counted EXACTLY (one vectorized
+    groupby), then merged into the window summary with :func:`mg_merge`
+    — O(capacity) work per (batch, window), O(capacity) state per open
+    window, NEVER O(keys). Guarantee at emission (standard MG bound):
+    every estimate is an undercount by at most ``err_bound`` (the
+    window's accumulated subtractions, ≤ N_window/capacity), and any
+    key whose true count exceeds ``err_bound`` is present. Results are
+    deterministic for a given fragment order (the runner pumps
+    fragments in order) but — unlike every exact core — DO depend on
+    micro-batch slicing; the single-threaded oracle mirrors the same
+    fragment stream. Late rule, checkpointing, exactly-once emission
+    inherited unchanged."""
+
+    def __init__(self, width_us: int, k: int, capacity: int,
+                 lateness_us: int, checkpoint_path: str | None = None):
+        if k > capacity:
+            raise ValueError(f"k={k} exceeds capacity={capacity}")
+        self.width = width_us
+        self.k = int(k)
+        self.capacity = int(capacity)
+        self.lateness = lateness_us
+        # window_id → [counts dict, subtracted total]
+        self.open: dict[int, list] = {}
+        self._init_shard_state(checkpoint_path,
+                               ("approx_topk", width_us, k, capacity,
+                                lateness_us))
+
+    def _core_state(self):
+        return self.open
+
+    def _restore_core(self, core) -> None:
+        self.open = core
+
+    def ingest(self, table: pa.Table, seq: int | None = None) -> int:
+        if self._skip_replay(table, seq):
+            return 0
+        ts = table["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cm, prefix_wm = self._prefix_watermark(ts)
+        wid = ts // self.width
+        late_mask = wid * self.width + self.width <= prefix_wm
+        self._route_late_rows(table, ts, wid, late_mask)
+        ok = ~late_mask
+        if ok.any():
+            convs = table["conv_id"].to_pandas()
+            pairs = (pd.DataFrame({"wid": wid[ok],
+                                   "conv": convs[ok].to_numpy()})
+                     .groupby(["wid", "conv"], sort=False).size())
+            batch_per_wid: dict[int, dict] = {}
+            for (w, c), cnt in pairs.items():
+                batch_per_wid.setdefault(int(w), {})[c] = int(cnt)
+            for w, add in batch_per_wid.items():
+                counts, sub = self.open.setdefault(w, [{}, 0])
+                counts, s = mg_merge(counts, add, self.capacity)
+                self.open[w] = [counts, sub + s]
+        self._advance_and_commit(cm[-1], seq)
+        return table.num_rows
+
+    def _emit_window(self, w: int) -> None:
+        import heapq
+        counts, sub = self.open.pop(w)
+        for c, cnt in heapq.nsmallest(self.k, counts.items(),
+                                      key=lambda kv: (-kv[1], kv[0])):
+            self.emitted.append({"window_id": w, "conv_id": c,
+                                 "n_est": int(cnt),
+                                 "err_bound": int(sub)})
+
+    def _emit_closed(self) -> None:
+        closed = [w for w in self.open
+                  if w * self.width + self.width <= self.wm]
+        for w in sorted(closed):
+            self._emit_window(w)
+
+    def finalize(self) -> dict:
+        for w in sorted(self.open):
+            self._emit_window(w)
+        hist_emitted, hist_late = self._read_deltas()
+        return {"emitted": hist_emitted + self.emitted,
+                "late": hist_late + self.late, "watermark": self.wm}
+
+
+ApproxTopKShardActor = ray.remote(ApproxTopKShardCore)
+
+
+def run_streaming_approx_topk(input_path: str, width_us: int, k: int,
+                              capacity: int, lateness_us: int,
+                              n_shards: int = 8,
+                              validate_kwargs: dict | None = None,
+                              max_pending: int = 4,
+                              checkpoint_dir: str | None = None):
+    """Bounded-memory streaming heavy hitters (Misra-Gries summaries per
+    open window). → (topk DataFrame [window_id, conv_id, n_est,
+    err_bound, rk], late DataFrame, per-shard watermarks). Shard
+    summaries are disjoint by conv (conv→shard partition), so the merge
+    ranks the union by estimate; each row's true count lies in
+    [n_est, n_est + err_bound]."""
+    fragments = list_fragments(input_path)
+    meta = {"kind": "approx_topk", "width_us": width_us, "k": k,
+            "capacity": capacity, "lateness_us": lateness_us,
+            "n_shards": n_shards}
+    _guard_checkpoint_dir(checkpoint_dir, meta, fragments)
+    actors = [ApproxTopKShardActor.remote(
+        width_us, k, capacity, lateness_us,
+        os.path.join(checkpoint_dir, f"shard-{s}.ckpt")
+        if checkpoint_dir else None)
+        for s in range(n_shards)]
+    finals = _pump_fragments(actors, fragments, n_shards,
+                             validate_kwargs, max_pending)
+    emitted = [row for f in finals for row in f["emitted"]]
+    late = [row for f in finals for row in f["late"]]
+    if emitted:
+        df = (pd.DataFrame(emitted)
+              .sort_values(["window_id", "n_est", "conv_id"],
+                           ascending=[True, False, True], kind="stable"))
+        df = df.groupby("window_id", sort=True).head(k).reset_index(drop=True)
+        df["rk"] = df.groupby("window_id", sort=False).cumcount() + 1
+    else:
+        df = pd.DataFrame(columns=["window_id", "conv_id", "n_est",
+                                   "err_bound", "rk"])
+    late_df = (pd.DataFrame(late) if late else
+               pd.DataFrame(columns=["conv_id", "turn_idx", "ts",
+                                     "window_id"]))
+    return df, late_df, [f["watermark"] for f in finals]
+
+
 def merge_topk_partials(emitted: list[dict], k: int) -> pd.DataFrame:
     """Exact global per-window top-k from the shards' local top-k rows
     (disjoint convs ⇒ counts are already global)."""

@@ -752,3 +752,120 @@ def test_streaming_topk_checkpoint_resume(fixture_dir, streamed, tmp_path):
         tk_full.sort_values(["window_id", "rk"]).reset_index(drop=True))
     assert len(late) == len(late_full)
     assert sorted(wms) == sorted(wms_full)
+
+
+def test_streaming_approx_topk_matches_oracle_and_bounds(fixture_dir,
+                                                         streamed):
+    """Bounded-memory Misra-Gries heavy hitters: engine == per-fragment
+    single-threaded mirror, and the MG guarantee holds vs exact counts
+    (n_est ≤ true ≤ n_est + err_bound)."""
+    from lauchy_ray.sources.stream import list_fragments
+    from lauchy_ray.state.streaming import run_streaming_approx_topk
+
+    _, _, _, codes = streamed
+    K, CAP = 8, 8
+    tk, late, wms = run_streaming_approx_topk(
+        fixture_dir["turns"], HOUR_US, K, CAP, LATENESS_US,
+        n_shards=N_SHARDS, validate_kwargs={"entity_codes": sorted(codes)})
+
+    frag_rows = []
+    for frag in list_fragments(fixture_dir["turns"]):
+        t = pq.ParquetDataset(frag).read()
+        t = t.set_column(t.schema.get_field_index("ts"), "ts",
+                         t["ts"].cast(pa.int64()))
+        frag_rows.append(oracle.validate_table(t.to_pylist(),
+                                               entity_codes=codes))
+    exp_topk, exp_late, exp_wms = oracle.streaming_approx_topk_rows(
+        frag_rows, HOUR_US, K, CAP, LATENESS_US, N_SHARDS)
+    key = ["window_id", "rk"]
+    got = tk.sort_values(key).reset_index(drop=True)
+    exp = pd.DataFrame(exp_topk).sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+    assert sorted(wms) == sorted(exp_wms)
+
+    # MG guarantee vs exact on-time counts (route semantics: exclude the
+    # late rows both engines agree on)
+    all_rows = [r for f in frag_rows for r in f]
+    late_keys = {(r["conv_id"], r["turn_idx"], r["ts"]) for r in exp_late}
+    exact: dict[tuple, int] = {}
+    for r in all_rows:
+        if (r["conv_id"], r["turn_idx"], r["ts"]) in late_keys:
+            continue
+        kk = (r["ts"] // HOUR_US, r["conv_id"])
+        exact[kk] = exact.get(kk, 0) + 1
+    assert len(tk) > 0
+    for row in tk.itertuples(index=False):
+        true = exact[(row.window_id, row.conv_id)]
+        assert row.n_est <= true <= row.n_est + row.err_bound, row
+
+
+def test_streaming_approx_topk_checkpoint_resume(fixture_dir, streamed,
+                                                 tmp_path):
+    import os
+
+    import pyarrow.compute as pc_
+    import pyarrow.parquet as pq_
+    import ray
+
+    from lauchy_ray.sources.stream import list_fragments
+    from lauchy_ray.stages.validator import Validator
+    from lauchy_ray.state.streaming import (
+        ApproxTopKShardActor, _shard_tables, run_streaming_approx_topk)
+
+    _, _, _, codes = streamed
+    K, CAP = 5, 12
+    full, late_full, wms_full = run_streaming_approx_topk(
+        fixture_dir["turns"], HOUR_US, K, CAP, LATENESS_US,
+        n_shards=N_SHARDS, validate_kwargs={"entity_codes": sorted(codes)})
+
+    ckpt = str(tmp_path / "ckpt_approx")
+    os.makedirs(ckpt)
+    frags = list_fragments(fixture_dir["turns"])
+    actors = [ApproxTopKShardActor.remote(
+        HOUR_US, K, CAP, LATENESS_US, os.path.join(ckpt, f"shard-{s}.ckpt"))
+        for s in range(N_SHARDS)]
+    v = Validator(entity_codes=sorted(codes))
+    for seq, frag in enumerate(frags[:2]):
+        t = pq_.read_table(frag)
+        shards = _shard_tables(v(t.filter(pc_.is_valid(t["text"]))), N_SHARDS)
+        ray.get([actors[s].ingest.remote(tab, seq)
+                 for s, tab in shards.items()])
+    for a in actors:
+        ray.kill(a)
+
+    tk, late, wms = run_streaming_approx_topk(
+        fixture_dir["turns"], HOUR_US, K, CAP, LATENESS_US,
+        n_shards=N_SHARDS, validate_kwargs={"entity_codes": sorted(codes)},
+        checkpoint_dir=ckpt)
+    pd.testing.assert_frame_equal(
+        tk.sort_values(["window_id", "rk"]).reset_index(drop=True),
+        full.sort_values(["window_id", "rk"]).reset_index(drop=True))
+    assert len(late) == len(late_full)
+    assert sorted(wms) == sorted(wms_full)
+
+
+def test_mg_merge_guarantee_unit():
+    """mg_merge: capacity respected, estimates undercount by ≤ total
+    subtractions, heavy keys survive."""
+    import numpy as np
+
+    from lauchy_ray.state.streaming import mg_merge
+
+    rng = np.random.default_rng(5)
+    true: dict[int, int] = {}
+    summary: dict[int, int] = {}
+    sub_total = 0
+    for _ in range(30):
+        keys = rng.integers(0, 50, 200)
+        batch: dict[int, int] = {}
+        for kk in keys.tolist():
+            batch[kk] = batch.get(kk, 0) + 1
+            true[kk] = true.get(kk, 0) + 1
+        summary, s = mg_merge(summary, batch, capacity=10)
+        sub_total += s
+        assert len(summary) <= 10
+    for kk, est in summary.items():
+        assert est <= true[kk] <= est + sub_total
+    for kk, t in true.items():
+        if t > sub_total:
+            assert kk in summary, (kk, t, sub_total)
