@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_topk_convs": Q.q_window_topk_convs,
         "q5_region_revenue": Q.q_q5_region_revenue,
         "bigram_lm": Q.q_bigram_lm,
+        "conv_context": Q.q_conv_context,
     }
 
 
@@ -823,4 +824,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name""",
         # bigram LM counts: same tokenizer + total order re-derived
         "bigram_lm": bigram_sql(),
+        # rolling context window (training-sample assembly)
+        "conv_context": f"""WITH {_T}
+            SELECT conv_id, turn_idx,
+                   string_agg(text, ' ') OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN {Q.CONTEXT_PREV_TURNS} PRECEDING
+                       AND CURRENT ROW) AS context
+            FROM turns""",
     }

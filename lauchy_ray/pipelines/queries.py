@@ -2496,3 +2496,33 @@ def q_bigram_lm(sf_dir: str):
     bucket_tops = group_map_by_key(parts, "w1", bigram_bucket_topk,
                                    size_ds=ds)
     return merge_bigram_topk(bucket_tops.to_pandas(), BIGRAM_K)
+
+
+CONTEXT_PREV_TURNS = 3
+
+
+def q_conv_context(sf_dir: str):
+    """Training-sample assembly: every turn with its previous 3 turns'
+    texts concatenated (the rolling context window an SFT-example
+    builder emits). One conv-bucketed vectorized pass: sort by
+    (conv, turn_idx), then k object-array prepends gated on shifted
+    conv equality — no Python loop over rows or convs."""
+    from ..stages.bucketing import group_map_by_key
+    turns = _turns(sf_dir)
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+        conv = df["conv_id"].to_numpy()
+        text = df["text"].to_numpy(dtype=object)
+        ctx = text.copy()
+        for j in range(1, CONTEXT_PREV_TURNS + 1):
+            # rows [j:] see row j back; same-conv ⇒ contiguous after sort
+            valid = conv[j:] == conv[:-j]
+            ctx[j:] = np.where(valid, text[:-j] + " " + ctx[j:], ctx[j:])
+        return pd.DataFrame({"conv_id": conv,
+                             "turn_idx": df["turn_idx"].to_numpy(),
+                             "context": ctx})
+
+    return group_map_by_key(turns.select_columns(
+        ["conv_id", "turn_idx", "text"]), "conv_id", assemble,
+        size_ds=_events(sf_dir))
