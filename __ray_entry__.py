@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_region_revenue": Q.q_q5_region_revenue,
         "bigram_lm": Q.q_bigram_lm,
         "conv_context": Q.q_conv_context,
+        "value_quantiles_cont": Q.q_value_quantiles_cont,
     }
 
 
@@ -832,4 +833,16 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN {Q.CONTEXT_PREV_TURNS} PRECEDING
                        AND CURRENT ROW) AS context
             FROM turns""",
+        # interpolated quantiles (quantile_cont face; disc face above)
+        "value_quantiles_cont": """
+            SELECT event_type, q, val FROM (
+              SELECT event_type, 0.25 AS q,
+                     quantile_cont(value, 0.25) AS val
+              FROM events GROUP BY event_type
+              UNION ALL
+              SELECT event_type, 0.5, quantile_cont(value, 0.5)
+              FROM events GROUP BY event_type
+              UNION ALL
+              SELECT event_type, 0.75, quantile_cont(value, 0.75)
+              FROM events GROUP BY event_type)""",
     }

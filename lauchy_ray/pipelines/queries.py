@@ -2526,3 +2526,46 @@ def q_conv_context(sf_dir: str):
     return group_map_by_key(turns.select_columns(
         ["conv_id", "turn_idx", "text"]), "conv_id", assemble,
         size_ds=_events(sf_dir))
+
+
+CONT_QS = (0.25, 0.5, 0.75)  # exactly-representable binary fractions
+
+
+def _hist_cont_select(df: pd.DataFrame, qs=CONT_QS) -> pd.DataFrame:
+    """Merge cents-histogram partials and INTERPOLATED-quantile select
+    (the quantile_cont face; the sibling _hist_rank_select is the disc
+    face). DuckDB's interpolation is the SYMMETRIC lerp
+    v[lo]·(1−frac) + v[hi]·frac at x = (n−1)·q, lo = floor(x) — NOT the
+    one-multiply v[lo] + frac·(v[hi]−v[lo]) form, which drifts one ulp
+    on some inputs (caught at sf0.01, q=0.25); verified bitwise.
+    cents/100.0 reconstructs the original double (the repo-wide cents
+    equivalence class), so the lerp matches IEEE-exactly."""
+    h = (df.groupby(["event_type", "v"], sort=True)["c"].sum()
+         .reset_index())
+    rows = []
+    for et, grp in h.groupby("event_type", sort=True):
+        v = grp["v"].to_numpy(np.int64)
+        cum = np.cumsum(grp["c"].to_numpy(np.int64))
+        n = int(cum[-1])
+        for q in qs:
+            x = (n - 1) * q
+            lo = int(np.floor(x))
+            frac = x - lo
+            hi = min(lo + 1, n - 1)
+            v_lo = v[np.searchsorted(cum, lo + 1)] / 100.0
+            v_hi = v[np.searchsorted(cum, hi + 1)] / 100.0
+            rows.append((et, q, v_lo * (1 - frac) + v_hi * frac))
+    return pd.DataFrame(rows, columns=["event_type", "q", "val"]) \
+        .astype({"q": "float64", "val": "float64"})
+
+
+def q_value_quantiles_cont(sf_dir: str):
+    """Grouped INTERPOLATED quantiles (quantile_cont / percentile_cont
+    face) of event value per type — shared histogram combiner + one
+    single-task interpolated select."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return (ds.map_batches(_cents_hist_partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(lambda df: _hist_cont_select(df),
+                         batch_format="pandas", batch_size=None))
