@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm": Q.q_bigram_lm,
         "conv_context": Q.q_conv_context,
         "value_quantiles_cont": Q.q_value_quantiles_cont,
+        "mode_user_by_type": Q.q_mode_user_by_type,
     }
 
 
@@ -845,4 +846,13 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT event_type, 0.75, quantile_cont(value, 0.75)
               FROM events GROUP BY event_type)""",
+        # grouped mode, deterministic (count DESC, user ASC) tiebreak
+        "mode_user_by_type": """
+            WITH c AS (SELECT event_type, user_id, count(*) AS n
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY event_type
+                      ORDER BY n DESC, user_id) AS rk FROM c)
+            SELECT event_type, user_id AS mode_user, n
+            FROM r WHERE rk = 1""",
     }

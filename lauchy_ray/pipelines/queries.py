@@ -2569,3 +2569,34 @@ def q_value_quantiles_cont(sf_dir: str):
             .repartition(1)
             .map_batches(lambda df: _hist_cont_select(df),
                          batch_format="pandas", batch_size=None))
+
+
+def q_mode_user_by_type(sf_dir: str):
+    """Grouped MODE with a deterministic tiebreak: the user with the
+    most events per event_type (count DESC, user_id ASC). (type, user)
+    pair counts grow with the corpus, so partials fold co-located on a
+    USER hash bucket (each pair lives in exactly one bucket ⇒ per-bucket
+    sums are globally exact) and each bucket emits only its per-type
+    best candidate — O(types) rows per bucket; the driver-side merge
+    re-applies the same argmax over O(buckets × types) rows."""
+    from ..stages.bucketing import group_map_by_key
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (pa.TableGroupBy(t, ["event_type", "user_id"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["event_type", "user_id", "n"]))
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["event_type", "user_id"], sort=False)["n"].sum()
+             .reset_index())
+        g = g.sort_values(["event_type", "n", "user_id"],
+                          ascending=[True, False, True], kind="stable")
+        return g.groupby("event_type", sort=False).head(1)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    cands = group_map_by_key(parts, "user_id", best, size_ds=ds)
+    out = best(cands.to_pandas()).reset_index(drop=True)
+    return out.rename(columns={"user_id": "mode_user"}).astype(
+        {"mode_user": "int64", "n": "int64"})
