@@ -121,6 +121,21 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--shards", type=int, default=8)
     sp.add_argument("--checkpoint-dir", default=None)
 
+    tk = sub.add_parser("stream-topk", parents=[common],
+                        help="streaming windowed top-k heavy hitters "
+                             "(exact per-shard counts, or bounded-memory "
+                             "Misra-Gries with --capacity), exactly-once")
+    tk.add_argument("--input", required=True)
+    tk.add_argument("--out", required=True)
+    tk.add_argument("--width-min", type=int, default=60)
+    tk.add_argument("--k", type=int, default=5)
+    tk.add_argument("--capacity", type=int, default=None,
+                    help="Misra-Gries summary size per open window; "
+                         "omit for the exact core")
+    tk.add_argument("--lateness-min", type=int, default=5)
+    tk.add_argument("--shards", type=int, default=8)
+    tk.add_argument("--checkpoint-dir", default=None)
+
     nd = sub.add_parser("dedup-docs", parents=[common],
                         help="near-dup cluster assignment (doc_id, rep_id, "
                              "keep) written to a parquet sink — the LINEAR "
@@ -301,6 +316,32 @@ def main(argv: list[str] | None = None) -> int:
             pq.write_table(pa.Table.from_pandas(late),
                            os.path.join(args.out, "late.parquet"))
             print(json.dumps({"out": args.out, "matches": len(matches),
+                              "late_rows": len(late),
+                              "watermarks": [int(w) for w in wms]}))
+        elif args.cmd == "stream-topk":
+            import os
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from .state.streaming import (run_streaming_approx_topk,
+                                          run_streaming_topk)
+            width = args.width_min * 60 * 1_000_000
+            late_us = args.lateness_min * 60 * 1_000_000
+            if args.capacity is None:
+                tk, late, wms = run_streaming_topk(
+                    args.input, width, args.k, late_us,
+                    n_shards=args.shards,
+                    checkpoint_dir=args.checkpoint_dir)
+            else:
+                tk, late, wms = run_streaming_approx_topk(
+                    args.input, width, args.k, args.capacity, late_us,
+                    n_shards=args.shards,
+                    checkpoint_dir=args.checkpoint_dir)
+            os.makedirs(args.out, exist_ok=True)
+            pq.write_table(pa.Table.from_pandas(tk),
+                           os.path.join(args.out, "topk.parquet"))
+            pq.write_table(pa.Table.from_pandas(late),
+                           os.path.join(args.out, "late.parquet"))
+            print(json.dumps({"out": args.out, "rows": len(tk),
                               "late_rows": len(late),
                               "watermarks": [int(w) for w in wms]}))
         elif args.cmd == "stream-dedup":
