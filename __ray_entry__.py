@@ -554,10 +554,10 @@ def oracle_sql() -> dict[str, str]:
         # exact integer-cents running sum (floor(v*100+0.5) both sides)
         "user_running_value": """
             SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-                   sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
                      PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS running_cents
+                     AS BIGINT) AS running_cents
             FROM events""",
         "users_intersect": f"""
             SELECT user_id FROM events
@@ -786,9 +786,9 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             o AS (
               SELECT doc_id, n_tokens,
-                     COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                     CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                       0) AS start_offset
+                       0) AS BIGINT) AS start_offset
               FROM t)
             SELECT doc_id, n_tokens, start_offset,
                    start_offset // {Q.PACK_TOKENS} AS pack_id
