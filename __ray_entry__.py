@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_context": Q.q_conv_context,
         "value_quantiles_cont": Q.q_value_quantiles_cont,
         "mode_user_by_type": Q.q_mode_user_by_type,
+        "grouped_linreg": Q.q_grouped_linreg,
     }
 
 
@@ -855,4 +856,40 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY n DESC, user_id) AS rk FROM c)
             SELECT event_type, user_id AS mode_user, n
             FROM r WHERE rk = 1""",
+        # grouped Pearson corr + OLS line from EXACT integer moment sums
+        # (quantity is integer-valued, discount -> integer cents); the
+        # double expressions below are the same IEEE ops the Ray side runs
+        # on the same exact integers, so values match bitwise.
+        "grouped_linreg": """
+            WITH s AS (
+              SELECT l_returnflag,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+                     CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS sy,
+                     CAST(sum(CAST(l_quantity AS BIGINT)
+                              * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS sxy,
+                     CAST(sum(CAST(l_quantity AS BIGINT)
+                              * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+                     CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                              * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS syy
+              FROM lineitem GROUP BY l_returnflag),
+            d AS (
+              SELECT l_returnflag, n, sx, sy,
+                     CAST(CAST(n AS HUGEINT) * sxy
+                          - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS numd,
+                     CAST(CAST(n AS HUGEINT) * sxx
+                          - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS vxd,
+                     CAST(CAST(n AS HUGEINT) * syy
+                          - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS vyd
+              FROM s),
+            f AS (SELECT *, numd / vxd AS slope FROM d)
+            SELECT l_returnflag, n,
+                   numd / (sqrt(vxd) * sqrt(vyd)) AS corr_qty_disc,
+                   slope,
+                   (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE) AS intercept
+            FROM f""",
     }

@@ -2600,3 +2600,64 @@ def q_mode_user_by_type(sf_dir: str):
     out = best(cands.to_pandas()).reset_index(drop=True)
     return out.rename(columns={"user_id": "mode_user"}).astype(
         {"mode_user": "int64", "n": "int64"})
+
+
+def q_grouped_linreg(sf_dir: str):
+    """Grouped Pearson correlation + OLS slope/intercept (corr / covar /
+    regr_slope face) of l_quantity vs l_discount per l_returnflag.
+
+    Exactness contract: both engines accumulate the five moment sums
+    (Sx, Sy, Sxy, Sxx, Syy) as EXACT integers — quantity is integer-
+    valued (<=50) and discount becomes integer cents (floor(d*100+0.5)),
+    so every partial and the merge are drift-free at any row count; the
+    final corr/slope/intercept are ONE identical IEEE expression over
+    those exact integers on both sides (int->double conversion is
+    round-to-nearest in numpy/Python AND DuckDB HUGEINT->DOUBLE).
+    Scale: per-batch pyarrow partials then a single-task merge over
+    O(batches x 3) rows — no sort shuffle, no driver funnel."""
+    import math
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["l_quantity"], pa.int64())
+        y = pc.cast(pc.floor(pc.add(pc.multiply(t["l_discount"],
+                                                pa.scalar(100.0)),
+                                    pa.scalar(0.5))), pa.int64())
+        part = pa.table({
+            "l_returnflag": t["l_returnflag"], "sx": x, "sy": y,
+            "sxy": pc.multiply(x, y), "sxx": pc.multiply(x, x),
+            "syy": pc.multiply(y, y),
+        })
+        return (pa.TableGroupBy(part, ["l_returnflag"])
+                .aggregate([("sx", "sum"), ("sy", "sum"), ("sxy", "sum"),
+                            ("sxx", "sum"), ("syy", "sum"), ([], "count_all")])
+                .rename_columns(["l_returnflag", "sx", "sy", "sxy", "sxx",
+                                 "syy", "n"]))
+
+    sums = _grouped_sums(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["l_returnflag"],
+                         ["sx", "sy", "sxy", "sxx", "syy", "n"])
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in df.itertuples(index=False):
+            # Python ints: arbitrary precision, so n*sxy etc. are exact at
+            # any scale (mirrors the oracle's HUGEINT intermediates).
+            n, sx, sy = int(r.n), int(r.sx), int(r.sy)
+            num = n * int(r.sxy) - sx * sy
+            vx = n * int(r.sxx) - sx * sx
+            vy = n * int(r.syy) - sy * sy
+            slope = float(num) / float(vx)
+            rows.append({
+                "l_returnflag": r.l_returnflag, "n": n,
+                "corr_qty_disc": float(num) / (math.sqrt(float(vx))
+                                               * math.sqrt(float(vy))),
+                "slope": slope,
+                "intercept": (float(sy) - slope * float(sx)) / float(n),
+            })
+        out = pd.DataFrame(rows).sort_values("l_returnflag")
+        return out.reset_index(drop=True)
+
+    return finalize(sums.to_pandas())
