@@ -36,7 +36,7 @@ from lauchy_ray.stages.sketches import cms_sql, hll_sql  # noqa: E402
 from lauchy_ray.stages.terms import (  # noqa: E402
     TFIDF_K, TOP_TERMS_K, bigram_sql)
 from lauchy_ray.stages.textops import (  # noqa: E402
-    fingerprint_sql, lang_id_sql, pii_scrub_sql)
+    chunk_dedup_sql, fingerprint_sql, lang_id_sql, pii_scrub_sql)
 
 
 def entry() -> Any:
@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_cont": Q.q_value_quantiles_cont,
         "mode_user_by_type": Q.q_mode_user_by_type,
         "grouped_linreg": Q.q_grouped_linreg,
+        "chunk_dedup": Q.q_chunk_dedup,
     }
 
 
@@ -892,4 +893,6 @@ def oracle_sql() -> dict[str, str]:
                    (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
                      / CAST(n AS DOUBLE) AS intercept
             FROM f""",
+        # chunk-level exact dedup: identical chunking + md5-60 + rank
+        "chunk_dedup": chunk_dedup_sql(),
     }

@@ -2661,3 +2661,12 @@ def q_grouped_linreg(sf_dir: str):
         return out.reset_index(drop=True)
 
     return finalize(sums.to_pandas())
+
+
+def q_chunk_dedup(sf_dir: str):
+    """Chunk-level exact training-data dedup (Lee et al. 2022 at chunk
+    granularity): per-doc duplicate-chunk counts and ratio."""
+    from ..stages.textops import chunk_dedup_summary
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return chunk_dedup_summary(ds)

@@ -259,3 +259,117 @@ def doc_text_ops(ds: rd.Dataset) -> dict[str, rd.Dataset]:
         "tokens": ds.map_batches(token_count_batch, batch_format="pandas"),
         "fingerprint": ds.map_batches(fingerprint_batch, batch_format="pandas"),
     }
+
+
+# ------------------------------------------------- chunk-level exact dedup
+
+CHUNK_TOKENS = 8  # non-overlapping whitespace-token window per chunk
+
+
+def chunk_rows_batch(df: pd.DataFrame, chunk_tokens: int = CHUNK_TOKENS,
+                     text_col: str = "text") -> pd.DataFrame:
+    """Explode each doc into non-overlapping ``chunk_tokens``-token chunks
+    and 60-bit md5 chunk hashes (trailing partial chunk dropped). The hash
+    is the SAME SQL-computable primitive as dedup_near.md5_60, so grouping
+    by it is bit-identical on both engines, collisions included.
+
+    Exact-substring dedup at chunk granularity — the bounded-memory,
+    shuffle-friendly variant of suffix-array training-data dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022): chunk hashes shard by hash, first occurrence in
+    (doc_id, chunk_idx) order wins, later occurrences are duplicates."""
+    ws_re = re.compile(WS_TOKEN_RE)
+    doc_ids: list[int] = []
+    idxs: list[int] = []
+    hashes: list[int] = []
+    for doc_id, text in zip(df["doc_id"], df[text_col]):
+        toks = ws_re.findall(text)
+        n_full = len(toks) // chunk_tokens
+        for i in range(n_full):
+            chunk = " ".join(toks[i * chunk_tokens:(i + 1) * chunk_tokens])
+            doc_ids.append(doc_id)
+            idxs.append(i)
+            hashes.append(
+                int(hashlib.md5(chunk.encode()).hexdigest()[:15], 16))
+    return pd.DataFrame({
+        "doc_id": np.asarray(doc_ids, np.int64),
+        "chunk_idx": np.asarray(idxs, np.int64),
+        "chunk_h": np.asarray(hashes, np.int64),
+    })
+
+
+def _chunk_dup_partials(df: pd.DataFrame) -> pd.DataFrame:
+    """Per chunk-hash group (all occurrences co-located): mark every
+    occurrence after the (doc_id, chunk_idx)-first as duplicate, then
+    fold to per-doc partial counts — O(docs-in-bucket) output rows."""
+    df = df.sort_values(["chunk_h", "doc_id", "chunk_idx"], kind="stable")
+    first = df["chunk_h"].ne(df["chunk_h"].shift())
+    part = pd.DataFrame({"doc_id": df["doc_id"],
+                         "dup": (~first).astype("int64")})
+    g = part.groupby("doc_id", sort=False)["dup"].agg(["count", "sum"])
+    g = g.reset_index()
+    g.columns = ["doc_id", "n_chunks", "n_dup_chunks"]
+    return g.astype({"doc_id": "int64", "n_chunks": "int64",
+                     "n_dup_chunks": "int64"})
+
+
+def _chunk_dup_fold(df: pd.DataFrame) -> pd.DataFrame:
+    """Final per-doc fold (all of a doc's partials co-located): total
+    counts + dup ratio (one double division, IEEE-identical to SQL)."""
+    g = (df.groupby("doc_id", sort=False)[["n_chunks", "n_dup_chunks"]]
+         .sum().reset_index()
+         .astype({"doc_id": "int64", "n_chunks": "int64",
+                  "n_dup_chunks": "int64"}))
+    g["dup_ratio"] = (g["n_dup_chunks"].to_numpy(np.float64)
+                      / g["n_chunks"].to_numpy(np.float64))
+    return g
+
+
+def chunk_dedup_summary(ds, chunk_tokens: int = CHUNK_TOKENS,
+                        size_ds=None):
+    """Per-doc duplicate-chunk summary: (doc_id, n_chunks, n_dup_chunks,
+    dup_ratio). Two bucketed passes, both linear: chunks shard by
+    chunk hash (first-occurrence rank needs all occurrences of a hash
+    together, nothing else), per-doc partials shard by doc_id. Output is
+    ONE row per doc — the scale-correct contract (never the occurrence
+    list, which is dup-count-sized on a boilerplate-heavy crawl)."""
+    from .bucketing import group_map_by_key
+    chunks = ds.map_batches(
+        lambda df: chunk_rows_batch(df, chunk_tokens),
+        batch_format="pandas")
+    partials = group_map_by_key(chunks, "chunk_h", _chunk_dup_partials,
+                                size_ds=size_ds if size_ds is not None else ds)
+    return group_map_by_key(partials, "doc_id", _chunk_dup_fold,
+                            size_ds=size_ds if size_ds is not None else ds)
+
+
+def chunk_dedup_sql(chunk_tokens: int = CHUNK_TOKENS,
+                    docs_rel: str = "documents") -> str:
+    """DuckDB oracle for :func:`chunk_dedup_summary` — identical
+    tokenization (WS_TOKEN_RE), 1-based inclusive list slices rebuild the
+    same chunks, md5-60 rebuilds the same hashes, row_number over
+    (doc_id, chunk_idx) rebuilds the same first-occurrence rule."""
+    c = chunk_tokens
+    return rf"""
+WITH tok AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS toks
+  FROM {docs_rel}),
+ch AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+         ('0x' || substr(md5(array_to_string(
+             toks[(CAST(u.i AS BIGINT) * {c} + 1)
+                  :(CAST(u.i AS BIGINT) * {c} + {c})], ' ')), 1, 15))::BIGINT
+           AS chunk_h
+  FROM tok, UNNEST(range(CAST(len(toks) // {c} AS BIGINT))) AS u(i)),
+r AS (
+  SELECT doc_id, chunk_h,
+         row_number() OVER (PARTITION BY chunk_h
+                            ORDER BY doc_id, chunk_idx) AS rk
+  FROM ch)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS dup_ratio
+FROM r GROUP BY doc_id"""

@@ -566,3 +566,31 @@ def test_knn_join_recall_and_soundness():
         total += 3
         hits += len(brute & by_q.get(qid, set()))
     assert hits / total >= 0.6, f"knn recall too low: {hits}/{total}"
+
+
+def test_chunk_dedup_semantics():
+    """Chunk dedup: trailing partial chunks dropped, first occurrence in
+    (doc_id, chunk_idx) order kept, later identical chunks counted as
+    duplicates — including the cross-doc and intra-doc cases."""
+    from lauchy_ray.stages.textops import chunk_dedup_summary
+
+    a = " ".join(f"w{i}" for i in range(8))          # one 8-token chunk
+    b = " ".join(f"x{i}" for i in range(8))
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            a + " tail tok",          # doc1: chunk A + dropped partial
+            b,                        # doc2: chunk B (unique)
+            a + " " + a,              # doc3: A twice (one dup vs doc1,
+                                      # one intra-corpus dup)
+            b + " " + a,              # doc4: B dup + A dup
+        ],
+    })
+    got = (chunk_dedup_summary(rd.from_pandas(df).repartition(3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [1, 2, 3, 4]
+    assert got["n_chunks"].tolist() == [1, 1, 2, 2]
+    # doc1 owns A (first), doc2 owns B; doc3's two A's are both dups;
+    # doc4's B and A are both dups
+    assert got["n_dup_chunks"].tolist() == [0, 0, 2, 2]
+    assert got["dup_ratio"].tolist() == [0.0, 0.0, 1.0, 1.0]
