@@ -29,7 +29,7 @@ from lauchy_ray.stages.dedup_near import (  # noqa: E402
     minhash_clusters_sql, minhash_sql, simhash_clusters_sql, simhash_sql)
 from lauchy_ray.stages.fuzzy import fuzzy_pairs_sql  # noqa: E402
 from lauchy_ray.stages.graph import (  # noqa: E402
-    connected_components_sql, user_item_edges_sql)
+    connected_components_sql, pagerank_sql, user_item_edges_sql)
 from lauchy_ray.stages.multimodal import media_features_sql  # noqa: E402
 from lauchy_ray.stages.decontam import decontam_sql  # noqa: E402
 from lauchy_ray.stages.sketches import cms_sql, hll_sql  # noqa: E402
@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_user_by_type": Q.q_mode_user_by_type,
         "grouped_linreg": Q.q_grouped_linreg,
         "chunk_dedup": Q.q_chunk_dedup,
+        "pagerank": Q.q_pagerank,
     }
 
 
@@ -895,4 +896,7 @@ def oracle_sql() -> dict[str, str]:
             FROM f""",
         # chunk-level exact dedup: identical chunking + md5-60 + rank
         "chunk_dedup": chunk_dedup_sql(),
+        # integer fixed-point PageRank: identical unrolled trajectory
+        "pagerank": pagerank_sql(
+            user_item_edges_sql(mod=Q.PR_EDGE_MOD), iters=5),
     }

@@ -2670,3 +2670,25 @@ def q_chunk_dedup(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return chunk_dedup_summary(ds)
+
+
+PR_EDGE_MOD = 7  # denser than the CC graph: every 7th event is an edge
+
+
+def q_pagerank(sf_dir: str):
+    """Fixed-point PageRank (5 synchronous rounds, integer arithmetic —
+    bit-exact vs the SQL unrolled-CTE oracle) over the user↔item
+    interaction graph: every 7th event links its user to item
+    ``event_id % 4093`` in a disjoint id space."""
+    from ..stages.graph import pagerank
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        uid = t["user_id"].to_numpy().astype(np.int64)
+        m = (eid % PR_EDGE_MOD) == 0
+        return pa.table({"u": uid[m],
+                         "v": 1_000_000 + eid[m] % 4093})
+
+    return pagerank(ds.map_batches(edges, batch_format="pyarrow"), iters=5)

@@ -233,3 +233,112 @@ reach(u, v) AS (
 comp AS (SELECT u AS node_id, least(u, min(v)) AS rep_id
          FROM reach GROUP BY u)
 SELECT node_id, rep_id FROM comp"""
+
+
+# ------------------------------------------------------ fixed-point PageRank
+
+# Integer fixed point: SCALE = 1.0 of rank mass. All updates are integer
+# floor arithmetic (r // deg per edge, (85 * S) // 100 damping), so every
+# iteration is EXACTLY reproducible — no float accumulation-order drift —
+# and the DuckDB oracle re-derives the identical trajectory. int64 bound:
+# total mass never exceeds nodes * PR_SCALE (damping only shrinks sums),
+# so per-node ranks stay < 2^63 up to ~9e6 nodes at this SCALE; larger
+# graphs lower PR_SCALE (mass / 2^63 of headroom) — documented tradeoff.
+PR_SCALE = 10**12
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact rational
+PR_BASE = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
+
+
+def _pr_dedupe_deg(df: pd.DataFrame) -> pd.DataFrame:
+    """Per u-bucket: distinct neighbor lists + degree column (the doubled
+    edge list co-locates every copy of a u here, so both are exact)."""
+    df = df.drop_duplicates(subset=["u", "v"])
+    return pd.DataFrame({
+        "u": df["u"].to_numpy(np.int64),
+        "v": df["v"].to_numpy(np.int64),
+        "d": df.groupby("u", sort=False)["v"].transform("size")
+               .to_numpy(np.int64),
+    })
+
+
+def pagerank(edges: rd.Dataset, iters: int = 5) -> rd.Dataset:
+    """(node_id, rank_fp) after ``iters`` synchronous PageRank rounds on
+    the UNDIRECTED graph of ``edges`` (u, v int64; dups/self-loops
+    tolerated), ranks in PR_SCALE fixed point, uniform init = PR_SCALE.
+
+    r'(v) = PR_BASE + (85 · Σ_{u∈Γ(v)} r(u) // deg(u)) // 100
+
+    Pregel-shaped dataflow, one edge-bucket join + one node-bucket sum
+    per round (the classic MapReduce PageRank wire cost: edges re-ship
+    each round; ranks are O(nodes)). The degree-annotated distinct edge
+    list is built ONCE and materialized — iterations reuse it. No
+    dangling-node term: an undirected doubled edge list gives every
+    node degree ≥ 1. Driver holds no per-node state."""
+    from .join import hash_inner_join
+
+    size = safe_size_bytes(edges)
+    esize = (2 * size) if size else None
+    doubled = edges.select_columns(_EDGE_COLS).map_batches(
+        _doubled, batch_format="pandas")
+    ed = group_map_by_key(doubled, "u", _pr_dedupe_deg,
+                          size_bytes=esize).materialize()
+
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["u"]].drop_duplicates().rename(columns={"u": "node"})
+        out["r"] = np.int64(PR_SCALE)
+        return out.astype({"node": "int64", "r": "int64"})
+
+    ranks = group_map_by_key(
+        ed.map_batches(lambda df: df[["u"]].drop_duplicates(),
+                       batch_format="pandas"),
+        "u", uniq, size_bytes=esize).materialize()
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        r = df["r"].to_numpy(np.int64)
+        d = df["d"].to_numpy(np.int64)
+        return pd.DataFrame({"node": df["v"].to_numpy(np.int64),
+                             "c": r // d})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False)["c"].sum().reset_index()
+        return pd.DataFrame({
+            "node": g["node"].to_numpy(np.int64),
+            "r": (PR_BASE
+                  + PR_DAMP_NUM * g["c"].to_numpy(np.int64) // PR_DAMP_DEN),
+        })
+
+    for _ in range(iters):
+        msgs = hash_inner_join(
+            ed, ranks, "u", {"v": "Int64", "d": "Int64"}, {"r": "Int64"},
+            right_key="node", size_bytes=esize)
+        ranks = group_map_by_key(
+            msgs.map_batches(contrib, batch_format="pandas"),
+            "node", fold, size_bytes=esize).materialize()
+
+    return ranks.map_batches(
+        lambda df: df.rename(columns={"node": "node_id", "r": "rank_fp"}),
+        batch_format="pandas")
+
+
+def pagerank_sql(edges_body: str, iters: int = 5) -> str:
+    """DuckDB oracle for :func:`pagerank` — the identical integer
+    fixed-point trajectory, one unrolled CTE per iteration."""
+    steps = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+r{i} AS (
+  SELECT ed.v AS node,
+         {PR_BASE} + ({PR_DAMP_NUM} * sum(p.r // deg.d)) // {PR_DAMP_DEN}
+           AS r
+  FROM ed JOIN {prev} p ON ed.u = p.node JOIN deg ON ed.u = deg.u
+  GROUP BY ed.v)""")
+        prev = f"r{i}"
+    return f"""
+WITH e0 AS ({edges_body}),
+ed AS (SELECT u, v FROM e0 WHERE u <> v
+       UNION SELECT v, u FROM e0 WHERE u <> v),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM ed GROUP BY u),
+r0 AS (SELECT u AS node, CAST({PR_SCALE} AS BIGINT) AS r FROM deg),
+{','.join(steps)}
+SELECT node AS node_id, CAST(r AS BIGINT) AS rank_fp FROM {prev}"""

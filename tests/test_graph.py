@@ -90,3 +90,56 @@ def test_bucketed_shuffle_path(ray_session, monkeypatch):
         "v": rng.integers(0, 40, 60).astype(np.int64)})
     df = df[df.u != df.v]
     pd.testing.assert_frame_equal(_run(df), _ref(df))
+
+
+def _pr_ref(df: pd.DataFrame, iters: int = 5) -> pd.DataFrame:
+    """Single-process reference: identical integer fixed-point updates."""
+    from lauchy_ray.stages.graph import PR_BASE, PR_DAMP_DEN, PR_DAMP_NUM, PR_SCALE
+    ed = df[df.u != df.v]
+    pairs = set(zip(ed.u, ed.v)) | set(zip(ed.v, ed.u))
+    adj: dict[int, list[int]] = {}
+    for u, v in pairs:
+        adj.setdefault(int(u), []).append(int(v))
+    r = {n: PR_SCALE for n in adj}
+    for _ in range(iters):
+        s = {n: 0 for n in adj}
+        for u, nbrs in adj.items():
+            c = r[u] // len(nbrs)
+            for v in nbrs:
+                s[v] += c
+        r = {n: PR_BASE + PR_DAMP_NUM * s[n] // PR_DAMP_DEN for n in adj}
+    return (pd.DataFrame({"node_id": list(r), "rank_fp": list(r.values())})
+            .astype("int64").sort_values("node_id").reset_index(drop=True))
+
+
+def test_pagerank_matches_reference(ray_session):
+    from lauchy_ray.stages.graph import pagerank
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "u": rng.integers(0, 30, 80).astype(np.int64),
+        "v": rng.integers(0, 30, 80).astype(np.int64)})
+    got = (pagerank(rd.from_pandas(df).repartition(4)).to_pandas()
+           .sort_values("node_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, _pr_ref(df))
+
+
+def test_pagerank_star_center_wins(ray_session):
+    """On a star graph the hub must outrank every leaf."""
+    from lauchy_ray.stages.graph import pagerank
+    leaves = np.arange(1, 12, dtype=np.int64)
+    df = pd.DataFrame({"u": np.zeros(len(leaves), np.int64), "v": leaves})
+    got = pagerank(rd.from_pandas(df)).to_pandas().set_index("node_id")
+    hub = got.loc[0, "rank_fp"]
+    assert (got.drop(index=0)["rank_fp"] < hub).all()
+
+
+def test_pagerank_bucketed_path(ray_session, monkeypatch):
+    from lauchy_ray.stages.graph import pagerank
+    monkeypatch.setattr(bucketing, "SINGLE_TASK_BYTES", 0)
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "u": rng.integers(0, 25, 50).astype(np.int64),
+        "v": rng.integers(0, 25, 50).astype(np.int64)})
+    got = (pagerank(rd.from_pandas(df).repartition(3)).to_pandas()
+           .sort_values("node_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, _pr_ref(df))
