@@ -147,6 +147,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_linreg": Q.q_grouped_linreg,
         "chunk_dedup": Q.q_chunk_dedup,
         "pagerank": Q.q_pagerank,
+        "cohort_retention": Q.q_cohort_retention,
+        "session_concurrency": Q.q_session_concurrency,
+        "props_k_stats": Q.q_props_k_stats,
     }
 
 
@@ -899,4 +902,56 @@ def oracle_sql() -> dict[str, str]:
         # integer fixed-point PageRank: identical unrolled trajectory
         "pagerank": pagerank_sql(
             user_item_edges_sql(mod=Q.PR_EDGE_MOD), iters=5),
+        # cohort retention at (user, day) granularity: count(*) over the
+        # distinct pair set ≡ count(DISTINCT user) per (cohort, offset)
+        "cohort_retention": f"""
+            WITH ud AS (SELECT DISTINCT user_id,
+                               epoch_us(ts) // {Q.DAY_US} AS day_id
+                        FROM events),
+            c AS (SELECT user_id, min(day_id) AS cohort_day
+                  FROM ud GROUP BY 1)
+            SELECT c.cohort_day, ud.day_id - c.cohort_day AS day_offset,
+                   count(*) AS n_users
+            FROM ud JOIN c USING (user_id)
+            GROUP BY 1, 2""",
+        # sweep-line concurrency: same gap-split sessions, same
+        # starts-before-ends tie rule (ORDER BY ts, d DESC)
+        "session_concurrency": f"""
+            WITH e AS (SELECT user_id, event_id,
+                              epoch_us(ts) AS ts_us FROM events),
+            x AS (SELECT user_id, event_id, ts_us,
+                         CASE WHEN lag(ts_us) OVER w IS NULL
+                                OR ts_us - lag(ts_us) OVER w > {Q.GAP_US}
+                              THEN 1 ELSE 0 END AS brk
+                  FROM e WINDOW w AS (PARTITION BY user_id
+                                      ORDER BY ts_us, event_id)),
+            s AS (SELECT user_id, ts_us,
+                         sum(brk) OVER (PARTITION BY user_id
+                                        ORDER BY ts_us, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM x),
+            sess AS (SELECT user_id, sid,
+                            min(ts_us) AS start_us, max(ts_us) AS end_us
+                     FROM s GROUP BY 1, 2),
+            b AS (SELECT start_us AS ts_us, 1 AS d FROM sess
+                  UNION ALL SELECT end_us, -1 FROM sess),
+            r AS (SELECT ts_us, d,
+                         sum(d) OVER (ORDER BY ts_us, d DESC
+                                      ROWS UNBOUNDED PRECEDING) AS conc
+                  FROM b)
+            SELECT ts_us // {Q.HOUR_US} AS hour_id,
+                   CAST(max(conc) AS BIGINT) AS max_conc
+            FROM r GROUP BY 1""",
+        # JSON payload aggregation: json_extract face of the vectorized
+        # regex pull; groups form only from rows that carry the key
+        "props_k_stats": """
+            SELECT event_type,
+                   count(k) AS n_k, CAST(sum(k) AS BIGINT) AS sum_k,
+                   min(k) AS min_k, max(k) AS max_k
+            FROM (SELECT event_type,
+                         CAST(json_extract_string(props, '$.k') AS BIGINT)
+                         AS k
+                  FROM events)
+            WHERE k IS NOT NULL
+            GROUP BY 1""",
     }

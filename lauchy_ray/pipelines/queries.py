@@ -2692,3 +2692,153 @@ def q_pagerank(sf_dir: str):
                          "v": 1_000_000 + eid[m] % 4093})
 
     return pagerank(ds.map_batches(edges, batch_format="pyarrow"), iters=5)
+
+
+DAY_US = 86_400_000_000
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: users grouped by first-active day, and
+    for each (cohort, day-offset) cell the count of that cohort's users
+    active again offset days later. Granularity is (user, day): the
+    per-batch projection de-duplicates (user_id, day_id) pairs before
+    anything moves; the user-hash co-location then holds EVERY active
+    day of each of its users, so the cohort day (that user's min) and
+    the per-(cohort, offset) user counts are exact and disjoint across
+    buckets — the bounded merge just sums. No user→cohort join ships
+    the fact table twice: cohort derivation and offset counting happen
+    in the ONE bucketed pass."""
+    from ..stages.bucketing import group_map_by_key
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "day_id": (df["ts"].astype("datetime64[us]").astype("int64")
+                       // DAY_US),
+        }).drop_duplicates()
+
+    def cohort_counts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        cohort = (df.groupby("user_id", sort=False)["day_id"]
+                  .transform("min"))
+        cells = pd.DataFrame({
+            "cohort_day": cohort.to_numpy(np.int64),
+            "day_offset": (df["day_id"] - cohort).to_numpy(np.int64)})
+        g = (cells.groupby(["cohort_day", "day_offset"], sort=False)
+             .size().reset_index(name="n_users"))
+        g["n_users"] = g["n_users"].astype("int64")
+        return g
+
+    partials = group_map_by_key(
+        ds.map_batches(pairs, batch_format="pandas"),
+        "user_id", cohort_counts, size_ds=ds)
+    return _grouped_sums(partials, ["cohort_day", "day_offset"],
+                         ["n_users"])
+
+
+def q_session_concurrency(sf_dir: str):
+    """Max concurrent user-sessions per hour — the interval sweep-line,
+    distributed without a global sort. Phase 1 (user-hash co-location):
+    one vectorized gap-split pass derives each user's sessions and emits
+    ±1 boundary rows at session start/end. Phase 2: per-hour boundary
+    deltas are bounded (O(hours)), so the driver prefix-sums them into
+    an exact entering-concurrency base per hour (Python ints); the
+    hour-hash co-located pass then sorts each hour internally by
+    (ts, −d), cumsums, adds the base, and keeps the hour max. Tie rule:
+    starts sort before ends at equal ts (touching sessions count as
+    concurrent); within a run of equal (ts, d) rows the prefix-value
+    multiset is order-invariant, so the per-hour max is deterministic —
+    the oracle's ORDER BY ts, d DESC window is the same rule."""
+    from ..stages.bucketing import group_map_by_key
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "ts_us": df["ts"].astype("datetime64[us]").astype("int64")})
+
+    def boundaries(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us"], kind="stable")
+        ts = df["ts_us"].to_numpy(np.int64)
+        uid = df["user_id"].to_numpy(np.int64)
+        new = np.ones(len(df), bool)
+        if len(df) > 1:
+            new[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > GAP_US)
+        starts = ts[new]
+        ends = ts[np.flatnonzero(np.append(new[1:], len(df) > 0))]
+        b = pd.DataFrame({
+            "ts_us": np.concatenate([starts, ends]),
+            "d": np.concatenate([np.ones(len(starts), np.int64),
+                                 -np.ones(len(ends), np.int64)])})
+        b["hour_id"] = b["ts_us"] // HOUR_US
+        return b
+
+    bounds = group_map_by_key(
+        ds.map_batches(prep, batch_format="pandas"),
+        "user_id", boundaries, size_ds=ds)
+    # both phases consume the boundary stream: pin it under the shared
+    # input-size gate so phase 1 doesn't run twice on test-scale inputs
+    if _cache_ok(sf_dir):
+        bounds = bounds.materialize()
+    sums = bounds.map_batches(
+        lambda df: df.groupby("hour_id", sort=False)["d"].sum()
+        .reset_index(name="s"), batch_format="pandas").to_pandas()
+    base: dict[int, int] = {}
+    running = 0
+    for h, s in sums.groupby("hour_id", sort=True)["s"].sum().items():
+        base[int(h)] = running
+        running += int(s)
+
+    def hour_max(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["hour_id", "ts_us", "d"],
+                            ascending=[True, True, False], kind="stable")
+        run = (df.groupby("hour_id", sort=False)["d"].cumsum()
+               + df["hour_id"].map(base))
+        out = pd.DataFrame({"hour_id": df["hour_id"].to_numpy(np.int64),
+                            "conc": run.to_numpy(np.int64)})
+        g = (out.groupby("hour_id", sort=False)["conc"].max()
+             .reset_index(name="max_conc"))
+        return g.astype({"hour_id": "int64", "max_conc": "int64"})
+
+    return group_map_by_key(bounds, "hour_id", hour_max, size_ds=ds)
+
+
+PROPS_K_RE = r'"k"\s*:\s*(-?\d+)'
+
+
+def q_props_k_stats(sf_dir: str):
+    """Wire-format JSON field aggregation: pull the schema-known integer
+    payload ``props.k`` out of the JSON column with ONE vectorized regex
+    pass (no per-row json.loads in the hot path — the generic ingest
+    parser lives in sources/json_ingest for arbitrary payloads), then
+    fold mixed (count, sum, min, max) partials per event_type into a
+    bounded single-task merge. Events without the key simply don't
+    contribute (the oracle's FILTER (WHERE k IS NOT NULL) face)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["props"].str.extract(PROPS_K_RE, expand=False)
+        m = s.notna().to_numpy()
+        sub = pd.DataFrame({"event_type": df["event_type"].to_numpy()[m],
+                            "k": s[m].astype(np.int64).to_numpy()})
+        g = (sub.groupby("event_type", sort=False)["k"]
+             .agg(n_k="size", sum_k="sum", min_k="min", max_k="max")
+             .reset_index())
+        return g.astype({"n_k": "int64", "sum_k": "int64",
+                         "min_k": "int64", "max_k": "int64"})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("event_type", sort=False)
+             .agg(n_k=("n_k", "sum"), sum_k=("sum_k", "sum"),
+                  min_k=("min_k", "min"), max_k=("max_k", "max"))
+             .reset_index())
+        return g.astype({"n_k": "int64", "sum_k": "int64",
+                         "min_k": "int64", "max_k": "int64"})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .repartition(1).map_batches(merge, batch_format="pandas",
+                                        batch_size=None))

@@ -1,0 +1,144 @@
+"""Adversarial unit tests for the cohort-retention fold and the
+sweep-line session-concurrency operator: tie semantics (starts before
+ends at equal ts, zero-length single-event sessions, cross-user touching
+sessions) against an independent brute-force reference, on both the
+single-task fast path and the forced bucket-shuffle path."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import lauchy_ray.pipelines.queries as Q
+import lauchy_ray.stages.bucketing as B
+
+HOUR = Q.HOUR_US
+GAP = Q.GAP_US
+
+
+def _write_events(tmp_path, ts_us, user_id):
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    t = pa.table({
+        "event_id": pa.array(np.arange(len(ts_us)), pa.int64()),
+        "ts": pa.array(np.asarray(ts_us, np.int64),
+                       pa.timestamp("us")),
+        "user_id": pa.array(np.asarray(user_id, np.int64)),
+        "event_type": pa.array(["e"] * len(ts_us)),
+        "value": pa.array(np.zeros(len(ts_us))),
+        "props": pa.array(['{"k": 1}'] * len(ts_us)),
+    })
+    pq.write_table(t, d / "events.parquet")
+    return str(d)
+
+
+def _brute_sessions(ts_us, user_id):
+    df = pd.DataFrame({"u": user_id, "t": ts_us}).sort_values(["u", "t"])
+    sessions = []
+    for _, g in df.groupby("u"):
+        ts = g["t"].to_numpy()
+        start = ts[0]
+        prev = ts[0]
+        for t in ts[1:]:
+            if t - prev > GAP:
+                sessions.append((start, prev))
+                start = t
+            prev = t
+        sessions.append((start, prev))
+    return sessions
+
+
+def _brute_concurrency(sessions):
+    # starts sort before ends at equal ts: +1 rows first (d descending)
+    bounds = [(s, 1) for s, _ in sessions] + [(e, -1) for _, e in sessions]
+    bounds.sort(key=lambda p: (p[0], -p[1]))
+    out: dict[int, int] = {}
+    run = 0
+    for ts, d in bounds:
+        run += d
+        h = ts // HOUR
+        out[h] = max(out.get(h, run), run)
+    return out
+
+
+ADVERSARIAL_CASES = {
+    # zero-length sessions: one event each, same instant, three users
+    "same_instant_singletons": ([5 * HOUR] * 3, [1, 2, 3]),
+    # touching: user 1's session END == user 2's session START
+    "touching_cross_user": ([0, GAP // 2, GAP // 2, GAP],
+                            [1, 1, 2, 2]),
+    # duplicate timestamps within one user straddling a gap boundary
+    "dup_ts_at_gap": ([0, 0, GAP + 1, GAP + 1, 3 * GAP + 10],
+                      [7, 7, 7, 7, 7]),
+    # sessions spanning hour boundaries, interleaved users
+    "hour_spanning": ([0, HOUR - 1, HOUR + 1, 2 * HOUR,
+                       HOUR // 2, HOUR // 2 + GAP // 2],
+                      [1, 1, 1, 1, 2, 2]),
+}
+
+
+@pytest.mark.parametrize("case", sorted(ADVERSARIAL_CASES))
+@pytest.mark.parametrize("forced", [False, True],
+                         ids=["fast-path", "bucket-path"])
+def test_session_concurrency_matches_brute(tmp_path, ray_session,
+                                           monkeypatch, case, forced):
+    ts_us, users = ADVERSARIAL_CASES[case]
+    sf = _write_events(tmp_path, ts_us, users)
+    if forced:
+        monkeypatch.setattr(B, "SINGLE_TASK_BYTES", 0)
+    got = (Q.q_session_concurrency(sf).to_pandas()
+           .sort_values("hour_id").reset_index(drop=True))
+    exp = _brute_concurrency(_brute_sessions(ts_us, users))
+    assert dict(zip(got["hour_id"], got["max_conc"])) == exp
+
+
+def test_session_concurrency_randomized_vs_brute(tmp_path, ray_session):
+    rng = np.random.default_rng(11)
+    n = 400
+    ts_us = rng.integers(0, 50 * HOUR, n)
+    users = rng.integers(0, 12, n)
+    sf = _write_events(tmp_path, ts_us, users)
+    got = Q.q_session_concurrency(sf).to_pandas()
+    exp = _brute_concurrency(_brute_sessions(ts_us, users))
+    assert dict(zip(got["hour_id"], got["max_conc"])) == exp
+
+
+def test_cohort_retention_matches_brute(tmp_path, ray_session, monkeypatch):
+    rng = np.random.default_rng(5)
+    n = 500
+    ts_us = rng.integers(0, 20 * Q.DAY_US, n)
+    users = rng.integers(0, 25, n)
+    sf = _write_events(tmp_path, ts_us, users)
+    monkeypatch.setattr(B, "SINGLE_TASK_BYTES", 0)
+    got = (Q.q_cohort_retention(sf).to_pandas()
+           .sort_values(["cohort_day", "day_offset"])
+           .reset_index(drop=True))
+    ud = (pd.DataFrame({"u": users, "day": ts_us // Q.DAY_US})
+          .drop_duplicates())
+    cohort = ud.groupby("u")["day"].transform("min")
+    exp = (pd.DataFrame({"cohort_day": cohort, "day_offset": ud["day"] - cohort})
+           .groupby(["cohort_day", "day_offset"]).size()
+           .reset_index(name="n_users")
+           .sort_values(["cohort_day", "day_offset"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+def test_props_k_stats_missing_keys_excluded(tmp_path, ray_session):
+    d = tmp_path / "sf"
+    d.mkdir()
+    t = pa.table({
+        "event_type": ["a", "a", "b", "b", "c"],
+        "props": ['{"k": 5}', '{"other": 1}', '{"k": -3}', '{"k": 9}',
+                  '{}'],
+    })
+    pq.write_table(t, d / "events.parquet")
+    got = (Q.q_props_k_stats(str(d)).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    # type "c" has no k anywhere -> absent; "a" counts only the k row
+    assert got["event_type"].tolist() == ["a", "b"]
+    assert got["n_k"].tolist() == [1, 2]
+    assert got["sum_k"].tolist() == [5, 6]
+    assert got["min_k"].tolist() == [5, -3]
+    assert got["max_k"].tolist() == [5, 9]

@@ -26,7 +26,11 @@ GATED_QUERIES = ["orders_by_nation", "top_orders_per_nation",
                  # training-corpus ops: decontam's gram-bucket fallback,
                  # tf-idf's two bucket shuffles, windowed/set-op folds
                  "decontam", "tf_idf", "user_running_value",
-                 "users_intersect", "users_except"]
+                 "users_intersect", "users_except",
+                 # round-3 session-4 widening: the (user, day) cohort
+                 # fold, the two-phase sweep-line, the JSON payload agg
+                 "cohort_retention", "session_concurrency",
+                 "props_k_stats"]
 
 
 @pytest.fixture(scope="module")
