@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": Q.q_cohort_retention,
         "session_concurrency": Q.q_session_concurrency,
         "props_k_stats": Q.q_props_k_stats,
+        "embed_dim_stats": Q.q_embed_dim_stats,
     }
 
 
@@ -953,5 +954,14 @@ def oracle_sql() -> dict[str, str]:
                          AS k
                   FROM events)
             WHERE k IS NOT NULL
+            GROUP BY 1""",
+        # list explode: parallel unnest of (position, value); the float64
+        # multiply-then-floor quantization is bit-identical on both sides
+        "embed_dim_stats": f"""
+            SELECT dim, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_q
+            FROM (SELECT unnest(range(len(embedding))) AS dim,
+                         CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                    * {Q.DIM_FIX}) AS BIGINT) AS q
+                  FROM embeddings)
             GROUP BY 1""",
     }

@@ -2806,6 +2806,39 @@ def q_session_concurrency(sf_dir: str):
     return group_map_by_key(bounds, "hour_id", hour_max, size_ds=ds)
 
 
+DIM_FIX = 1_000_000  # fixed-point scale for the dimension-stat sums
+
+
+def q_embed_dim_stats(sf_dir: str):
+    """List-column EXPLODE: per-dimension count and exact fixed-point
+    value sum over the embedding vectors — the flatten/unnest operator a
+    tensor-column pipeline needs (feature-wise normalization stats, dead
+    -dimension detection). Zero-copy arrow list flatten into an (n, d)
+    block (emb_matrix — no per-row boxing); each batch folds to d rows,
+    the bounded merge sums. Quantization is float64 multiply-then-FLOOR,
+    bit-identical to the oracle's CAST(floor(v * 1e6) AS BIGINT) — floor,
+    not round, so no half-even divergence; the int64 sums are exact at
+    any corpus size."""
+    from ..stages.dedup_near import emb_matrix
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = emb_matrix(t)
+        if m.size == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "sum_q": pa.array([], pa.int64())})
+        q = np.floor(m * DIM_FIX).astype(np.int64)
+        d = m.shape[1]
+        return pa.table({"dim": np.arange(d, dtype=np.int64),
+                         "n": np.full(d, m.shape[0], np.int64),
+                         "sum_q": q.sum(axis=0, dtype=np.int64)})
+
+    return _grouped_sums(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["dim"], ["n", "sum_q"])
+
+
 PROPS_K_RE = r'"k"\s*:\s*(-?\d+)'
 
 

@@ -142,3 +142,25 @@ def test_props_k_stats_missing_keys_excluded(tmp_path, ray_session):
     assert got["sum_k"].tolist() == [5, 6]
     assert got["min_k"].tolist() == [5, -3]
     assert got["max_k"].tolist() == [5, 9]
+
+
+def test_embed_dim_stats_negative_floor_and_exactness(tmp_path, ray_session):
+    # floor on negatives rounds AWAY from zero (-1.0000004 -> -2 at 1e6
+    # scale when the float64 product lands below the integer) — the exact
+    # contract the oracle's floor shares, unlike round-half-even
+    d = tmp_path / "sf"
+    d.mkdir()
+    vecs = [[0.5, -0.5], [1.25, -1.25], [0.0, -2.0]]
+    t = pa.table({"vec_id": pa.array([0, 1, 2], pa.int64()),
+                  "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                  "label": pa.array([0, 0, 0], pa.int32())})
+    pq.write_table(t, d / "embeddings.parquet")
+    got = (Q.q_embed_dim_stats(str(d)).to_pandas()
+           .sort_values("dim").reset_index(drop=True))
+    assert got["dim"].tolist() == [0, 1]
+    assert got["n"].tolist() == [3, 3]
+    # exact fixed-point sums: floor(v * 1e6) per element
+    import math
+    exp = [sum(math.floor(float(np.float32(v)) * 1e6) for v in col)
+           for col in zip(*vecs)]
+    assert got["sum_q"].tolist() == exp
