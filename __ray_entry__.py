@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_concurrency": Q.q_session_concurrency,
         "props_k_stats": Q.q_props_k_stats,
         "embed_dim_stats": Q.q_embed_dim_stats,
+        "entity_resolution": Q.q_entity_resolution,
     }
 
 
@@ -964,4 +965,20 @@ def oracle_sql() -> dict[str, str]:
                                     * {Q.DIM_FIX}) AS BIGINT) AS q
                   FROM embeddings)
             GROUP BY 1""",
+        # entity resolution: the SQL-checked fuzzy pair relation feeds
+        # the recursive-CTE closure; canonical member = min-md5-60 rep
+        "entity_resolution": f"""
+            WITH names AS (
+              SELECT DISTINCT p_name,
+                     ('0x' || substr(md5(p_name), 1, 15))::BIGINT AS nid
+              FROM part),
+            comp AS ({connected_components_sql('''
+              SELECT ('0x' || substr(md5(name_a), 1, 15))::BIGINT AS u,
+                     ('0x' || substr(md5(name_b), 1, 15))::BIGINT AS v
+              FROM (''' + fuzzy_pairs_sql(max_dist=1) + ") pairs")})
+            SELECT n.p_name,
+                   coalesce(rn.p_name, n.p_name) AS canon_name
+            FROM names n
+            LEFT JOIN comp c ON c.node_id = n.nid
+            LEFT JOIN names rn ON rn.nid = c.rep_id""",
     }

@@ -25,7 +25,7 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 from .. import rules as R
 from ..events_bridge import derive_turns
 from ..stages.dedup import dedup_exact
-from ..stages.dedup_near import emb_matrix
+from ..stages.dedup_near import emb_matrix, md5_60
 from ..stages.sessionize import sessionize
 from ..stages.watermark import flag_late
 from ..stages.windows import topk_rank, window_counts
@@ -2691,7 +2691,8 @@ def q_pagerank(sf_dir: str):
         return pa.table({"u": uid[m],
                          "v": 1_000_000 + eid[m] % 4093})
 
-    return pagerank(ds.map_batches(edges, batch_format="pyarrow"), iters=5)
+    return pagerank(ds.map_batches(edges, batch_format="pyarrow"), iters=5,
+                    size_ds=ds)
 
 
 DAY_US = 86_400_000_000
@@ -2806,6 +2807,79 @@ def q_session_concurrency(sf_dir: str):
     return group_map_by_key(bounds, "hour_id", hour_max, size_ds=ds)
 
 
+def _h60(names) -> np.ndarray:
+    """60-bit md5-prefix node ids (the repo's shared SQL-checkable hash:
+    ``('0x'||substr(md5(x),1,15))::BIGINT`` re-derives it in DuckDB).
+    md5_60 is imported at module top — a lazy relative import here would
+    re-run on workers where the package isn't on sys.path (foreign-cwd
+    driver contract)."""
+    return np.fromiter((md5_60(s) for s in names), np.int64, len(names))
+
+
+def q_entity_resolution(sf_dir: str):
+    """End-to-end entity resolution, composed from verified stages:
+    edit-distance self-join (lossless length-band blocking, dist ≤ 1)
+    → distributed connected components over the match graph (alternating
+    star rounds) → two bucketed hash joins that give EVERY distinct name
+    its cluster's canonical member (singletons map to themselves). Node
+    ids are md5-60 hashes of the names so the oracle re-derives the
+    identical graph; the canonical name is the member whose hash is the
+    component's min-hash rep — a deterministic (if arbitrary) choice
+    both sides share. No driver-side union-find, no name dictionary in
+    driver memory: names, edges, components and joins all live in
+    bucketed datasets."""
+    from ..stages.bucketing import group_map_by_key
+    from ..stages.fuzzy import fuzzy_self_join
+    from ..stages.graph import connected_components
+    from ..stages.join import full_outer_join, hash_inner_join
+
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+
+    def name_ids(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        return pd.DataFrame({"nid": _h60(df["p_name"]),
+                             "p_name": df["p_name"].to_numpy()})
+
+    names = group_map_by_key(
+        parts.map_batches(name_ids, batch_format="pandas"),
+        "nid", lambda d: d.drop_duplicates(subset=["nid", "p_name"]),
+        size_ds=parts)
+    if _cache_ok(sf_dir, "part.parquet"):
+        names = names.materialize()  # consumed by two joins below
+
+    pairs = fuzzy_self_join(parts, "p_name", max_dist=1)
+    edges = pairs.map_batches(
+        lambda df: pd.DataFrame({"u": _h60(df["name_a"]),
+                                 "v": _h60(df["name_b"])}),
+        batch_format="pandas")
+    comp = connected_components(edges)
+
+    reps = names.map_batches(
+        lambda d: d.rename(columns={"p_name": "canon_name"}),
+        batch_format="pandas")
+    rep_named = hash_inner_join(
+        comp, reps, key="rep_id", right_key="nid",
+        left_cols={"node_id": "Int64"}, right_cols={"canon_name": "object"},
+        size_ds=parts)
+    matched = rep_named.map_batches(
+        lambda d: pd.DataFrame({"nid": d["node_id"].astype("int64"),
+                                "canon_name": d["canon_name"]}),
+        batch_format="pandas")
+    joined = full_outer_join(
+        names, matched, "nid",
+        left_cols={"p_name": "object"}, right_cols={"canon_name": "object"},
+        size_ds=parts)
+
+    def finish(d: pd.DataFrame) -> pd.DataFrame:
+        d = d[d["p_name"].notna()]
+        return pd.DataFrame({
+            "p_name": d["p_name"].to_numpy(object),
+            "canon_name": d["canon_name"].fillna(d["p_name"])
+            .to_numpy(object)})
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 DIM_FIX = 1_000_000  # fixed-point scale for the dimension-stat sums
 
 
@@ -2819,7 +2893,6 @@ def q_embed_dim_stats(sf_dir: str):
     bit-identical to the oracle's CAST(floor(v * 1e6) AS BIGINT) — floor,
     not round, so no half-even divergence; the int64 sums are exact at
     any corpus size."""
-    from ..stages.dedup_near import emb_matrix
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["embedding"])
 

@@ -261,7 +261,8 @@ def _pr_dedupe_deg(df: pd.DataFrame) -> pd.DataFrame:
     })
 
 
-def pagerank(edges: rd.Dataset, iters: int = 5) -> rd.Dataset:
+def pagerank(edges: rd.Dataset, iters: int = 5,
+             size_ds: rd.Dataset | None = None) -> rd.Dataset:
     """(node_id, rank_fp) after ``iters`` synchronous PageRank rounds on
     the UNDIRECTED graph of ``edges`` (u, v int64; dups/self-loops
     tolerated), ranks in PR_SCALE fixed point, uniform init = PR_SCALE.
@@ -276,12 +277,22 @@ def pagerank(edges: rd.Dataset, iters: int = 5) -> rd.Dataset:
     node degree ≥ 1. Driver holds no per-node state."""
     from .join import hash_inner_join
 
+    # ``edges`` is usually transformed lineage whose safe_size_bytes is
+    # None; without a figure every per-iteration keyed op would take the
+    # full sort-shuffle path (~seconds of fixed cost × 2 × iters — the
+    # r3 bench caught exactly this at 70s for a 14k-edge graph).
+    # ``size_ds`` lets the caller hand in the raw source; after the
+    # one-time degree build the MATERIALIZED edge list sizes the rest.
     size = safe_size_bytes(edges)
+    if size is None and size_ds is not None:
+        size = safe_size_bytes(size_ds)
     esize = (2 * size) if size else None
     doubled = edges.select_columns(_EDGE_COLS).map_batches(
         _doubled, batch_format="pandas")
     ed = group_map_by_key(doubled, "u", _pr_dedupe_deg,
                           size_bytes=esize).materialize()
+    if esize is None:
+        esize = safe_size_bytes(ed)
 
     def uniq(df: pd.DataFrame) -> pd.DataFrame:
         out = df[["u"]].drop_duplicates().rename(columns={"u": "node"})

@@ -16,7 +16,7 @@ import lauchy_ray.pipelines.queries as Q
 import lauchy_ray.stages.bucketing as B
 
 SF_DIR = "/root/testdata/sf0.001"
-TABLES = ["nation", "customer", "orders", "events", "documents"]
+TABLES = ["nation", "customer", "orders", "events", "documents", "part"]
 
 GATED_QUERIES = ["orders_by_nation", "top_orders_per_nation",
                  "customers_no_f_orders", "distinct_users_by_type",
@@ -30,7 +30,7 @@ GATED_QUERIES = ["orders_by_nation", "top_orders_per_nation",
                  # round-3 session-4 widening: the (user, day) cohort
                  # fold, the two-phase sweep-line, the JSON payload agg
                  "cohort_retention", "session_concurrency",
-                 "props_k_stats"]
+                 "props_k_stats", "entity_resolution"]
 
 
 @pytest.fixture(scope="module")
