@@ -29,7 +29,8 @@ from lauchy_ray.stages.dedup_near import (  # noqa: E402
     minhash_clusters_sql, minhash_sql, simhash_clusters_sql, simhash_sql)
 from lauchy_ray.stages.fuzzy import fuzzy_pairs_sql  # noqa: E402
 from lauchy_ray.stages.graph import (  # noqa: E402
-    connected_components_sql, pagerank_sql, user_item_edges_sql)
+    connected_components_sql, pagerank_sql, triangle_sql,
+    user_item_edges_sql)
 from lauchy_ray.stages.multimodal import media_features_sql  # noqa: E402
 from lauchy_ray.stages.decontam import decontam_sql  # noqa: E402
 from lauchy_ray.stages.sketches import cms_sql, hll_sql  # noqa: E402
@@ -152,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_k_stats": Q.q_props_k_stats,
         "embed_dim_stats": Q.q_embed_dim_stats,
         "entity_resolution": Q.q_entity_resolution,
+        "triangle_counts": Q.q_triangle_counts,
     }
 
 
@@ -981,4 +983,8 @@ def oracle_sql() -> dict[str, str]:
             FROM names n
             LEFT JOIN comp c ON c.node_id = n.nid
             LEFT JOIN names rn ON rn.nid = c.rep_id""",
+        # degree-ordered triangle counting over the same edge rule
+        "triangle_counts": triangle_sql(f"""
+            SELECT user_id AS u, (event_id * 31) % {Q.TRI_MOD} AS v
+            FROM events"""),
     }

@@ -2807,6 +2807,29 @@ def q_session_concurrency(sf_dir: str):
     return group_map_by_key(bounds, "hour_id", hour_max, size_ds=ds)
 
 
+TRI_MOD = 150  # pseudo-endpoint space for the triangle-count edge rule
+
+
+def q_triangle_counts(sf_dir: str):
+    """Per-vertex triangle counts (the clustering-coefficient numerator)
+    over a synthetic interaction graph: each event links its user to
+    vertex ``(event_id * 31) % 150`` in the SAME id space, so low-id
+    vertices act as both users and items and the graph carries real
+    triangles. Degree-ordered wedge counting — stages/graph.py
+    triangle_counts — with the identical derivation in the oracle."""
+    from ..stages.graph import triangle_counts
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        uid = t["user_id"].to_numpy().astype(np.int64)
+        return pa.table({"u": uid, "v": (eid * 31) % TRI_MOD})
+
+    return triangle_counts(ds.map_batches(edges, batch_format="pyarrow"),
+                           size_ds=ds)
+
+
 def _h60(names) -> np.ndarray:
     """60-bit md5-prefix node ids (the repo's shared SQL-checkable hash:
     ``('0x'||substr(md5(x),1,15))::BIGINT`` re-derives it in DuckDB).

@@ -30,7 +30,7 @@ GATED_QUERIES = ["orders_by_nation", "top_orders_per_nation",
                  # round-3 session-4 widening: the (user, day) cohort
                  # fold, the two-phase sweep-line, the JSON payload agg
                  "cohort_retention", "session_concurrency",
-                 "props_k_stats", "entity_resolution"]
+                 "props_k_stats", "entity_resolution", "triangle_counts"]
 
 
 @pytest.fixture(scope="module")
