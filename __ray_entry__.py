@@ -946,15 +946,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT ts_us // {Q.HOUR_US} AS hour_id,
                    CAST(max(conc) AS BIGINT) AS max_conc
             FROM r GROUP BY 1""",
-        # JSON payload aggregation: json_extract face of the vectorized
-        # regex pull; groups form only from rows that carry the key
-        "props_k_stats": """
+        # payload aggregation: the SAME regex is the operator contract on
+        # both sides (a json-path face diverges on nested/string-typed
+        # payloads — review finding); groups form only from matched rows
+        "props_k_stats": f"""
             SELECT event_type,
                    count(k) AS n_k, CAST(sum(k) AS BIGINT) AS sum_k,
                    min(k) AS min_k, max(k) AS max_k
             FROM (SELECT event_type,
-                         CAST(json_extract_string(props, '$.k') AS BIGINT)
-                         AS k
+                         CAST(NULLIF(regexp_extract(props,
+                              '{Q.PROPS_K_RE}', 1), '') AS BIGINT) AS k
                   FROM events)
             WHERE k IS NOT NULL
             GROUP BY 1""",
@@ -962,10 +963,12 @@ def oracle_sql() -> dict[str, str]:
         # multiply-then-floor quantization is bit-identical on both sides
         "embed_dim_stats": f"""
             SELECT dim, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_q
-            FROM (SELECT unnest(range(len(embedding))) AS dim,
-                         CAST(floor(CAST(unnest(embedding) AS DOUBLE)
-                                    * {Q.DIM_FIX}) AS BIGINT) AS q
-                  FROM embeddings)
+            FROM (SELECT dim,
+                         CAST(floor(v * {Q.DIM_FIX}) AS BIGINT) AS q
+                  FROM (SELECT unnest(range(len(embedding))) AS dim,
+                               CAST(unnest(embedding) AS DOUBLE) AS v
+                        FROM embeddings)
+                  WHERE isfinite(v))
             GROUP BY 1""",
         # entity resolution: the SQL-checked fuzzy pair relation feeds
         # the recursive-CTE closure; canonical member = min-md5-60 rep

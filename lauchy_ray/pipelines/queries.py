@@ -2925,27 +2925,38 @@ def q_embed_dim_stats(sf_dir: str):
             return pa.table({"dim": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64()),
                              "sum_q": pa.array([], pa.int64())})
-        q = np.floor(m * DIM_FIX).astype(np.int64)
+        # non-finite cells are excluded from BOTH n and sum_q (the
+        # oracle's WHERE isfinite(v)) — np.floor(NaN).astype(int64)
+        # would otherwise fold INT64_MIN into the sum silently
+        fin = np.isfinite(m)
+        q = np.where(fin, np.floor(m * DIM_FIX), 0.0).astype(np.int64)
         d = m.shape[1]
         return pa.table({"dim": np.arange(d, dtype=np.int64),
-                         "n": np.full(d, m.shape[0], np.int64),
+                         "n": fin.sum(axis=0, dtype=np.int64),
                          "sum_q": q.sum(axis=0, dtype=np.int64)})
 
-    return _grouped_sums(ds.map_batches(partial, batch_format="pyarrow"),
-                         ["dim"], ["n", "sum_q"])
+    out = _grouped_sums(ds.map_batches(partial, batch_format="pyarrow"),
+                        ["dim"], ["n", "sum_q"])
+    # a dim whose every value is non-finite never reaches the oracle's
+    # GROUP BY (all rows filtered) — drop its n=0 carrier row here too
+    return out.map_batches(lambda t: t.filter(pc.greater(t["n"], 0)),
+                           batch_format="pyarrow")
 
 
 PROPS_K_RE = r'"k"\s*:\s*(-?\d+)'
 
 
 def q_props_k_stats(sf_dir: str):
-    """Wire-format JSON field aggregation: pull the schema-known integer
-    payload ``props.k`` out of the JSON column with ONE vectorized regex
+    """Wire-format field aggregation: pull the schema-known integer
+    payload ``k`` out of the props column with ONE vectorized regex
     pass (no per-row json.loads in the hot path — the generic ingest
     parser lives in sources/json_ingest for arbitrary payloads), then
     fold mixed (count, sum, min, max) partials per event_type into a
-    bounded single-task merge. Events without the key simply don't
-    contribute (the oracle's FILTER (WHERE k IS NOT NULL) face)."""
+    bounded single-task merge. The operator contract IS the regex (the
+    oracle runs the same pattern via regexp_extract, so parity holds on
+    ANY props content — nested objects, string-encoded numbers — not
+    just the generated shape; a json-path face would diverge on those,
+    review finding). Events without a match don't contribute."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_type", "props"])
 

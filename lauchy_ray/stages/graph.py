@@ -291,8 +291,9 @@ def pagerank(edges: rd.Dataset, iters: int = 5,
         _doubled, batch_format="pandas")
     ed = group_map_by_key(doubled, "u", _pr_dedupe_deg,
                           size_bytes=esize).materialize()
-    if esize is None:
-        esize = safe_size_bytes(ed)
+    msize = safe_size_bytes(ed)
+    if msize is not None:
+        esize = msize  # exact figure from the materialized edge list
 
     def uniq(df: pd.DataFrame) -> pd.DataFrame:
         out = df[["u"]].drop_duplicates().rename(columns={"u": "node"})
@@ -410,6 +411,15 @@ def triangle_counts(edges: rd.Dataset,
     def norm(df: pd.DataFrame) -> pd.DataFrame:
         a = df["u"].to_numpy(np.int64, copy=False)
         b = df["v"].to_numpy(np.int64, copy=False)
+        # packed-pair-key precondition, validated (review finding: a
+        # 60-bit-hash graph fed here would silently collide pk's and
+        # fabricate triangles instead of erroring)
+        for arr in (a, b):
+            if len(arr) and (int(arr.min()) < 0
+                             or int(arr.max()) >= (1 << (_PACK_SHIFT - 1))):
+                raise ValueError(
+                    "triangle_counts: vertex ids must be in [0, 2^31) "
+                    "for the packed pair key — remap ids first")
         keep = a != b
         a, b = a[keep], b[keep]
         return pd.DataFrame({"u": np.minimum(a, b),
@@ -417,7 +427,11 @@ def triangle_counts(edges: rd.Dataset,
 
     e = group_map_by_key(edges.map_batches(norm, batch_format="pandas"),
                          "u", _tri_dedupe, size_bytes=size).materialize()
-    esize = size if size is not None else safe_size_bytes(e)
+    # the materialized DISTINCT edge list's exact size is free and never
+    # larger than the source estimate — use the tighter figure so a big
+    # source with a sparse edge subset keeps the single-task fast path
+    msize = safe_size_bytes(e)
+    esize = msize if msize is not None else size
 
     def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
         both = np.concatenate([df["u"].to_numpy(np.int64),

@@ -12,6 +12,8 @@ import pytest
 
 import lauchy_ray.pipelines.queries as Q
 import lauchy_ray.stages.bucketing as B
+import ray.data as rd
+from lauchy_ray.stages.graph import triangle_counts
 
 HOUR = Q.HOUR_US
 GAP = Q.GAP_US
@@ -164,3 +166,51 @@ def test_embed_dim_stats_negative_floor_and_exactness(tmp_path, ray_session):
     exp = [sum(math.floor(float(np.float32(v)) * 1e6) for v in col)
            for col in zip(*vecs)]
     assert got["sum_q"].tolist() == exp
+
+
+def test_embed_dim_stats_nonfinite_excluded(tmp_path, ray_session):
+    # NaN/inf cells leave BOTH n and sum_q; an all-NaN dim disappears
+    d = tmp_path / "sf"
+    d.mkdir()
+    vecs = [[0.5, float("nan"), float("nan")],
+            [1.0, float("inf"), float("nan")],
+            [2.0, -3.0, float("nan")]]
+    t = pa.table({"vec_id": pa.array([0, 1, 2], pa.int64()),
+                  "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                  "label": pa.array([0, 0, 0], pa.int32())})
+    pq.write_table(t, d / "embeddings.parquet")
+    got = (Q.q_embed_dim_stats(str(d)).to_pandas()
+           .sort_values("dim").reset_index(drop=True))
+    assert got["dim"].tolist() == [0, 1]        # dim 2 all-NaN -> gone
+    assert got["n"].tolist() == [3, 1]
+    assert got["sum_q"].tolist() == [3_500_000, -3_000_000]
+
+
+def test_props_k_stats_regex_contract_nested_and_string(tmp_path,
+                                                        ray_session):
+    # the regex IS the contract: nested objects match, string-encoded
+    # values don't — identical to the oracle's regexp_extract face
+    d = tmp_path / "sf"
+    d.mkdir()
+    t = pa.table({
+        "event_type": ["a", "a", "a"],
+        "props": ['{"outer": {"k": 7}}', '{"k": "9"}', '{"k": 4}'],
+    })
+    pq.write_table(t, d / "events.parquet")
+    got = Q.q_props_k_stats(str(d)).to_pandas()
+    assert got["n_k"].tolist() == [2]           # 7 (nested) + 4; not "9"
+    assert got["sum_k"].tolist() == [11]
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet')")
+    import __ray_entry__ as entrymod
+    exp = con.execute(entrymod.oracle_sql()["props_k_stats"]).fetchdf()
+    assert exp["n_k"].tolist() == [2] and exp["sum_k"].tolist() == [11]
+
+
+def test_triangle_counts_rejects_wide_ids(ray_session):
+    ds = rd.from_pandas(pd.DataFrame({"u": [1, 2 ** 40], "v": [2, 3]})
+                        .astype("int64"))
+    with pytest.raises(Exception, match="2\\^31|remap"):
+        triangle_counts(ds).to_pandas()
