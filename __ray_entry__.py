@@ -35,7 +35,7 @@ from lauchy_ray.stages.multimodal import media_features_sql  # noqa: E402
 from lauchy_ray.stages.decontam import decontam_sql  # noqa: E402
 from lauchy_ray.stages.sketches import cms_sql, hll_sql  # noqa: E402
 from lauchy_ray.stages.terms import (  # noqa: E402
-    TFIDF_K, TOP_TERMS_K, bigram_sql)
+    TFIDF_K, TOP_TERMS_K, bigram_sql, cooccur_sql)
 from lauchy_ray.stages.textops import (  # noqa: E402
     chunk_dedup_sql, fingerprint_sql, lang_id_sql, pii_scrub_sql)
 
@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dim_stats": Q.q_embed_dim_stats,
         "entity_resolution": Q.q_entity_resolution,
         "triangle_counts": Q.q_triangle_counts,
+        "word_cooccur": Q.q_word_cooccur,
     }
 
 
@@ -990,4 +991,6 @@ def oracle_sql() -> dict[str, str]:
         "triangle_counts": triangle_sql(f"""
             SELECT user_id AS u, (event_id * 31) % {Q.TRI_MOD} AS v
             FROM events"""),
+        # windowed co-occurrence: same tokenization, positional self-join
+        "word_cooccur": cooccur_sql(),
     }

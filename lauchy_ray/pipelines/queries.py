@@ -2807,6 +2807,19 @@ def q_session_concurrency(sf_dir: str):
     return group_map_by_key(bounds, "hour_id", hour_max, size_ds=ds)
 
 
+def q_word_cooccur(sf_dir: str):
+    """Corpus-wide windowed word co-occurrence counts (the exact PMI /
+    embedding-training co-occurrence matrix): unordered token pairs at
+    distance ≤ 3 within each doc. Per-batch vectorized explosion folds
+    to distinct pairs before the shuffle; the w1-bucketed merge sums —
+    output is O(distinct pairs), never O(corpus tokens)."""
+    from ..stages.bucketing import group_map_by_key
+    from ..stages.terms import cooccur_fold, cooccur_partial
+    docs = _docs_text(sf_dir)
+    partials = docs.map_batches(cooccur_partial, batch_format="pandas")
+    return group_map_by_key(partials, "w1", cooccur_fold, size_ds=docs)
+
+
 TRI_MOD = 150  # pseudo-endpoint space for the triangle-count edge rule
 
 

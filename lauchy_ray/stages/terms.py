@@ -178,3 +178,72 @@ tot AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM big GROUP BY w1)
 SELECT b.w1, b.w2, b.n12, t.n1, CAST(b.n12 AS DOUBLE) / t.n1 AS p
 FROM big b JOIN tot t USING (w1)
 ORDER BY b.n12 DESC, b.w1, b.w2 LIMIT {k}"""
+
+
+# ---------------------------------------------------- windowed co-occurrence
+
+COOC_WINDOW = 3  # token-distance window for co-occurrence pairs
+
+
+def cooccur_partial(df: pd.DataFrame, window: int = COOC_WINDOW,
+                    text_col: str = "text") -> pd.DataFrame:
+    """One batch → its unordered within-window co-occurrence counts (the
+    PMI / word-embedding co-occurrence matrix builder): every token pair
+    at distance 1..window inside a doc, as (min, max) lexicographic so
+    (a,b) and (b,a) fold together. Same vectorized shape as
+    bigram_partial — one findall per doc, one flat concatenate, one
+    shifted-compare per offset, doc boundaries masked by doc index; no
+    Python loop over tokens. Output cardinality is bounded by distinct
+    pairs (≤ vocab²) per batch, then folded again per bucket."""
+    empty = pd.DataFrame({"w1": pd.Series(dtype=object),
+                          "w2": pd.Series(dtype=object),
+                          "n": pd.Series(dtype="int64")})
+    toks = df[text_col].str.findall(WS_TOKEN_RE)
+    lens = toks.str.len().to_numpy(np.int64)
+    nz = lens > 0
+    if nz.sum() == 0 or lens.sum() < 2:
+        return empty
+    flat = np.concatenate(toks.to_numpy()[nz])
+    lens = lens[nz]
+    doc_of = np.repeat(np.arange(len(lens)), lens)
+    frames = []
+    for off in range(1, window + 1):
+        if len(flat) <= off:
+            break
+        valid = doc_of[off:] == doc_of[:-off]
+        a, b = flat[:-off][valid], flat[off:][valid]
+        le = a <= b  # np.minimum has no unicode loop; compare + select
+        frames.append(pd.DataFrame({"w1": np.where(le, a, b),
+                                    "w2": np.where(le, b, a)}))
+    if not frames:
+        return empty
+    g = (pd.concat(frames, ignore_index=True)
+         .groupby(["w1", "w2"], sort=False).size().reset_index(name="n"))
+    g["n"] = g["n"].astype("int64")
+    return g
+
+
+def cooccur_fold(df: pd.DataFrame) -> pd.DataFrame:
+    g = df.groupby(["w1", "w2"], sort=False)["n"].sum().reset_index()
+    g["n"] = g["n"].astype("int64")
+    return g
+
+
+def cooccur_sql(window: int = COOC_WINDOW,
+                docs_rel: str = "documents") -> str:
+    """DuckDB oracle: identical WS tokenization, positional self-join
+    within the token-distance window, least/greatest pair fold (binary
+    collation ≡ numpy's codepoint comparison on the ASCII token class —
+    the same parity class token_counts documents)."""
+    return rf"""
+WITH toks AS (SELECT doc_id,
+                     regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS lst
+              FROM {docs_rel}),
+pos AS (SELECT doc_id, unnest(lst) AS w,
+               unnest(range(len(lst))) AS i
+        FROM toks),
+pairs AS (SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+          FROM pos a JOIN pos b
+            ON a.doc_id = b.doc_id
+           AND b.i > a.i AND b.i <= a.i + {window})
+SELECT w1, w2, count(*) AS n FROM pairs GROUP BY 1, 2"""

@@ -30,7 +30,8 @@ GATED_QUERIES = ["orders_by_nation", "top_orders_per_nation",
                  # round-3 session-4 widening: the (user, day) cohort
                  # fold, the two-phase sweep-line, the JSON payload agg
                  "cohort_retention", "session_concurrency",
-                 "props_k_stats", "entity_resolution", "triangle_counts"]
+                 "props_k_stats", "entity_resolution", "triangle_counts",
+                 "word_cooccur"]
 
 
 @pytest.fixture(scope="module")

@@ -76,3 +76,24 @@ def test_seg_pairs_vectorized_matches_naive():
     # all pairs stay within their segment
     seg_of = np.repeat(np.arange(len(starts)), lengths)
     assert (seg_of[ii] == seg_of[jj]).all()
+
+
+def test_word_cooccur_matches_naive(ray_session):
+    from lauchy_ray.stages.bucketing import group_map_by_key
+    from lauchy_ray.stages.terms import (COOC_WINDOW, cooccur_fold,
+                                         cooccur_partial)
+    docs = pd.DataFrame({"doc_id": [0, 1, 2],
+                         "text": ["a b c a", "b  b c", "x"]})
+    ds = rd.from_pandas(docs).repartition(3)
+    got = group_map_by_key(
+        ds.map_batches(cooccur_partial, batch_format="pandas"),
+        "w1", cooccur_fold, size_bytes=0 or None)
+    got = got.to_pandas()
+    naive = {}
+    for t in docs["text"]:
+        toks = t.split()
+        for i in range(len(toks)):
+            for j in range(i + 1, min(i + COOC_WINDOW, len(toks) - 1) + 1):
+                key = tuple(sorted((toks[i], toks[j])))
+                naive[key] = naive.get(key, 0) + 1
+    assert {(r.w1, r.w2): r.n for r in got.itertuples()} == naive
