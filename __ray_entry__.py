@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_resolution": Q.q_entity_resolution,
         "triangle_counts": Q.q_triangle_counts,
         "word_cooccur": Q.q_word_cooccur,
+        "value_percent_rank": Q.q_value_percent_rank,
     }
 
 
@@ -993,4 +994,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events"""),
         # windowed co-occurrence: same tokenization, positional self-join
         "word_cooccur": cooccur_sql(),
+        # percent_rank over the shared exact-cents domain; (rank-1)/(n-1)
+        # is one double division of exactly-representable ints
+        "value_percent_rank": """
+            SELECT event_id, event_type,
+                   percent_rank() OVER (PARTITION BY event_type
+                                        ORDER BY cents) AS prank
+            FROM (SELECT event_id, event_type,
+                         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                  FROM events)""",
     }

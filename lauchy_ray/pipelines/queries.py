@@ -2807,6 +2807,57 @@ def q_session_concurrency(sf_dir: str):
     return group_map_by_key(bounds, "hour_id", hour_max, size_ds=ds)
 
 
+def q_value_percent_rank(sf_dir: str):
+    """Exact per-row PERCENT_RANK within event_type partitions WITHOUT a
+    per-type global sort: the bounded (type, cents) histogram merges in
+    one task, the driver prefix-sums it into strictly-smaller counts
+    (O(types × distinct cents) — the same bounded-value-domain premise
+    every quantile query here rests on), ray.put broadcasts the lookup
+    arrays once, and one stamping pass ranks every row by searchsorted.
+    rank = 1 + #smaller (RANK tie semantics), prank = (rank−1)/(n−1) —
+    one double division of exactly-representable ints, IEEE-identical
+    to the oracle's percent_rank; n = 1 partitions emit 0.0 like SQL."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({"event_type": df["event_type"],
+                           "cents": _event_cents(df)})
+             .groupby(["event_type", "cents"], sort=False)
+             .size().reset_index(name="n"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    h = (_grouped_sums(ds.map_batches(hist, batch_format="pandas"),
+                       ["event_type", "cents"], ["n"]).to_pandas())
+    tables: dict[str, tuple] = {}
+    for t, g in h.groupby("event_type"):
+        g = g.sort_values("cents")
+        counts = g["n"].to_numpy(np.int64)
+        smaller = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        tables[t] = (g["cents"].to_numpy(np.int64), smaller,
+                     int(counts.sum()))
+    ref = ray.put(tables)
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        tabs = ray.get(ref)
+        cents = _event_cents(df)
+        types = df["event_type"].to_numpy()
+        prank = np.zeros(len(df), np.float64)
+        for t in pd.unique(types):
+            m = types == t
+            cs, smaller, n = tabs[t]
+            rk = smaller[np.searchsorted(cs, cents[m])]
+            if n > 1:
+                prank[m] = rk.astype(np.float64) / np.float64(n - 1)
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "event_type": types,
+            "prank": prank})
+
+    return ds.map_batches(stamp, batch_format="pandas")
+
+
 def q_word_cooccur(sf_dir: str):
     """Corpus-wide windowed word co-occurrence counts (the exact PMI /
     embedding-training co-occurrence matrix): unordered token pairs at

@@ -214,3 +214,20 @@ def test_triangle_counts_rejects_wide_ids(ray_session):
                         .astype("int64"))
     with pytest.raises(Exception, match="2\\^31|remap"):
         triangle_counts(ds).to_pandas()
+
+
+def test_value_percent_rank_ties_and_singleton(tmp_path, ray_session):
+    # RANK tie semantics (equal cents share the smaller-count rank) and
+    # the n=1 partition emitting 0.0 like SQL
+    d = tmp_path / "sf"
+    d.mkdir()
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "event_type": ["a", "a", "a", "a", "solo"],
+        "value": pa.array([1.0, 1.0, 2.0, 0.5, 9.9]),
+    })
+    pq.write_table(t, d / "events.parquet")
+    got = (Q.q_value_percent_rank(str(d)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    # type a sorted cents: 50,100,100,200 -> smaller counts 0,1,1,3; n=4
+    assert got["prank"].tolist() == [1/3, 1/3, 3/3, 0.0, 0.0]
