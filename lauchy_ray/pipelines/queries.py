@@ -1046,6 +1046,20 @@ def q_media_features(sf_dir: str):
     return img[["media_id", "width", "height"]]
 
 
+def q_media_resize(sf_dir: str):
+    """REAL image decode + factor-2 nearest-neighbor resize, pixel-level
+    SQL-checked: the Ray side inflates/unfilters each generated PNG and
+    decimates it; the oracle re-derives the decimated grid's pixel
+    values from generate_media's pure (id, row, col) formula and sums
+    them — a one-pixel decode or sampling error breaks the checksum."""
+    from ..stages.multimodal import ImageResize, generate_media
+    media = rd.from_arrow(generate_media(64, seed=42))
+    images = media.filter(expr="kind == 'image'")
+    return images.map_batches(ImageResize, fn_constructor_kwargs={},
+                              batch_format="pyarrow", batch_size=64,
+                              concurrency=(1, 4)).to_pandas()
+
+
 _KNUTH = 2654435761  # multiplicative hash constant (public Knuth idiom)
 
 

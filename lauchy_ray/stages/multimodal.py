@@ -157,7 +157,12 @@ def generate_media(n: int = 64, seed: int = 42) -> pa.Table:
         kinds.append(kind)
         if kind == "image":
             w, h = media_dims(i)
-            px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            # pixels are a PURE FUNCTION of (id, row, col) — like dims,
+            # this is what makes pixel-level operators (resize checksum)
+            # SQL-checkable; the PNG container around them is still real
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            px = ((i * 7 + r * 31 + c * 13) % 256).astype(np.uint8)
             payloads.append(png_encode_gray(px))
             metas.append('{"codec": "png", "v": 1}')
         elif kind == "audio":
@@ -325,3 +330,62 @@ SELECT media_id,
        CAST(16 + ((media_id * {_KNUTH}) // 7) % 48 AS INTEGER) AS height
 FROM range({n}) t(media_id)
 WHERE media_id % 3 = 0"""
+
+
+class ImageResize:
+    """Actor stage: REAL PNG decode → factor-2 nearest-neighbor
+    decimation (every 2nd row/col — out dims ceil(h/2) × ceil(w/2)) →
+    (media_id, out_w, out_h, pixel_sum). pixel_sum is the int64 sum of
+    the RESIZED image's pixels, so the oracle checks the decode AND the
+    resample pixel-for-pixel (generate_media's pixels are a pure
+    function of (id, row, col)). strict=True raises on undecodable
+    payloads — a resize must never silently stub."""
+
+    def __init__(self, strict: bool = True):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ows, ohs, sums = [], [], [], []
+        for mid, payload in zip(batch["media_id"], batch["payload"]):
+            p = payload.as_py()
+            try:
+                px = png_decode_gray(p)
+            except (ValueError, zlib.error, struct.error):
+                if self.strict:
+                    raise
+                continue
+            sub = px[::2, ::2]
+            ids.append(mid.as_py())
+            ohs.append(sub.shape[0])
+            ows.append(sub.shape[1])
+            sums.append(int(sub.astype(np.int64).sum()))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "out_w": pa.array(ows, pa.int32()),
+            "out_h": pa.array(ohs, pa.int32()),
+            "pixel_sum": pa.array(sums, pa.int64()),
+        })
+
+
+def media_resize_sql(n: int = 64) -> str:
+    """DuckDB oracle for the resize stage: re-derives the decimated
+    grid's pixel values from the (id, row, col) formula and sums them —
+    the Ray side must inflate, unfilter and subsample the actual PNG to
+    agree bit-for-bit."""
+    return f"""
+WITH ids AS (SELECT media_id,
+                    16 + (media_id * {_KNUTH}) % 48 AS w,
+                    16 + ((media_id * {_KNUTH}) // 7) % 48 AS h
+             FROM range({n}) t(media_id)
+             WHERE media_id % 3 = 0),
+dims AS (SELECT media_id, (w + 1) // 2 AS ow, (h + 1) // 2 AS oh
+         FROM ids),
+rws AS (SELECT media_id, ow, unnest(range(oh)) AS r FROM dims),
+cells AS (SELECT media_id, r, unnest(range(ow)) AS c FROM rws)
+SELECT cells.media_id,
+       CAST(min(dims.ow) AS INTEGER) AS out_w,
+       CAST(min(dims.oh) AS INTEGER) AS out_h,
+       CAST(sum((cells.media_id * 7 + 62 * r + 26 * c) % 256) AS BIGINT)
+         AS pixel_sum
+FROM cells JOIN dims ON dims.media_id = cells.media_id
+GROUP BY 1"""
