@@ -32,7 +32,7 @@ from lauchy_ray.stages.graph import (  # noqa: E402
     connected_components_sql, pagerank_sql, triangle_sql,
     user_item_edges_sql)
 from lauchy_ray.stages.multimodal import (  # noqa: E402
-    media_features_sql, media_resize_sql)
+    audio_resample_sql, media_features_sql, media_resize_sql)
 from lauchy_ray.stages.decontam import decontam_sql  # noqa: E402
 from lauchy_ray.stages.sketches import cms_sql, hll_sql  # noqa: E402
 from lauchy_ray.stages.terms import (  # noqa: E402
@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_cooccur": Q.q_word_cooccur,
         "value_percent_rank": Q.q_value_percent_rank,
         "media_resize": Q.q_media_resize,
+        "audio_resample": Q.q_audio_resample,
     }
 
 
@@ -433,6 +434,7 @@ def oracle_sql() -> dict[str, str]:
         # pixel-level resize check: decimated-grid checksum re-derived
         # from the pure (id, row, col) pixel formula
         "media_resize": media_resize_sql(64),
+        "audio_resample": audio_resample_sql(64),
         # ROLLUP via GROUPING() → the Ray side's -1/'' sentinel
         # convention; COALESCE keeps the grand-total row's sum at 0.0 on
         # EMPTY input (SQL sum over no rows is NULL, the Ray fold is 0.0)

@@ -1060,6 +1060,19 @@ def q_media_resize(sf_dir: str):
                               concurrency=(1, 4)).to_pandas()
 
 
+def q_audio_resample(sf_dir: str):
+    """REAL WAV parse + decimating resample, sample-level SQL-checked
+    (the audio analog of q_media_resize): keep every 4th sample, emit
+    count + int64 sample sum; the oracle re-derives both from the pure
+    (id, t) sample formula."""
+    from ..stages.multimodal import AudioResample, generate_media
+    media = rd.from_arrow(generate_media(64, seed=42))
+    audio = media.filter(expr="kind == 'audio'")
+    return audio.map_batches(AudioResample, fn_constructor_kwargs={},
+                             batch_format="pyarrow", batch_size=64,
+                             concurrency=(1, 4)).to_pandas()
+
+
 _KNUTH = 2654435761  # multiplicative hash constant (public Knuth idiom)
 
 

@@ -167,7 +167,9 @@ def generate_media(n: int = 64, seed: int = 42) -> pa.Table:
             metas.append('{"codec": "png", "v": 1}')
         elif kind == "audio":
             ns = media_n_samples(i)
-            samples = rng.integers(-2000, 2000, size=ns).astype(np.int16)
+            # samples are a pure (id, t) function too (see image note)
+            t = np.arange(ns, dtype=np.int64)
+            samples = (((i * 13 + t * 7) % 4001) - 2000).astype(np.int16)
             payloads.append(wav_encode(samples))
             metas.append('{"codec": "pcm16", "v": 1}')
         else:
@@ -389,3 +391,53 @@ SELECT cells.media_id,
          AS pixel_sum
 FROM cells JOIN dims ON dims.media_id = cells.media_id
 GROUP BY 1"""
+
+
+AUDIO_DECIM = 4  # audio resample keeps every 4th sample
+
+
+class AudioResample:
+    """Actor stage: REAL WAV parse → keep every AUDIO_DECIM-th sample →
+    (media_id, n_out, sample_sum). Like ImageResize, the checksum is
+    SQL-checkable because generate_media's samples are a pure (id, t)
+    function; a one-sample parse or stride error breaks the hash."""
+
+    def __init__(self, strict: bool = True):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ns, sums = [], [], []
+        for mid, payload in zip(batch["media_id"], batch["payload"]):
+            try:
+                _, samples = wav_decode(payload.as_py())
+            except (ValueError, struct.error):
+                if self.strict:
+                    raise
+                continue
+            sub = samples[::AUDIO_DECIM]
+            ids.append(mid.as_py())
+            ns.append(len(sub))
+            sums.append(int(sub.astype(np.int64).sum()))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "n_out": pa.array(ns, pa.int64()),
+            "sample_sum": pa.array(sums, pa.int64()),
+        })
+
+
+def audio_resample_sql(n: int = 64) -> str:
+    """DuckDB oracle for AudioResample: sample count from the pure id
+    formula, decimated-sample sum from the pure (id, t) formula."""
+    d = AUDIO_DECIM
+    return f"""
+WITH ids AS (SELECT media_id,
+                    1000 + (media_id * {_KNUTH}) % 30000 AS ns
+             FROM range({n}) t(media_id)
+             WHERE media_id % 3 = 1),
+ks AS (SELECT media_id, ns, unnest(range((ns + {d} - 1) // {d}))
+         AS k FROM ids)
+SELECT media_id,
+       CAST(count(*) AS BIGINT) AS n_out,
+       CAST(sum((media_id * 13 + ({d} * k) * 7) % 4001 - 2000) AS BIGINT)
+         AS sample_sum
+FROM ks GROUP BY 1"""
