@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percent_rank": Q.q_value_percent_rank,
         "media_resize": Q.q_media_resize,
         "audio_resample": Q.q_audio_resample,
+        "q3_shipping_priority": Q.q_q3_shipping_priority,
     }
 
 
@@ -435,6 +436,26 @@ def oracle_sql() -> dict[str, str]:
         # from the pure (id, row, col) pixel formula
         "media_resize": media_resize_sql(64),
         "audio_resample": audio_resample_sql(64),
+        # TPC-H Q3 shape in exact 1e-4-dollar integers; full tiebreak
+        # makes the LIMIT 10 deterministic
+        "q3_shipping_priority": f"""
+            SELECT l_orderkey,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)
+                            * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                          AS BIGINT))) AS BIGINT)
+                     AS revenue_e4,
+                   epoch_us(o_orderdate) AS o_orderdate_us,
+                   o_orderpriority
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = '{Q.Q3_SEGMENT}'
+              AND o_orderdate < TIMESTAMP '{Q.Q3_CUT}'
+              AND l_shipdate > TIMESTAMP '{Q.Q3_CUT}'
+            GROUP BY 1, 3, 4
+            ORDER BY revenue_e4 DESC, o_orderdate_us, l_orderkey
+            LIMIT {Q.Q3_K}""",
         # ROLLUP via GROUPING() → the Ray side's -1/'' sentinel
         # convention; COALESCE keeps the grand-total row's sum at 0.0 on
         # EMPTY input (SQL sum over no rows is NULL, the Ray fold is 0.0)

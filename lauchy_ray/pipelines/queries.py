@@ -1060,6 +1060,162 @@ def q_media_resize(sf_dir: str):
                               concurrency=(1, 4)).to_pandas()
 
 
+Q3_SEGMENT = "BUILDING"
+Q3_CUT = "1998-06-01"
+Q3_K = 10
+
+
+def _q3_topk(df: pd.DataFrame) -> pd.DataFrame:
+    """(revenue_e4 DESC, o_orderdate_us, l_orderkey) top-K cut — shared
+    by the per-bucket candidate pass and the bounded final merge."""
+    return (df.sort_values(["revenue_e4", "o_orderdate_us", "l_orderkey"],
+                           ascending=[False, True, True], kind="stable")
+            .head(Q3_K).reset_index(drop=True))
+
+
+def q_q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: top-10 open orders of one market segment by
+    pending-lineitem revenue. Revenue is EXACT integer 10^-4 dollars
+    (price cents × (100 − discount%)) so the DESC cut never flips on
+    float accumulation order.
+
+    Scale plan: the segment's customer keys and the filtered
+    orderkey→(date, priority) map are gated broadcast lookups (sorted
+    numpy + searchsorted); lineitem streams through ONE map_batches
+    with a per-batch grouped partial, the orderkey-bucketed fold
+    completes the sums and keeps 10 candidates per bucket (lossless:
+    any global top-10 order is in its bucket's top-10), and the final
+    merge is O(buckets × 10). Over the gate the dimensions arrive via
+    the composable bucketed hash join instead."""
+    import os
+
+    import pyarrow.parquet as pq
+    from ..stages.bucketing import group_map_by_key
+
+    cut = int(np.datetime64(Q3_CUT).astype("datetime64[us]")
+              .astype(np.int64))
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+
+    def rev_e4(t: pa.Table, keep: np.ndarray) -> np.ndarray:
+        price = t["l_extendedprice"].to_numpy()[keep]
+        disc = t["l_discount"].to_numpy()[keep]
+        pc_ = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        dp = np.floor(disc * 100.0 + 0.5).astype(np.int64)
+        return pc_ * (100 - dp)
+
+    def bucket_fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["l_orderkey", "o_orderdate_us", "o_orderpriority"],
+                        sort=False)["revenue_e4"].sum().reset_index())
+        g["revenue_e4"] = g["revenue_e4"].astype("int64")
+        return _q3_topk(g[["l_orderkey", "revenue_e4", "o_orderdate_us",
+                           "o_orderpriority"]])
+
+    cpath = f"{sf_dir}/customer.parquet"
+    opath = f"{sf_dir}/orders.parquet"
+    if (os.path.getsize(cpath) <= BROADCAST_DIM_BYTES
+            and os.path.getsize(opath) <= BROADCAST_DIM_BYTES):
+        cus = pq.read_table(cpath, columns=["c_custkey", "c_mktsegment"])
+        seg = pc.equal(cus["c_mktsegment"], Q3_SEGMENT)
+        bkeys = np.sort(cus.filter(seg)["c_custkey"].to_numpy())
+        orders = pq.read_table(opath, columns=["o_orderkey", "o_custkey",
+                                               "o_orderdate",
+                                               "o_orderpriority"])
+        odate = orders["o_orderdate"].cast(pa.int64()).to_numpy()
+        ock = orders["o_custkey"].to_numpy()
+        pos = np.searchsorted(bkeys, ock)
+        in_seg = (pos < len(bkeys)) & (bkeys[np.minimum(
+            pos, max(len(bkeys) - 1, 0))] == ock) if len(bkeys) else \
+            np.zeros(len(ock), bool)
+        m = in_seg & (odate < cut)
+        okeys = orders["o_orderkey"].to_numpy()[m]
+        order = np.argsort(okeys, kind="stable")
+        ref = ray.put((okeys[order], odate[m][order],
+                       orders["o_orderpriority"].to_numpy()[m]
+                       .astype(object)[order]))
+
+        def partial(t: pa.Table) -> pd.DataFrame:
+            ok, od, opri = ray.get(ref)
+            ship = t["l_shipdate"].cast(pa.int64()).to_numpy()
+            keep = ship > cut
+            key = t["l_orderkey"].to_numpy()[keep]
+            p = np.searchsorted(ok, key)
+            valid = ((p < len(ok)) & (ok[np.minimum(
+                p, max(len(ok) - 1, 0))] == key)) if len(ok) else \
+                np.zeros(len(key), bool)
+            idx = p[valid]
+            g = (pd.DataFrame({"l_orderkey": key[valid],
+                               "o_orderdate_us": od[idx],
+                               "o_orderpriority": opri[idx],
+                               "revenue_e4": rev_e4(t, keep)[valid]})
+                 .groupby(["l_orderkey", "o_orderdate_us",
+                           "o_orderpriority"], sort=False)["revenue_e4"]
+                 .sum().reset_index())
+            g["revenue_e4"] = g["revenue_e4"].astype("int64")
+            return g[["l_orderkey", "revenue_e4", "o_orderdate_us",
+                      "o_orderpriority"]]
+
+        parts = li.map_batches(partial, batch_format="pyarrow")
+    else:  # dimensions too big to broadcast: composable bucketed joins
+        from ..stages.join import hash_inner_join
+        cust = rd.read_parquet(cpath, columns=["c_custkey", "c_mktsegment"]
+                               ).filter(expr=f"c_mktsegment == '{Q3_SEGMENT}'")
+        orders_ds = rd.read_parquet(opath,
+                                    columns=["o_orderkey", "o_custkey",
+                                             "o_orderdate",
+                                             "o_orderpriority"])
+
+        def o_prep(df: pd.DataFrame) -> pd.DataFrame:
+            d = df["o_orderdate"].astype("datetime64[us]").astype("int64")
+            out = pd.DataFrame({"o_custkey": df["o_custkey"].astype("int64"),
+                                "o_orderkey": df["o_orderkey"].astype("int64"),
+                                "o_orderdate_us": d,
+                                "o_orderpriority": df["o_orderpriority"]})
+            return out[out["o_orderdate_us"] < cut]
+
+        seg_orders = hash_inner_join(
+            orders_ds.map_batches(o_prep, batch_format="pandas"),
+            cust.map_batches(
+                lambda d: pd.DataFrame({"c_custkey":
+                                        d["c_custkey"].astype("int64"),
+                                        "seg_flag": np.int64(1)}),
+                batch_format="pandas"),
+            "o_custkey", {"o_orderkey": "Int64", "o_orderdate_us": "Int64",
+                          "o_orderpriority": "object"},
+            {"seg_flag": "Int64"}, right_key="c_custkey")
+
+        def li_prep(t: pa.Table) -> pd.DataFrame:
+            ship = t["l_shipdate"].cast(pa.int64()).to_numpy()
+            keep = ship > cut
+            return pd.DataFrame({
+                "l_orderkey": t["l_orderkey"].to_numpy()[keep],
+                "revenue_e4": rev_e4(t, keep)})
+
+        joined = hash_inner_join(
+            li.map_batches(li_prep, batch_format="pyarrow"),
+            seg_orders.map_batches(
+                lambda d: pd.DataFrame({
+                    "o_orderkey": d["o_orderkey"].astype("int64"),
+                    "o_orderdate_us": d["o_orderdate_us"].astype("int64"),
+                    "o_orderpriority": d["o_orderpriority"]}),
+                batch_format="pandas"),
+            "l_orderkey", {"revenue_e4": "Int64"},
+            {"o_orderdate_us": "Int64", "o_orderpriority": "object"},
+            right_key="o_orderkey", size_ds=li)
+        parts = joined.map_batches(
+            lambda d: pd.DataFrame({
+                "l_orderkey": d["l_orderkey"].astype("int64"),
+                "revenue_e4": d["revenue_e4"].astype("int64"),
+                "o_orderdate_us": d["o_orderdate_us"].astype("int64"),
+                "o_orderpriority": d["o_orderpriority"].astype(object)}),
+            batch_format="pandas")
+
+    cands = group_map_by_key(parts, "l_orderkey", bucket_fold, size_ds=li)
+    return (cands.repartition(1)
+            .map_batches(_q3_topk, batch_format="pandas", batch_size=None))
+
+
 def q_audio_resample(sf_dir: str):
     """REAL WAV parse + decimating resample, sample-level SQL-checked
     (the audio analog of q_media_resize): keep every 4th sample, emit

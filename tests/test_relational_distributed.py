@@ -16,7 +16,8 @@ import lauchy_ray.pipelines.queries as Q
 import lauchy_ray.stages.bucketing as B
 
 SF_DIR = "/root/testdata/sf0.001"
-TABLES = ["nation", "customer", "orders", "events", "documents", "part"]
+TABLES = ["nation", "customer", "orders", "events", "documents", "part",
+          "lineitem"]
 
 GATED_QUERIES = ["orders_by_nation", "top_orders_per_nation",
                  "customers_no_f_orders", "distinct_users_by_type",
@@ -31,7 +32,7 @@ GATED_QUERIES = ["orders_by_nation", "top_orders_per_nation",
                  # fold, the two-phase sweep-line, the JSON payload agg
                  "cohort_retention", "session_concurrency",
                  "props_k_stats", "entity_resolution", "triangle_counts",
-                 "word_cooccur"]
+                 "word_cooccur", "q3_shipping_priority"]
 
 
 @pytest.fixture(scope="module")
