@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": Q.q_media_resize,
         "audio_resample": Q.q_audio_resample,
         "q3_shipping_priority": Q.q_q3_shipping_priority,
+        "cum_distinct_users": Q.q_cum_distinct_users,
     }
 
 
@@ -456,6 +457,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 3, 4
             ORDER BY revenue_e4 DESC, o_orderdate_us, l_orderkey
             LIMIT {Q.Q3_K}""",
+        # distinct-count growth curve: distinct ≡ Σ first-appearances
+        "cum_distinct_users": f"""
+            WITH ud AS (SELECT user_id,
+                               min(epoch_us(ts) // {Q.DAY_US}) AS day_id
+                        FROM events GROUP BY 1),
+            d AS (SELECT day_id, count(*) AS new_users FROM ud GROUP BY 1)
+            SELECT day_id, new_users,
+                   CAST(sum(new_users) OVER (ORDER BY day_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+            FROM d""",
         # ROLLUP via GROUPING() → the Ray side's -1/'' sentinel
         # convention; COALESCE keeps the grand-total row's sum at 0.0 on
         # EMPTY input (SQL sum over no rows is NULL, the Ray fold is 0.0)

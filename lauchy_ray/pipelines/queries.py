@@ -1060,6 +1060,44 @@ def q_media_resize(sf_dir: str):
                               concurrency=(1, 4)).to_pandas()
 
 
+def q_cum_distinct_users(sf_dir: str):
+    """Cumulative distinct-user count by day (the growth-curve face of
+    COUNT(DISTINCT) OVER): distinct count ≡ Σ first-appearances, so the
+    user-bucketed pass reduces each user to one first-day row, the
+    bounded (day → new_users) fold merges in one task, and the running
+    total is a cumsum over O(days) rows — no day ever re-counts the
+    full user set."""
+    from ..stages.bucketing import group_map_by_key
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "day_id": (df["ts"].astype("datetime64[us]").astype("int64")
+                       // DAY_US)}).drop_duplicates()
+
+    def first_day_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("user_id", sort=False)["day_id"].min()
+             .value_counts().rename_axis("day_id")
+             .reset_index(name="new_users"))
+        return g.astype({"day_id": "int64", "new_users": "int64"})
+
+    firsts = group_map_by_key(
+        ds.map_batches(pairs, batch_format="pandas"),
+        "user_id", first_day_counts, size_ds=ds)
+
+    def cum(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("day_id", sort=True)["new_users"].sum()
+             .reset_index())
+        g["new_users"] = g["new_users"].astype("int64")
+        g["cum_users"] = g["new_users"].cumsum().astype("int64")
+        return g
+
+    return firsts.repartition(1).map_batches(cum, batch_format="pandas",
+                                             batch_size=None)
+
+
 Q3_SEGMENT = "BUILDING"
 Q3_CUT = "1998-06-01"
 Q3_K = 10
