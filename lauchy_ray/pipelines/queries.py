@@ -1169,12 +1169,19 @@ def q_q3_shipping_priority(sf_dir: str):
         m = in_seg & (odate < cut)
         okeys = orders["o_orderkey"].to_numpy()[m]
         order = np.argsort(okeys, kind="stable")
+        # priority ships as int codes + a tiny names list — aligned numpy
+        # reads zero-copy from plasma; an object-dtype string array would
+        # re-unpickle |orders| boxed strings per batch (the q_order_revenue
+        # idiom; review finding)
+        prio_names, prio_codes = np.unique(
+            orders["o_orderpriority"].to_numpy(zero_copy_only=False)[m],
+            return_inverse=True)
+        prio_names = prio_names.astype(object)
         ref = ray.put((okeys[order], odate[m][order],
-                       orders["o_orderpriority"].to_numpy()[m]
-                       .astype(object)[order]))
+                       prio_codes.astype(np.int64)[order], prio_names))
 
         def partial(t: pa.Table) -> pd.DataFrame:
-            ok, od, opri = ray.get(ref)
+            ok, od, opc, opn = ray.get(ref)
             ship = t["l_shipdate"].cast(pa.int64()).to_numpy()
             keep = ship > cut
             key = t["l_orderkey"].to_numpy()[keep]
@@ -1185,7 +1192,7 @@ def q_q3_shipping_priority(sf_dir: str):
             idx = p[valid]
             g = (pd.DataFrame({"l_orderkey": key[valid],
                                "o_orderdate_us": od[idx],
-                               "o_orderpriority": opri[idx],
+                               "o_orderpriority": opn[opc[idx]],
                                "revenue_e4": rev_e4(t, keep)[valid]})
                  .groupby(["l_orderkey", "o_orderdate_us",
                            "o_orderpriority"], sort=False)["revenue_e4"]
@@ -1221,7 +1228,8 @@ def q_q3_shipping_priority(sf_dir: str):
                 batch_format="pandas"),
             "o_custkey", {"o_orderkey": "Int64", "o_orderdate_us": "Int64",
                           "o_orderpriority": "object"},
-            {"seg_flag": "Int64"}, right_key="c_custkey")
+            {"seg_flag": "Int64"}, right_key="c_custkey",
+            size_bytes=os.path.getsize(opath) + os.path.getsize(cpath))
 
         def li_prep(t: pa.Table) -> pd.DataFrame:
             ship = t["l_shipdate"].cast(pa.int64()).to_numpy()

@@ -87,7 +87,7 @@ def test_word_cooccur_matches_naive(ray_session):
     ds = rd.from_pandas(docs).repartition(3)
     got = group_map_by_key(
         ds.map_batches(cooccur_partial, batch_format="pandas"),
-        "w1", cooccur_fold, size_bytes=0 or None)
+        "w1", cooccur_fold)
     got = got.to_pandas()
     naive = {}
     for t in docs["text"]:
