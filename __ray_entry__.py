@@ -161,6 +161,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_resample": Q.q_audio_resample,
         "q3_shipping_priority": Q.q_q3_shipping_priority,
         "cum_distinct_users": Q.q_cum_distinct_users,
+        "embed_quantize": Q.q_embed_quantize,
+        "cep_absence": Q.q_cep_absence,
     }
 
 
@@ -467,6 +469,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(new_users) OVER (ORDER BY day_id
                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
             FROM d""",
+        # int8-style quantization: identical IEEE expression both sides
+        "embed_quantize": """
+            WITH cells AS (SELECT vec_id,
+                                  unnest(range(len(embedding))) AS dim,
+                                  CAST(unnest(embedding) AS DOUBLE) AS v
+                           FROM embeddings),
+            fin AS (SELECT * FROM cells WHERE isfinite(v)),
+            mm AS (SELECT dim, min(v) AS mn, max(v) AS mx
+                   FROM fin GROUP BY 1)
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN mx > mn
+                            THEN CAST(floor((v - mn) * 255.0 / (mx - mn))
+                                      AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS q_sum,
+                   count(*) AS n_fin
+            FROM fin JOIN mm USING (dim)
+            GROUP BY 1""",
+        # CEP absence (timeout): clicks with no same-user purchase in
+        # the strict (t, t+W] window
+        "cep_absence": f"""
+            WITH e AS (SELECT event_id, user_id, event_type,
+                              epoch_us(ts) AS ts_us FROM events),
+            clicks AS (SELECT * FROM e WHERE event_type = 'click')
+            SELECT c.event_id, c.user_id, c.ts_us
+            FROM clicks c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM e p
+              WHERE p.user_id = c.user_id
+                AND p.event_type = 'purchase'
+                AND p.ts_us > c.ts_us
+                AND p.ts_us <= c.ts_us + {Q.INTERVAL_W_US})""",
         # ROLLUP via GROUPING() → the Ray side's -1/'' sentinel
         # convention; COALESCE keeps the grand-total row's sum at 0.0 on
         # EMPTY input (SQL sum over no rows is NULL, the Ray fold is 0.0)

@@ -3236,6 +3236,133 @@ def q_embed_dim_stats(sf_dir: str):
                            batch_format="pyarrow")
 
 
+_ABSENCE_SENT = np.int64(2**62)  # "no later purchase" sentinel
+
+
+def q_cep_absence(sf_dir: str):
+    """CEP ABSENCE detection (the timeout face every fraud/abandonment
+    pipeline needs): clicks with NO purchase by the same user within
+    the next hour. One user-bucket co-location; inside, a vectorized
+    exclusive suffix-min of purchase timestamps per user (reversed
+    int64 scan with segment resets — never float, the >2^53 cummax
+    lesson) gives each click its next-purchase time; strictly-equal
+    timestamps do NOT convert (window is (t, t+W], matching the
+    oracle's p.ts > c.ts). Output: the unconverted click rows."""
+    from ..stages.bucketing import group_map_by_key
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["event_type"].isin(["click", "purchase"]).to_numpy()
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64)[m],
+            "user_id": df["user_id"].to_numpy(np.int64)[m],
+            "ts_us": df["ts"].astype("datetime64[us]")
+            .astype("int64").to_numpy()[m],
+            "is_click": (df["event_type"].to_numpy()[m] == "click"),
+        })
+
+    def absence(df: pd.DataFrame) -> pd.DataFrame:
+        # purchases sort before clicks at equal (user, ts): the strict
+        # suffix then never sees an equal-ts purchase from a click
+        df = df.sort_values(["user_id", "ts_us", "is_click"],
+                            kind="stable")
+        uid = df["user_id"].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        clk = df["is_click"].to_numpy(bool)
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "user_id": pd.Series(dtype="int64"),
+                                 "ts_us": pd.Series(dtype="int64")})
+        vals = np.where(clk, _ABSENCE_SENT, ts)
+        rv, ru = vals[::-1], uid[::-1]
+        starts = np.r_[True, ru[1:] != ru[:-1]]
+        cm = (pd.Series(rv).groupby(np.cumsum(starts)).cummin()
+              .to_numpy(np.int64))
+        ex = np.empty(n, np.int64)
+        ex[0] = _ABSENCE_SENT
+        ex[1:] = cm[:-1]
+        ex[starts] = _ABSENCE_SENT
+        next_p = ex[::-1]                 # strict suffix min, original order
+        lost = clk & ~(next_p <= ts + INTERVAL_W_US)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64)[lost],
+            "user_id": uid[lost], "ts_us": ts[lost]})
+
+    return group_map_by_key(ds.map_batches(prep, batch_format="pandas"),
+                            "user_id", absence, size_ds=ds)
+
+
+def q_embed_quantize(sf_dir: str):
+    """Scalar int8-style quantization of the embedding corpus (the ANN
+    compression step): per-dimension [min, max] from one bounded pass,
+    broadcast once, then every vector quantizes to floor((v − mn) ·
+    255 / (mx − mn)) — the identical IEEE expression the oracle runs,
+    so the per-vector checksum q_sum matches bitwise. Non-finite cells
+    are excluded on both sides; a constant dimension (mx == mn)
+    quantizes to 0. Output is one (vec_id, q_sum, n_fin) row per
+    vector — row-scaled, like any transform."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def mm_partial(t: pa.Table) -> pd.DataFrame:
+        m = emb_matrix(t)
+        if m.size == 0:
+            return pd.DataFrame({"dim": pd.Series(dtype="int64"),
+                                 "mn": pd.Series(dtype="float64"),
+                                 "mx": pd.Series(dtype="float64")})
+        fin = np.isfinite(m)
+        mn = np.where(fin, m, np.inf).min(axis=0)
+        mx = np.where(fin, m, -np.inf).max(axis=0)
+        keep = fin.any(axis=0)
+        d = np.flatnonzero(keep).astype(np.int64)
+        return pd.DataFrame({"dim": d, "mn": mn[keep], "mx": mx[keep]})
+
+    def mm_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("dim", sort=True)
+             .agg(mn=("mn", "min"), mx=("mx", "max")).reset_index())
+        return g.astype({"dim": "int64"})
+
+    mm = (ds.map_batches(mm_partial, batch_format="pyarrow")
+          .repartition(1).map_batches(mm_merge, batch_format="pandas",
+                                      batch_size=None).to_pandas())
+    d_max = int(mm["dim"].max()) + 1 if len(mm) else 0
+    mn = np.full(d_max, np.inf)
+    mx = np.full(d_max, -np.inf)
+    mn[mm["dim"].to_numpy(np.int64)] = mm["mn"].to_numpy()
+    mx[mm["dim"].to_numpy(np.int64)] = mm["mx"].to_numpy()
+    ref = ray.put((mn, mx))
+
+    def quantize(t: pa.Table) -> pd.DataFrame:
+        lo, hi = ray.get(ref)
+        m = emb_matrix(t)
+        if m.size == 0:
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                 "q_sum": pd.Series(dtype="int64"),
+                                 "n_fin": pd.Series(dtype="int64")})
+        fin = np.isfinite(m)
+        # mm only lists dims with ≥1 finite value — pad to this batch's
+        # width (an all-NaN dim gets an empty [inf, -inf] span → masked)
+        d_here = m.shape[1]
+        lo_f = np.full(d_here, np.inf)
+        hi_f = np.full(d_here, -np.inf)
+        k = min(d_here, len(lo))
+        lo_f[:k], hi_f[:k] = lo[:k], hi[:k]
+        span = hi_f - lo_f
+        ok = fin & (span > 0)
+        q = np.where(ok, np.floor((m - lo_f) * 255.0
+                                  / np.where(span > 0, span, 1.0)), 0.0)
+        out = pd.DataFrame({
+            "vec_id": t["vec_id"].to_numpy().astype(np.int64),
+            "q_sum": q.astype(np.int64).sum(axis=1),
+            "n_fin": fin.sum(axis=1, dtype=np.int64)})
+        return out[out["n_fin"] > 0].reset_index(drop=True)
+
+    return ds.map_batches(quantize, batch_format="pyarrow")
+
+
 PROPS_K_RE = r'"k"\s*:\s*(-?\d+)'
 
 

@@ -231,3 +231,55 @@ def test_value_percent_rank_ties_and_singleton(tmp_path, ray_session):
            .sort_values("event_id").reset_index(drop=True))
     # type a sorted cents: 50,100,100,200 -> smaller counts 0,1,1,3; n=4
     assert got["prank"].tolist() == [1/3, 1/3, 3/3, 0.0, 0.0]
+
+
+def test_cep_absence_matches_brute(tmp_path, ray_session, monkeypatch):
+    rng = np.random.default_rng(13)
+    n = 400
+    ts_us = rng.integers(0, 10 * Q.HOUR_US, n)
+    users = rng.integers(0, 10, n)
+    kinds = rng.choice(["click", "purchase", "view"], n)
+    # adversarial: equal-ts click/purchase pairs must NOT convert
+    ts_us[0] = ts_us[1] = 12345
+    users[0] = users[1] = 3
+    kinds[0], kinds[1] = "click", "purchase"
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(ts_us.astype("int64"), pa.timestamp("us")),
+        "user_id": pa.array(users.astype("int64")),
+        "event_type": pa.array(kinds),
+        "value": pa.array(np.zeros(n)),
+        "props": pa.array(["{}"] * n)}), d / "events.parquet")
+    monkeypatch.setattr(B, "SINGLE_TASK_BYTES", 0)
+    got = set(Q.q_cep_absence(str(d)).to_pandas()["event_id"])
+    exp = set()
+    for i in range(n):
+        if kinds[i] != "click":
+            continue
+        converted = any(
+            kinds[j] == "purchase" and users[j] == users[i]
+            and ts_us[i] < ts_us[j] <= ts_us[i] + Q.INTERVAL_W_US
+            for j in range(n))
+        if not converted:
+            exp.add(i)
+    assert got == exp
+    assert 0 in got  # the equal-ts pair did not convert
+
+
+def test_embed_quantize_constant_dim_and_nan(tmp_path, ray_session):
+    d = tmp_path / "sf"
+    d.mkdir()
+    vecs = [[0.0, 5.0, float("nan")],
+            [1.0, 5.0, float("nan")],
+            [0.5, 5.0, float("nan")]]
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 0], pa.int32())}), d / "embeddings.parquet")
+    got = (Q.q_embed_quantize(str(d)).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    # dim0 spans [0,1]: q = floor(v*255); dim1 constant -> 0; dim2 NaN
+    assert got["n_fin"].tolist() == [2, 2, 2]
+    assert got["q_sum"].tolist() == [0, 255, 127]

@@ -32,7 +32,8 @@ GATED_QUERIES = ["orders_by_nation", "top_orders_per_nation",
                  # fold, the two-phase sweep-line, the JSON payload agg
                  "cohort_retention", "session_concurrency",
                  "props_k_stats", "entity_resolution", "triangle_counts",
-                 "word_cooccur", "q3_shipping_priority", "cum_distinct_users"]
+                 "word_cooccur", "q3_shipping_priority", "cum_distinct_users",
+                 "cep_absence"]
 
 
 @pytest.fixture(scope="module")
