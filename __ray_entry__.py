@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cum_distinct_users": Q.q_cum_distinct_users,
         "embed_quantize": Q.q_embed_quantize,
         "cep_absence": Q.q_cep_absence,
+        "turn_absence": Q.q_turn_absence,
     }
 
 
@@ -500,6 +501,19 @@ def oracle_sql() -> dict[str, str]:
                 AND p.event_type = 'purchase'
                 AND p.ts_us > c.ts_us
                 AND p.ts_us <= c.ts_us + {Q.INTERVAL_W_US})""",
+        # absence over the turns bridge (conversation SLA): streaming
+        # sibling is AbsenceShardCore's finalize ≡ this batch face
+        "turn_absence": f"""WITH {_T}
+            SELECT u.conv_id, u.turn_idx, epoch_us(u.ts) AS ts_us
+            FROM turns u
+            WHERE u.role = 'user'
+              AND NOT EXISTS (
+                SELECT 1 FROM turns a
+                WHERE a.conv_id = u.conv_id
+                  AND a.role = 'assistant'
+                  AND epoch_us(a.ts) > epoch_us(u.ts)
+                  AND epoch_us(a.ts) <= epoch_us(u.ts)
+                      + {Q.ABSENCE_W_US})""",
         # ROLLUP via GROUPING() → the Ray side's -1/'' sentinel
         # convention; COALESCE keeps the grand-total row's sum at 0.0 on
         # EMPTY input (SQL sum over no rows is NULL, the Ray fold is 0.0)

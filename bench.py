@@ -125,10 +125,10 @@ def run_streaming(paths: dict[str, str]) -> dict:
     import pyarrow.parquet as pq
 
     from lauchy_ray.state.streaming import (
-        run_streaming_approx_topk, run_streaming_dedup,
-        run_streaming_distinct, run_streaming_patterns,
-        run_streaming_sessions, run_streaming_topk,
-        run_streaming_window_counts)
+        run_streaming_absence, run_streaming_approx_topk,
+        run_streaming_dedup, run_streaming_distinct,
+        run_streaming_patterns, run_streaming_sessions,
+        run_streaming_topk, run_streaming_window_counts)
 
     codes = sorted(pq.read_table(paths["entities"], columns=["code"])
                    ["code"].to_pylist())
@@ -164,6 +164,8 @@ def run_streaming(paths: dict[str, str]) -> dict:
         paths["turns"], hour, 5, late, n_shards=8, validate_kwargs=vk))
     timed("cep_approx_topk", lambda: run_streaming_approx_topk(
         paths["turns"], hour, 5, 64, late, n_shards=8, validate_kwargs=vk))
+    timed("cep_timeout", lambda: run_streaming_absence(
+        paths["turns"], gap, late, n_shards=8, validate_kwargs=vk))
 
     dd = "/tmp/lauchy_bench/stream_dedup_out"
 

@@ -121,6 +121,17 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--shards", type=int, default=8)
     sp.add_argument("--checkpoint-dir", default=None)
 
+    sa = sub.add_parser("stream-absence", parents=[common],
+                        help="streaming unanswered-turn timeout detector "
+                             "(user turn with no assistant reply within "
+                             "the window), exactly-once")
+    sa.add_argument("--input", required=True)
+    sa.add_argument("--out", required=True)
+    sa.add_argument("--window-min", type=int, default=30)
+    sa.add_argument("--lateness-min", type=int, default=5)
+    sa.add_argument("--shards", type=int, default=8)
+    sa.add_argument("--checkpoint-dir", default=None)
+
     tk = sub.add_parser("stream-topk", parents=[common],
                         help="streaming windowed top-k heavy hitters "
                              "(exact per-shard counts, or bounded-memory "
@@ -316,6 +327,23 @@ def main(argv: list[str] | None = None) -> int:
             pq.write_table(pa.Table.from_pandas(late),
                            os.path.join(args.out, "late.parquet"))
             print(json.dumps({"out": args.out, "matches": len(matches),
+                              "late_rows": len(late),
+                              "watermarks": [int(w) for w in wms]}))
+        elif args.cmd == "stream-absence":
+            import os
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from .state.streaming import run_streaming_absence
+            absences, late, wms = run_streaming_absence(
+                args.input, args.window_min * 60 * 1_000_000,
+                lateness_us=args.lateness_min * 60 * 1_000_000,
+                n_shards=args.shards, checkpoint_dir=args.checkpoint_dir)
+            os.makedirs(args.out, exist_ok=True)
+            pq.write_table(pa.Table.from_pandas(absences),
+                           os.path.join(args.out, "absences.parquet"))
+            pq.write_table(pa.Table.from_pandas(late),
+                           os.path.join(args.out, "late.parquet"))
+            print(json.dumps({"out": args.out, "absences": len(absences),
                               "late_rows": len(late),
                               "watermarks": [int(w) for w in wms]}))
         elif args.cmd == "stream-topk":

@@ -3264,35 +3264,79 @@ def q_cep_absence(sf_dir: str):
         })
 
     def absence(df: pd.DataFrame) -> pd.DataFrame:
-        # purchases sort before clicks at equal (user, ts): the strict
-        # suffix then never sees an equal-ts purchase from a click
-        df = df.sort_values(["user_id", "ts_us", "is_click"],
-                            kind="stable")
-        uid = df["user_id"].to_numpy(np.int64)
-        ts = df["ts_us"].to_numpy(np.int64)
-        clk = df["is_click"].to_numpy(bool)
-        n = len(df)
-        if n == 0:
-            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
-                                 "user_id": pd.Series(dtype="int64"),
-                                 "ts_us": pd.Series(dtype="int64")})
-        vals = np.where(clk, _ABSENCE_SENT, ts)
-        rv, ru = vals[::-1], uid[::-1]
-        starts = np.r_[True, ru[1:] != ru[:-1]]
-        cm = (pd.Series(rv).groupby(np.cumsum(starts)).cummin()
-              .to_numpy(np.int64))
-        ex = np.empty(n, np.int64)
-        ex[0] = _ABSENCE_SENT
-        ex[1:] = cm[:-1]
-        ex[starts] = _ABSENCE_SENT
-        next_p = ex[::-1]                 # strict suffix min, original order
-        lost = clk & ~(next_p <= ts + INTERVAL_W_US)
+        lost = _absence_mask(df, "user_id", "is_click", INTERVAL_W_US)
         return pd.DataFrame({
             "event_id": df["event_id"].to_numpy(np.int64)[lost],
-            "user_id": uid[lost], "ts_us": ts[lost]})
+            "user_id": df["user_id"].to_numpy(np.int64)[lost],
+            "ts_us": df["ts_us"].to_numpy(np.int64)[lost]})
+
+    def absence_sorted(df: pd.DataFrame) -> pd.DataFrame:
+        return absence(df.sort_values(["user_id", "ts_us", "is_click"],
+                                      kind="stable").reset_index(drop=True))
 
     return group_map_by_key(ds.map_batches(prep, batch_format="pandas"),
-                            "user_id", absence, size_ds=ds)
+                            "user_id", absence_sorted, size_ds=ds)
+
+
+def _absence_mask(df: pd.DataFrame, key: str, open_col: str,
+                  window: int) -> np.ndarray:
+    """Unanswered-opener mask over rows PRE-SORTED by (key, ts_us,
+    open_col) — closers before openers at equal ts, so the strict
+    suffix never sees an equal-ts closer (window is (t, t+W]). Rows
+    must be openers or closers only. Vectorized exclusive suffix-min of
+    closer timestamps per key segment: an int64 reversed scan with
+    segment resets (never a float shift — the >2^53 cummax lesson)."""
+    n = len(df)
+    if n == 0:
+        return np.zeros(0, bool)
+    keyv = df[key].to_numpy()
+    ts = df["ts_us"].to_numpy(np.int64)
+    opn = df[open_col].to_numpy(bool)
+    vals = np.where(opn, _ABSENCE_SENT, ts)
+    rv, rk = vals[::-1], keyv[::-1]
+    starts = np.r_[True, rk[1:] != rk[:-1]]
+    cm = (pd.Series(rv).groupby(np.cumsum(starts)).cummin()
+          .to_numpy(np.int64))
+    ex = np.empty(n, np.int64)
+    ex[0] = _ABSENCE_SENT
+    ex[1:] = cm[:-1]
+    ex[starts] = _ABSENCE_SENT
+    next_c = ex[::-1]                  # strict suffix min, original order
+    return opn & ~(next_c <= ts + window)
+
+
+ABSENCE_W_US = 30 * 60 * 1_000_000  # unanswered-turn timeout (30 min)
+
+
+def q_turn_absence(sf_dir: str):
+    """Unanswered user turns over the canonical events→turns bridge
+    (the conversation-SLA face of CEP absence; streaming sibling:
+    state/streaming.AbsenceShardCore): user turns with NO assistant
+    turn in the same conversation within (t, t+30min]. Same shared
+    suffix-min kernel as q_cep_absence, conv-bucketed."""
+    from ..stages.bucketing import group_map_by_key
+    turns = _turns(sf_dir)
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["role"].isin(["user", "assistant"]).to_numpy()
+        return pd.DataFrame({
+            "conv_id": df["conv_id"].to_numpy()[m],
+            "turn_idx": df["turn_idx"].to_numpy(np.int64)[m],
+            "ts_us": df["ts"].astype("datetime64[us]")
+            .astype("int64").to_numpy()[m],
+            "is_user": (df["role"].to_numpy()[m] == "user")})
+
+    def absence(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "ts_us", "is_user"],
+                            kind="stable").reset_index(drop=True)
+        lost = _absence_mask(df, "conv_id", "is_user", ABSENCE_W_US)
+        return pd.DataFrame({
+            "conv_id": df["conv_id"].to_numpy(object)[lost],
+            "turn_idx": df["turn_idx"].to_numpy(np.int64)[lost],
+            "ts_us": df["ts_us"].to_numpy(np.int64)[lost]})
+
+    return group_map_by_key(turns.map_batches(prep, batch_format="pandas"),
+                            "conv_id", absence, size_ds=_events(sf_dir))
 
 
 def q_embed_quantize(sf_dir: str):

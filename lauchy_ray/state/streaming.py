@@ -1624,3 +1624,179 @@ def run_streaming_patterns(input_path: str,
     late_df = (pd.DataFrame(late) if late else
                pd.DataFrame(columns=["conv_id", "turn_idx", "ts"]))
     return out, late_df, [f["watermark"] for f in finals]
+
+
+class AbsenceShardCore(ShardActorBase):
+    """Streaming ABSENCE / timeout CEP (the `A not followed by B within
+    W` face — Flink CEP's notFollowedBy().within()): emit every user
+    turn with NO assistant turn in the same conversation within
+    (ts, ts + window_us], exactly-once, watermark-driven.
+
+    Late rule: the windows-engine row-level prefix watermark — late rows
+    route to the late output and neither open nor answer timeouts.
+
+    Emission rule: a pending user turn (conv, idx, t) emits as ABSENT
+    when wm ≥ t + window. Final and slicing-invariant: a future
+    non-late row has ts > wm ≥ t + window, so it can never land in the
+    answer window (t, t + window]; an answering assistant inside the
+    current batch is applied before the end-of-batch expiry; and a
+    mid-batch split cannot add an expiry a whole batch would not
+    perform — expiry depends only on wm, and any post-split answer
+    would need ta ≤ t + window ≤ wm while being non-late (ta > wm).
+
+    Answer rule is EXISTENCE-based (an assistant answers every pending
+    user turn with ta − window ≤ t < ta; it is not consumed). New user
+    turns must also see PAST assistants, so assistant timestamps with
+    ta > wm are retained — trimming at wm is lossless: an assistant
+    with ta ≤ wm could only answer a user turn with t < ta ≤ wm, which
+    the late rule drops on arrival.
+
+    Duplicate user-turn arrivals (the stream's at-least-once fragments)
+    keep the FIRST copy — later copies route late with ts = −1, like
+    the pattern engine. Per-conv seen-idx state is O(user turns per
+    conversation), the same bound the sorted-buffer conv join carries.
+    """
+
+    def __init__(self, window_us: int, lateness_us: int,
+                 checkpoint_path: str | None = None):
+        self.window = int(window_us)
+        self.lateness = int(lateness_us)
+        self.pending: dict = {}   # conv → {turn_idx: ts} unanswered user turns
+        self.assist: dict = {}    # conv → np.int64 sorted assistant ts (> wm)
+        self.seen_u: dict = {}    # conv → set of user turn_idx (dup guard)
+        self._heap: list = []     # (deadline, conv, idx, ts) lazy timers
+        self._init_shard_state(
+            checkpoint_path, ("absence", self.window, self.lateness))
+
+    def _core_state(self):
+        return (self.pending, self.assist, self.seen_u, self._heap)
+
+    def _restore_core(self, core) -> None:
+        self.pending, self.assist, self.seen_u, self._heap = core
+
+    def ingest(self, table: pa.Table, seq: int | None = None) -> int:
+        import heapq
+        if self._skip_replay(table, seq):
+            return 0
+        ts = table["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        idx = table["turn_idx"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        conv = np.asarray(table["conv_id"].to_pylist(), dtype=object)
+        roles = np.asarray(table["role"].to_pylist(), dtype=object)
+        cm, prefix_wm = self._prefix_watermark(ts)
+        late_m = ts <= prefix_wm
+        for i in np.flatnonzero(late_m):
+            self.late.append({"conv_id": conv[i], "turn_idx": int(idx[i]),
+                              "ts": int(ts[i])})
+        keep = ~late_m
+        is_u = keep & (roles == "user")
+        is_a = keep & (roles == "assistant")
+        for c in pd.unique(conv[is_u | is_a]):
+            inb = conv == c
+            a_new = np.sort(ts[is_a & inb])
+            a_old = self.assist.get(c)
+            a_all = (np.sort(np.concatenate([a_old, a_new]))
+                     if a_old is not None and len(a_new) else
+                     (a_old if a_old is not None else a_new))
+            pend = self.pending.get(c)
+            seen = self.seen_u.setdefault(c, set())
+            for i in np.flatnonzero(is_u & inb):
+                k = int(idx[i])
+                if k in seen:     # at-least-once duplicate: keep first
+                    self.late.append({"conv_id": c, "turn_idx": k,
+                                      "ts": -1})
+                    continue
+                seen.add(k)
+                t = int(ts[i])
+                lo = np.searchsorted(a_all, t, side="right")
+                hi = np.searchsorted(a_all, t + self.window, side="right")
+                if lo >= hi:      # not yet answered: open a timer
+                    if pend is None:
+                        pend = self.pending.setdefault(c, {})
+                    pend[k] = t
+                    heapq.heappush(self._heap,
+                                   (t + self.window, c, k, t))
+            if len(a_new) and pend:
+                gone = [k for k, t in pend.items()
+                        if np.searchsorted(a_new, t, side="right")
+                        < np.searchsorted(a_new, t + self.window,
+                                          side="right")]
+                for k in gone:
+                    del pend[k]
+                if not pend:
+                    self.pending.pop(c, None)
+            if len(a_all):
+                self.assist[c] = a_all
+        if int(cm[-1]) > self.wm:
+            self.wm = int(cm[-1])
+        self._expire(self.wm)
+        self._trim(self.wm)
+        if seq is not None:
+            self.seq = seq
+            self._checkpoint()
+        return table.num_rows
+
+    def _expire(self, bound: int) -> None:
+        import heapq
+        while self._heap and self._heap[0][0] <= bound:
+            dl, c, k, t = heapq.heappop(self._heap)
+            pend = self.pending.get(c)
+            if pend is not None and pend.get(k) == t:
+                del pend[k]
+                if not pend:
+                    self.pending.pop(c, None)
+                self.emitted.append({"conv_id": c, "turn_idx": k,
+                                     "ts": t, "deadline": dl})
+
+    def _trim(self, bound: int) -> None:
+        for c in list(self.assist):
+            a = self.assist[c]
+            pos = np.searchsorted(a, bound, side="right")
+            if pos:
+                a = a[pos:]
+                if len(a):
+                    self.assist[c] = a
+                else:
+                    del self.assist[c]
+
+    def finalize(self) -> dict:
+        """End of stream: every still-pending user turn's window closes
+        unanswered (wm → ∞) — finalize ≡ the batch absence query."""
+        self._expire(1 << 62)
+        hist_emitted, hist_late = self._read_deltas()
+        return {"emitted": hist_emitted + self.emitted,
+                "late": hist_late + self.late, "watermark": self.wm,
+                "state_convs": len(self.seen_u)}
+
+
+AbsenceShardActor = ray.remote(AbsenceShardCore)
+
+
+def run_streaming_absence(input_path: str, window_us: int,
+                          lateness_us: int = 5 * 60 * 1_000_000,
+                          n_shards: int = 8,
+                          validate_kwargs: dict | None = None,
+                          max_pending: int = 4,
+                          checkpoint_dir: str | None = None):
+    """Streaming unanswered-turn (absence) detection over the fragment
+    stream (validated, null-text-dropped — the same stream every other
+    CEP engine consumes). → (absences DataFrame, late DataFrame,
+    watermarks)."""
+    fragments = list_fragments(input_path)
+    meta = {"kind": "absence", "window_us": window_us,
+            "lateness_us": lateness_us, "n_shards": n_shards}
+    _guard_checkpoint_dir(checkpoint_dir, meta, fragments)
+    actors = [AbsenceShardActor.remote(
+        window_us, lateness_us,
+        os.path.join(checkpoint_dir, f"shard-{s}.ckpt") if checkpoint_dir
+        else None)
+        for s in range(n_shards)]
+    finals = _pump_fragments(actors, fragments, n_shards,
+                             validate_kwargs, max_pending)
+    emitted = [row for f in finals for row in f["emitted"]]
+    late = [row for f in finals for row in f["late"]]
+    out = (pd.DataFrame(emitted) if emitted else
+           pd.DataFrame(columns=["conv_id", "turn_idx", "ts", "deadline"]))
+    late_df = (pd.DataFrame(late) if late else
+               pd.DataFrame(columns=["conv_id", "turn_idx", "ts"]))
+    return out, late_df, [f["watermark"] for f in finals]
