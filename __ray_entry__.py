@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_quantize": Q.q_embed_quantize,
         "cep_absence": Q.q_cep_absence,
         "turn_absence": Q.q_turn_absence,
+        "value_mad_by_type": Q.q_value_mad_by_type,
     }
 
 
@@ -514,6 +515,41 @@ def oracle_sql() -> dict[str, str]:
                   AND epoch_us(a.ts) > epoch_us(u.ts)
                   AND epoch_us(a.ts) <= epoch_us(u.ts)
                       + {Q.ABSENCE_W_US})""",
+        # robust spread: median + MAD, integer ceil(p*n/100) ranks
+        "value_mad_by_type": """
+            WITH c AS (SELECT event_type,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                       FROM events),
+            hist AS (SELECT event_type, v, count(*) AS cnt
+                     FROM c GROUP BY 1, 2),
+            cc AS (SELECT event_type, v,
+                          sum(cnt) OVER (PARTITION BY event_type
+                                         ORDER BY v) AS cum
+                   FROM hist),
+            tot AS (SELECT event_type, count(*) AS n
+                    FROM c GROUP BY 1),
+            med AS (SELECT cc.event_type,
+                           CAST(min(cc.v) AS BIGINT) AS med_cents
+                    FROM tot, cc
+                    WHERE cc.event_type = tot.event_type
+                      AND cc.cum >= (50 * tot.n + 99) // 100
+                    GROUP BY cc.event_type),
+            dhist AS (SELECT c.event_type, abs(c.v - m.med_cents) AS dv,
+                             count(*) AS cnt
+                      FROM c JOIN med m USING (event_type)
+                      GROUP BY 1, 2),
+            dcc AS (SELECT event_type, dv,
+                           sum(cnt) OVER (PARTITION BY event_type
+                                          ORDER BY dv) AS cum
+                    FROM dhist),
+            mad AS (SELECT dcc.event_type,
+                           CAST(min(dcc.dv) AS BIGINT) AS mad_cents
+                    FROM tot, dcc
+                    WHERE dcc.event_type = tot.event_type
+                      AND dcc.cum >= (50 * tot.n + 99) // 100
+                    GROUP BY dcc.event_type)
+            SELECT med.event_type, med.med_cents, mad.mad_cents
+            FROM med JOIN mad USING (event_type)""",
         # ROLLUP via GROUPING() → the Ray side's -1/'' sentinel
         # convention; COALESCE keeps the grand-total row's sum at 0.0 on
         # EMPTY input (SQL sum over no rows is NULL, the Ray fold is 0.0)

@@ -1060,6 +1060,42 @@ def q_media_resize(sf_dir: str):
                               concurrency=(1, 4)).to_pandas()
 
 
+def q_value_mad_by_type(sf_dir: str):
+    """Grouped MEDIAN ABSOLUTE DEVIATION (the robust spread estimator)
+    in exact integer cents: the shared bounded (type, cents) histogram
+    merges once; the median rank-selects at the repo's integer
+    ceil(p·n/100) convention, the deviation histogram FOLDS from the
+    value histogram (O(distinct cents), no second data pass), and the
+    MAD rank-selects the same way. No float touches any step."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df.groupby(["event_type", "v"], sort=True)["c"].sum()
+             .reset_index())
+        rows = []
+        for et, grp in h.groupby("event_type", sort=True):
+            v = grp["v"].to_numpy(np.int64)
+            cnt = grp["c"].to_numpy(np.int64)
+            cum = np.cumsum(cnt)
+            n = int(cum[-1])
+            rank = (50 * n + 99) // 100
+            med = int(v[np.searchsorted(cum, rank)])
+            dev = pd.DataFrame({"dv": np.abs(v - med), "c": cnt})
+            dg = dev.groupby("dv", sort=True)["c"].sum()
+            dcum = dg.cumsum().to_numpy()
+            mad = int(dg.index.to_numpy(np.int64)[
+                np.searchsorted(dcum, rank)])
+            rows.append((et, med, mad))
+        return pd.DataFrame(rows, columns=["event_type", "med_cents",
+                                           "mad_cents"]).astype(
+            {"med_cents": "int64", "mad_cents": "int64"})
+
+    return (ds.map_batches(_cents_hist_partial, batch_format="pandas")
+            .repartition(1).map_batches(finish, batch_format="pandas",
+                                        batch_size=None))
+
+
 def q_cum_distinct_users(sf_dir: str):
     """Cumulative distinct-user count by day (the growth-curve face of
     COUNT(DISTINCT) OVER): distinct count ≡ Σ first-appearances, so the
