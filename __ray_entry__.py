@@ -165,6 +165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cep_absence": Q.q_cep_absence,
         "turn_absence": Q.q_turn_absence,
         "value_mad_by_type": Q.q_value_mad_by_type,
+        "user_value_intervals": Q.q_user_value_intervals,
+        "best_docs_per_lang": Q.q_best_docs_per_lang,
     }
 
 
@@ -550,6 +552,22 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY dcc.event_type)
             SELECT med.event_type, med.med_cents, mad.mad_cents
             FROM med JOIN mad USING (event_type)""",
+        # SCD2 validity intervals: LEAD face, open-ended sentinel
+        "user_value_intervals": f"""
+            SELECT event_id, user_id,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                   epoch_us(ts) AS valid_from_us,
+                   COALESCE(lead(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id),
+                       {Q.INTERVAL_OPEN_US}) AS valid_to_us
+            FROM events""",
+        # keep-best-per-stratum curation
+        "best_docs_per_lang": f"""
+            SELECT doc_id, lang, n_chars
+            FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                      ORDER BY n_chars DESC, doc_id) AS rn
+                  FROM documents)
+            WHERE rn <= {Q.BEST_DOCS_K}""",
         # ROLLUP via GROUPING() → the Ray side's -1/'' sentinel
         # convention; COALESCE keeps the grand-total row's sum at 0.0 on
         # EMPTY input (SQL sum over no rows is NULL, the Ray fold is 0.0)

@@ -1060,6 +1060,61 @@ def q_media_resize(sf_dir: str):
                               concurrency=(1, 4)).to_pandas()
 
 
+INTERVAL_OPEN_US = 2**62  # open-ended validity sentinel (SCD2 face)
+
+
+def q_user_value_intervals(sf_dir: str):
+    """CDC history build (the SCD2 face): each event becomes a validity
+    interval [ts, next event's ts) per user — the LEAD window re-derived
+    with ONE user-bucketed vectorized pass (sort + shifted compare); the
+    last event per user stays open-ended (sentinel). Exact integer
+    cents payload."""
+    from ..stages.bucketing import group_map_by_key
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def intervals(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.sort_values(["user_id", "ts_us", "event_id"],
+                             kind="stable").reset_index(drop=True))
+        uid = df["user_id"].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        nxt = np.full(len(df), INTERVAL_OPEN_US, np.int64)
+        if len(df) > 1:
+            same = uid[:-1] == uid[1:]
+            nxt[:-1][same] = ts[1:][same]
+        out = df[["event_id", "user_id", "cents"]].copy()
+        out["valid_from_us"] = ts
+        out["valid_to_us"] = nxt
+        return out
+
+    prepped = ds.map_batches(_event_cents_prep, batch_format="pandas")
+    return group_map_by_key(prepped, "user_id", intervals, size_ds=ds)
+
+
+BEST_DOCS_K = 3
+
+
+def q_best_docs_per_lang(sf_dir: str):
+    """Per-stratum curation: the top-3 documents per language by
+    (n_chars DESC, doc_id ASC) — the keep-best-per-group selection a
+    quality-filtered corpus build runs. Per-batch partial top-k per
+    lang (bounded: langs × k per batch) + one bounded merge; raw docs
+    never shuffle."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "n_chars", "doc_id"],
+                            ascending=[True, False, True], kind="stable")
+        out = df.groupby("lang", sort=False).head(BEST_DOCS_K)
+        return out.reset_index(drop=True).astype(
+            {"doc_id": "int64", "n_chars": "int64"})
+
+    return (ds.map_batches(topk, batch_format="pandas")
+            .repartition(1).map_batches(topk, batch_format="pandas",
+                                        batch_size=None))
+
+
 def q_value_mad_by_type(sf_dir: str):
     """Grouped MEDIAN ABSOLUTE DEVIATION (the robust spread estimator)
     in exact integer cents: the shared bounded (type, cents) histogram
