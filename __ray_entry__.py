@@ -167,6 +167,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_mad_by_type": Q.q_value_mad_by_type,
         "user_value_intervals": Q.q_user_value_intervals,
         "best_docs_per_lang": Q.q_best_docs_per_lang,
+        "norm_dedup": Q.q_norm_dedup,
+        "lang_confusion": Q.q_lang_confusion,
     }
 
 
@@ -568,6 +570,20 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY n_chars DESC, doc_id) AS rn
                   FROM documents)
             WHERE rn <= {Q.BEST_DOCS_K}""",
+        # canonicalize-then-dedup: identical normalization expression
+        "norm_dedup": """
+            WITH n AS (SELECT doc_id,
+                   ('0x' || substr(md5(trim(regexp_replace(lower(text),
+                        '[^a-z0-9]+', ' ', 'g'))), 1, 15))::BIGINT
+                   AS norm_h
+                   FROM documents)
+            SELECT norm_h, count(*) AS n_copies, min(doc_id) AS rep_doc
+            FROM n GROUP BY 1""",
+        # confusion matrix over the SQL-checked lang-ID vote
+        "lang_confusion": f"""
+            WITH pred AS ({lang_id_sql()})
+            SELECT lang, lang_pred, count(*) AS n
+            FROM pred GROUP BY 1, 2""",
         # ROLLUP via GROUPING() → the Ray side's -1/'' sentinel
         # convention; COALESCE keeps the grand-total row's sum at 0.0 on
         # EMPTY input (SQL sum over no rows is NULL, the Ray fold is 0.0)

@@ -1060,6 +1060,55 @@ def q_media_resize(sf_dir: str):
                               concurrency=(1, 4)).to_pandas()
 
 
+def q_norm_dedup(sf_dir: str):
+    """Canonicalize-then-dedup (the C4-style normalization pass exact
+    dedup runs behind): lowercase, collapse non-alphanumeric runs to
+    single spaces, strip — then group identical normal forms (md5-60
+    keys; raw strings never shuffle) and report groups with ≥2 members.
+    The oracle runs the identical normalization expression."""
+    from ..stages.bucketing import group_map_by_key
+    docs = _docs_text(sf_dir)
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        norm = (df["text"].str.lower()
+                .str.replace(r"[^a-z0-9]+", " ", regex=True).str.strip())
+        g = (pd.DataFrame({"norm_h": _h60(norm),
+                           "doc_id": df["doc_id"].astype("int64")})
+             .groupby("norm_h")
+             .agg(n_copies=("doc_id", "size"), rep_doc=("doc_id", "min"))
+             .reset_index())
+        return g.astype({"n_copies": "int64", "rep_doc": "int64"})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        # every group is reported (n_copies == 1 means already unique):
+        # the output stays linear in DISTINCT texts and never empty — a
+        # HAVING >= 2 face can leave a zero-row frame whose schema the
+        # empty pandas block drops (driver compare needs columns)
+        g = (df.groupby("norm_h")
+             .agg(n_copies=("n_copies", "sum"), rep_doc=("rep_doc", "min"))
+             .reset_index())
+        return g.astype({"n_copies": "int64",
+                         "rep_doc": "int64"}).reset_index(drop=True)
+
+    return group_map_by_key(docs.map_batches(prep, batch_format="pandas"),
+                            "norm_h", fold, size_ds=docs)
+
+
+def q_lang_confusion(sf_dir: str):
+    """Model-eval confusion matrix: labeled language × heuristic
+    lang-ID prediction, counted — the evaluation face of the lang_id
+    operator (one extra bounded fold over its SQL-checked output)."""
+    from ..stages.textops import lang_id_batch
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    pred = ds.map_batches(lang_id_batch, batch_format="pandas")
+    return _grouped_sums(
+        pred.map_batches(lambda df: pd.DataFrame(
+            {"lang": df["lang"], "lang_pred": df["lang_pred"]}),
+            batch_format="pandas"),
+        ["lang", "lang_pred"], [], count_as="n")
+
+
 INTERVAL_OPEN_US = 2**62  # open-ended validity sentinel (SCD2 face)
 
 
