@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "best_docs_per_lang": Q.q_best_docs_per_lang,
         "norm_dedup": Q.q_norm_dedup,
         "lang_confusion": Q.q_lang_confusion,
+        "late_ship_orders": Q.q_late_ship_orders,
     }
 
 
@@ -584,6 +585,16 @@ def oracle_sql() -> dict[str, str]:
             WITH pred AS ({lang_id_sql()})
             SELECT lang, lang_pred, count(*) AS n
             FROM pred GROUP BY 1, 2""",
+        # TPC-H Q4 shape: EXISTS late-shipment, counted per priority
+        "late_ship_orders": f"""
+            SELECT o_orderpriority, count(*) AS n_late_orders
+            FROM orders o
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND epoch_us(l.l_shipdate)
+                    > epoch_us(o.o_orderdate) + {Q.Q4_LATE_US})
+            GROUP BY 1""",
         # ROLLUP via GROUPING() → the Ray side's -1/'' sentinel
         # convention; COALESCE keeps the grand-total row's sum at 0.0 on
         # EMPTY input (SQL sum over no rows is NULL, the Ray fold is 0.0)

@@ -1060,6 +1060,120 @@ def q_media_resize(sf_dir: str):
                               concurrency=(1, 4)).to_pandas()
 
 
+Q4_LATE_US = 90 * 86_400_000_000  # late-shipment threshold (90 days)
+
+
+def q_late_ship_orders(sf_dir: str):
+    """TPC-H Q4 shape (EXISTS face): orders per priority with ≥1
+    lineitem shipped more than 90 days after the order date. The order
+    map (sorted keys + date + priority codes) is a gated broadcast;
+    lineitem streams through ONE pass that flags late rows and folds to
+    DISTINCT (orderkey, priority-code) pairs per batch; the
+    orderkey-bucketed dedup then counts each late order exactly once
+    per bucket and the bounded merge sums. Over the gate: one bucketed
+    hash join instead of the broadcast."""
+    import os
+
+    import pyarrow.parquet as pq
+    from ..stages.bucketing import group_map_by_key
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+    opath = f"{sf_dir}/orders.parquet"
+
+    def dedup_count(df: pd.DataFrame) -> pd.DataFrame:
+        u = df.drop_duplicates(["o_orderkey"])
+        g = (u.groupby("pcode", sort=False).size()
+             .reset_index(name="n_late_orders"))
+        return g.astype({"pcode": "int64", "n_late_orders": "int64"})
+
+    if os.path.getsize(opath) <= BROADCAST_DIM_BYTES:
+        orders = pq.read_table(opath, columns=["o_orderkey", "o_orderdate",
+                                               "o_orderpriority"])
+        names, codes = np.unique(
+            orders["o_orderpriority"].to_numpy(zero_copy_only=False),
+            return_inverse=True)
+        names = names.astype(object)
+        ok = orders["o_orderkey"].to_numpy()
+        order = np.argsort(ok, kind="stable")
+        ref = ray.put((ok[order],
+                       orders["o_orderdate"].cast(pa.int64())
+                       .to_numpy()[order],
+                       codes.astype(np.int64)[order]))
+
+        def flag(t: pa.Table) -> pd.DataFrame:
+            k, od, pc_ = ray.get(ref)
+            key = t["l_orderkey"].to_numpy()
+            p = np.searchsorted(k, key)
+            valid = ((p < len(k)) & (k[np.minimum(
+                p, max(len(k) - 1, 0))] == key)) if len(k) else \
+                np.zeros(len(key), bool)
+            ship = t["l_shipdate"].cast(pa.int64()).to_numpy()
+            late = valid & (ship > od[np.minimum(p, max(len(k) - 1, 0))]
+                            + Q4_LATE_US)
+            return (pd.DataFrame({"o_orderkey": key[late],
+                                  "pcode": pc_[p[late]]})
+                    .drop_duplicates())
+
+        flagged = li.map_batches(flag, batch_format="pyarrow")
+    else:
+        from ..stages.join import hash_inner_join
+
+        def o_prep(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "odate_us": df["o_orderdate"].astype("datetime64[us]")
+                .astype("int64"),
+                "o_orderpriority": df["o_orderpriority"]})
+
+        joined = hash_inner_join(
+            li.map_batches(lambda t: pd.DataFrame({
+                "l_orderkey": t["l_orderkey"].to_numpy(),
+                "ship_us": t["l_shipdate"].cast(pa.int64()).to_numpy()}),
+                batch_format="pyarrow"),
+            rd.read_parquet(opath, columns=["o_orderkey", "o_orderdate",
+                                            "o_orderpriority"])
+            .map_batches(o_prep, batch_format="pandas"),
+            "l_orderkey", {"ship_us": "Int64"},
+            {"odate_us": "Int64", "o_orderpriority": "object"},
+            right_key="o_orderkey", size_ds=li)
+        names = None
+
+        def flag_joined(df: pd.DataFrame) -> pd.DataFrame:
+            late = (df["ship_us"].astype("int64")
+                    > df["odate_us"].astype("int64") + Q4_LATE_US)
+            out = df[late]
+            return pd.DataFrame({
+                "o_orderkey": out["l_orderkey"].astype("int64"),
+                "o_orderpriority": out["o_orderpriority"].astype(object),
+            }).drop_duplicates()
+
+        flagged = joined.map_batches(flag_joined, batch_format="pandas")
+
+        def dedup_count_named(df: pd.DataFrame) -> pd.DataFrame:
+            u = df.drop_duplicates(["o_orderkey"])
+            g = (u.groupby("o_orderpriority", sort=False).size()
+                 .reset_index(name="n_late_orders"))
+            g["n_late_orders"] = g["n_late_orders"].astype("int64")
+            return g
+
+        partials = group_map_by_key(flagged, "o_orderkey",
+                                    dedup_count_named, size_ds=li)
+        return _grouped_sums(partials, ["o_orderpriority"],
+                             ["n_late_orders"])
+
+    partials = group_map_by_key(flagged, "o_orderkey", dedup_count,
+                                size_ds=li)
+    merged = _grouped_sums(partials, ["pcode"], ["n_late_orders"])
+
+    def name_out(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderpriority": names[df["pcode"].to_numpy(np.int64)],
+            "n_late_orders": df["n_late_orders"].astype("int64")})
+
+    return merged.map_batches(name_out, batch_format="pandas")
+
+
 def q_norm_dedup(sf_dir: str):
     """Canonicalize-then-dedup (the C4-style normalization pass exact
     dedup runs behind): lowercase, collapse non-alphanumeric runs to

@@ -33,7 +33,8 @@ GATED_QUERIES = ["orders_by_nation", "top_orders_per_nation",
                  "cohort_retention", "session_concurrency",
                  "props_k_stats", "entity_resolution", "triangle_counts",
                  "word_cooccur", "q3_shipping_priority", "cum_distinct_users",
-                 "cep_absence", "user_value_intervals"]
+                 "cep_absence", "user_value_intervals", "late_ship_orders",
+                 "norm_dedup"]
 
 
 @pytest.fixture(scope="module")
