@@ -1103,16 +1103,18 @@ def q_late_ship_orders(sf_dir: str):
 
         def flag(t: pa.Table) -> pd.DataFrame:
             k, od, pc_ = ray.get(ref)
+            empty = pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                                  "pcode": pd.Series(dtype="int64")})
+            if not len(k):   # empty order map: od[...] has no element 0
+                return empty
             key = t["l_orderkey"].to_numpy()
             p = np.searchsorted(k, key)
-            valid = ((p < len(k)) & (k[np.minimum(
-                p, max(len(k) - 1, 0))] == key)) if len(k) else \
-                np.zeros(len(key), bool)
+            pc2 = np.minimum(p, len(k) - 1)
+            valid = k[pc2] == key
             ship = t["l_shipdate"].cast(pa.int64()).to_numpy()
-            late = valid & (ship > od[np.minimum(p, max(len(k) - 1, 0))]
-                            + Q4_LATE_US)
+            late = valid & (ship > od[pc2] + Q4_LATE_US)
             return (pd.DataFrame({"o_orderkey": key[late],
-                                  "pcode": pc_[p[late]]})
+                                  "pcode": pc_[pc2[late]]})
                     .drop_duplicates())
 
         flagged = li.map_batches(flag, batch_format="pyarrow")
@@ -1137,7 +1139,6 @@ def q_late_ship_orders(sf_dir: str):
             "l_orderkey", {"ship_us": "Int64"},
             {"odate_us": "Int64", "o_orderpriority": "object"},
             right_key="o_orderkey", size_ds=li)
-        names = None
 
         def flag_joined(df: pd.DataFrame) -> pd.DataFrame:
             late = (df["ship_us"].astype("int64")
@@ -1178,8 +1179,10 @@ def q_norm_dedup(sf_dir: str):
     """Canonicalize-then-dedup (the C4-style normalization pass exact
     dedup runs behind): lowercase, collapse non-alphanumeric runs to
     single spaces, strip — then group identical normal forms (md5-60
-    keys; raw strings never shuffle) and report groups with ≥2 members.
-    The oracle runs the identical normalization expression."""
+    keys; raw strings never shuffle), reporting EVERY group (n_copies,
+    min-doc rep; n_copies == 1 means already unique — consumers filter,
+    keeping the output schema alive on duplicate-free corpora). The
+    oracle runs the identical normalization expression."""
     from ..stages.bucketing import group_map_by_key
     docs = _docs_text(sf_dir)
 
@@ -1216,11 +1219,7 @@ def q_lang_confusion(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang"])
     pred = ds.map_batches(lang_id_batch, batch_format="pandas")
-    return _grouped_sums(
-        pred.map_batches(lambda df: pd.DataFrame(
-            {"lang": df["lang"], "lang_pred": df["lang_pred"]}),
-            batch_format="pandas"),
-        ["lang", "lang_pred"], [], count_as="n")
+    return _grouped_counts(pred, ["lang", "lang_pred"])
 
 
 INTERVAL_OPEN_US = 2**62  # open-ended validity sentinel (SCD2 face)

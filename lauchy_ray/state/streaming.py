@@ -1653,8 +1653,13 @@ class AbsenceShardCore(ShardActorBase):
 
     Duplicate user-turn arrivals (the stream's at-least-once fragments)
     keep the FIRST copy — later copies route late with ts = −1, like
-    the pattern engine. Per-conv seen-idx state is O(user turns per
-    conversation), the same bound the sorted-buffer conv join carries.
+    the pattern engine. The seen-idx dup guard holds only entries with
+    ts > wm: an at-least-once duplicate carries the SAME ts as its
+    original, so once wm passes that ts the late rule itself rejects
+    any further copy and the entry is evicted (state stays bounded by
+    the lateness horizon, not stream life — the dedup engine's TTL
+    idea). A dup with an INFLATED ts is out of the at-least-once
+    contract (the pattern engine documents the same boundary).
     """
 
     def __init__(self, window_us: int, lateness_us: int,
@@ -1663,7 +1668,7 @@ class AbsenceShardCore(ShardActorBase):
         self.lateness = int(lateness_us)
         self.pending: dict = {}   # conv → {turn_idx: ts} unanswered user turns
         self.assist: dict = {}    # conv → np.int64 sorted assistant ts (> wm)
-        self.seen_u: dict = {}    # conv → set of user turn_idx (dup guard)
+        self.seen_u: dict = {}    # conv → {turn_idx: ts} dup guard (ts > wm)
         self._heap: list = []     # (deadline, conv, idx, ts) lazy timers
         self._init_shard_state(
             checkpoint_path, ("absence", self.window, self.lateness))
@@ -1691,23 +1696,38 @@ class AbsenceShardCore(ShardActorBase):
         keep = ~late_m
         is_u = keep & (roles == "user")
         is_a = keep & (roles == "assistant")
-        for c in pd.unique(conv[is_u | is_a]):
-            inb = conv == c
-            a_new = np.sort(ts[is_a & inb])
+        # factorize + argsort segments: O(n log n) conv grouping, never
+        # an O(convs × rows) per-conv equality scan (review finding —
+        # the PatternShardCore lesson)
+        sel = np.flatnonzero(is_u | is_a)
+        codes, uconv = pd.factorize(conv[sel])
+        order = np.argsort(codes, kind="stable")
+        sel = sel[order]
+        codes = codes[order]
+        if len(codes):
+            seg_starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+            seg_ends = np.r_[seg_starts[1:], len(codes)]
+        else:
+            seg_starts = seg_ends = np.array([], np.int64)
+        for s0, s1 in zip(seg_starts, seg_ends):
+            rows = sel[s0:s1]
+            c = uconv[codes[s0]]
+            inb_u = rows[is_u[rows]]
+            a_new = np.sort(ts[rows[is_a[rows]]])
             a_old = self.assist.get(c)
             a_all = (np.sort(np.concatenate([a_old, a_new]))
                      if a_old is not None and len(a_new) else
                      (a_old if a_old is not None else a_new))
             pend = self.pending.get(c)
-            seen = self.seen_u.setdefault(c, set())
-            for i in np.flatnonzero(is_u & inb):
+            seen = self.seen_u.setdefault(c, {})
+            for i in inb_u:
                 k = int(idx[i])
                 if k in seen:     # at-least-once duplicate: keep first
                     self.late.append({"conv_id": c, "turn_idx": k,
                                       "ts": -1})
                     continue
-                seen.add(k)
                 t = int(ts[i])
+                seen[k] = t
                 lo = np.searchsorted(a_all, t, side="right")
                 hi = np.searchsorted(a_all, t + self.window, side="right")
                 if lo >= hi:      # not yet answered: open a timer
@@ -1758,6 +1778,17 @@ class AbsenceShardCore(ShardActorBase):
                     self.assist[c] = a
                 else:
                     del self.assist[c]
+        # dup-guard eviction: once wm passes an entry's ts, any further
+        # true copy (same ts) is wm-late-routed BEFORE the seen check,
+        # so the entry is dead weight — state stays bounded by the
+        # lateness horizon, not stream life (review finding)
+        for c in list(self.seen_u):
+            seen = self.seen_u[c]
+            drop = [k for k, t in seen.items() if t <= bound]
+            for k in drop:
+                del seen[k]
+            if not seen:
+                del self.seen_u[c]
 
     def finalize(self) -> dict:
         """End of stream: every still-pending user turn's window closes
