@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "norm_dedup": Q.q_norm_dedup,
         "lang_confusion": Q.q_lang_confusion,
         "late_ship_orders": Q.q_late_ship_orders,
+        "q6_revenue": Q.q_q6_revenue,
+        "label_dim_stats": Q.q_label_dim_stats,
     }
 
 
@@ -595,6 +597,31 @@ def oracle_sql() -> dict[str, str]:
                 AND epoch_us(l.l_shipdate)
                     > epoch_us(o.o_orderdate) + {Q.Q4_LATE_US})
             GROUP BY 1""",
+        # TPC-H Q6: pure filtered aggregate, exact 1e-4-dollar integers
+        "q6_revenue": f"""
+            SELECT CAST(COALESCE(sum(
+                     CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)),
+                     0) AS BIGINT) AS revenue_e4,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{Q.Q6_YEAR}-01-01'
+              AND l_shipdate < TIMESTAMP '{int(Q.Q6_YEAR) + 1}-01-01'
+              AND l_quantity < 24
+              AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                  BETWEEN 5 AND 7""",
+        # per-class tensor stats: embed_dim_stats grouped by label
+        "label_dim_stats": f"""
+            SELECT CAST(label AS BIGINT) AS label, dim,
+                   count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_q
+            FROM (SELECT label, dim,
+                         CAST(floor(v * {Q.DIM_FIX}) AS BIGINT) AS q
+                  FROM (SELECT label,
+                               unnest(range(len(embedding))) AS dim,
+                               CAST(unnest(embedding) AS DOUBLE) AS v
+                        FROM embeddings)
+                  WHERE isfinite(v))
+            GROUP BY 1, 2""",
         # ROLLUP via GROUPING() → the Ray side's -1/'' sentinel
         # convention; COALESCE keeps the grand-total row's sum at 0.0 on
         # EMPTY input (SQL sum over no rows is NULL, the Ray fold is 0.0)

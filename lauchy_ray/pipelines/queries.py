@@ -1060,6 +1060,83 @@ def q_media_resize(sf_dir: str):
                               concurrency=(1, 4)).to_pandas()
 
 
+Q6_YEAR = "1997"
+
+
+def q_q6_revenue(sf_dir: str):
+    """TPC-H Q6 shape (the pure filtered-aggregate scan): forecast
+    revenue from one year's discounted small-quantity lineitems, in
+    EXACT 1e-4-dollar integers (price cents × discount%) — one
+    projection-pruned pass, one bounded sum, no shuffle at all."""
+    lo = int(np.datetime64(f"{Q6_YEAR}-01-01").astype("datetime64[us]")
+             .astype(np.int64))
+    hi = int(np.datetime64(f"{int(Q6_YEAR) + 1}-01-01")
+             .astype("datetime64[us]").astype(np.int64))
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_shipdate", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ship = t["l_shipdate"].cast(pa.int64()).to_numpy()
+        qty = t["l_quantity"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        dp = np.floor(disc * 100.0 + 0.5).astype(np.int64)
+        m = ((ship >= lo) & (ship < hi) & (qty < 24)
+             & (dp >= 5) & (dp <= 7))
+        price = t["l_extendedprice"].to_numpy()[m]
+        pc_ = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        rev = int((pc_ * dp[m]).sum())
+        return pd.DataFrame({"revenue_e4": pd.array([rev], dtype="int64"),
+                             "n_items": pd.array([int(m.sum())],
+                                                 dtype="int64")})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(1).map_batches(
+                lambda df: pd.DataFrame({
+                    "revenue_e4": [np.int64(df["revenue_e4"].sum())],
+                    "n_items": [np.int64(df["n_items"].sum())]}),
+                batch_format="pandas", batch_size=None))
+
+
+def q_label_dim_stats(sf_dir: str):
+    """Per-CLASS tensor feature stats (the classifier-data audit):
+    embed_dim_stats grouped by label — exact fixed-point per-(label,
+    dim) count and sum, non-finite cells excluded both sides."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        m = emb_matrix(t)
+        if m.size == 0:
+            return pd.DataFrame({"label": pd.Series(dtype="int64"),
+                                 "dim": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "sum_q": pd.Series(dtype="int64")})
+        fin = np.isfinite(m)
+        q = np.where(fin, np.floor(m * DIM_FIX), 0.0).astype(np.int64)
+        lab = t["label"].to_numpy().astype(np.int64)
+        labs, inv = np.unique(lab, return_inverse=True)
+        d = m.shape[1]
+        n_l = len(labs)
+        # reduceat over label-sorted segments (np.add.at is an
+        # element-wise loop — the repo's recorded perf lesson)
+        order = np.argsort(inv, kind="stable")
+        si = inv[order]
+        starts = np.flatnonzero(np.r_[True, si[1:] != si[:-1]])
+        cnt = np.add.reduceat(fin[order].astype(np.int64), starts, axis=0)
+        s = np.add.reduceat(q[order], starts, axis=0)
+        li, di = np.meshgrid(np.arange(n_l), np.arange(d), indexing="ij")
+        out = pd.DataFrame({"label": labs[li.ravel()],
+                            "dim": di.ravel().astype(np.int64),
+                            "n": cnt.ravel(), "sum_q": s.ravel()})
+        return out[out["n"] > 0].reset_index(drop=True)
+
+    out = _grouped_sums(ds.map_batches(partial, batch_format="pyarrow"),
+                        ["label", "dim"], ["n", "sum_q"])
+    return out.map_batches(lambda t: t.filter(pc.greater(t["n"], 0)),
+                           batch_format="pyarrow")
+
+
 Q4_LATE_US = 90 * 86_400_000_000  # late-shipment threshold (90 days)
 
 
