@@ -50,6 +50,19 @@ def calibrate() -> dict:
     s = 0
     for i in range(2_000_000):
         s += i
+    pyloop = time.time() - t0
+    # memory BANDWIDTH probe (80MB stream copy): the matmul is
+    # cache-resident and blind to the co-tenant interference that
+    # actually sinks this engine's throughput — an observed degraded
+    # window ran numpy elementwise ops 100x slow (copy at ~46MB/s) while
+    # matmul read normal. Compare bench numbers at comparable MB/s.
+    buf = np.empty(10_000_000, np.int64)
+    buf[:] = 3
+    best_bw = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        buf.copy()
+        best_bw = max(best_bw, 80.0 / max(time.time() - t0, 1e-9))
     try:
         load1, load5, _ = os.getloadavg()
     except OSError:
@@ -58,7 +71,8 @@ def calibrate() -> dict:
     # load average at bench start captures that side (32-CPU box: load >8
     # from OUTSIDE the bench means the parallel stages are contended)
     return {"matmul_1024_sec": round(best, 4),
-            "pyloop_2e6_sec": round(time.time() - t0, 4),
+            "pyloop_2e6_sec": round(pyloop, 4),
+            "membw_mb_s": round(best_bw, 1),
             "loadavg_1m": round(load1, 2), "loadavg_5m": round(load5, 2)}
 
 
