@@ -212,8 +212,11 @@ def single_run() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import ray
     if not ray.is_initialized():
+        # log_to_driver=False: worker prints otherwise leak into stdout
+        # AHEAD of the one JSON line this script contracts to emit (an
+        # observed run interleaved "(_prepare_fragment pid=...)" lines)
         ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
-                 logging_level="ERROR")
+                 logging_level="ERROR", log_to_driver=False)
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
@@ -238,6 +241,10 @@ def single_run() -> dict:
         "headline_samples": headline["samples"],
         "bench_passes": BENCH_PASSES,
         "calibration": calib,
+        # the box's memory bandwidth oscillates on MINUTE timescales —
+        # a healthy start probe does not certify the whole run, so probe
+        # again at the end; a run is trustworthy only when BOTH read sane
+        "calibration_end": calibrate(),
         "turns_per_sec": round(headline["turns_per_sec"]),
         "queries_total_sec": round(sum(queries.values()), 3),
         "streaming": streaming,
