@@ -1719,23 +1719,45 @@ class AbsenceShardCore(ShardActorBase):
                      if a_old is not None and len(a_new) else
                      (a_old if a_old is not None else a_new))
             pend = self.pending.get(c)
-            seen = self.seen_u.setdefault(c, {})
-            for i in inb_u:
-                k = int(idx[i])
-                if k in seen:     # at-least-once duplicate: keep first
-                    self.late.append({"conv_id": c, "turn_idx": k,
+            seen = self.seen_u.get(c)
+            if len(inb_u):
+                # vectorized over the conv's user turns (the per-turn
+                # Python loop with one searchsorted each was the
+                # engine's hot spot): keep-first duplicates via
+                # first-occurrence + seen-membership masks, ONE batched
+                # searchsorted pair for the answered check
+                k_arr = idx[inb_u]
+                t_arr = ts[inb_u]
+                dup_m = np.ones(len(k_arr), bool)
+                dup_m[np.unique(k_arr, return_index=True)[1]] = False
+                if seen:
+                    dup_m |= np.isin(
+                        k_arr, np.fromiter(seen.keys(), np.int64,
+                                           len(seen)))
+                for kk in k_arr[dup_m]:   # at-least-once dups: keep first
+                    self.late.append({"conv_id": c, "turn_idx": int(kk),
                                       "ts": -1})
-                    continue
-                t = int(ts[i])
-                seen[k] = t
-                lo = np.searchsorted(a_all, t, side="right")
-                hi = np.searchsorted(a_all, t + self.window, side="right")
-                if lo >= hi:      # not yet answered: open a timer
-                    if pend is None:
-                        pend = self.pending.setdefault(c, {})
-                    pend[k] = t
-                    heapq.heappush(self._heap,
-                                   (t + self.window, c, k, t))
+                new_m = ~dup_m
+                k_new = k_arr[new_m].tolist()
+                t_new = t_arr[new_m]
+                if k_new:
+                    if seen is None:
+                        seen = self.seen_u.setdefault(c, {})
+                    seen.update(zip(k_new, t_new.tolist()))
+                    lo = np.searchsorted(a_all, t_new, side="right")
+                    hi = np.searchsorted(a_all, t_new + self.window,
+                                         side="right")
+                    open_m = lo >= hi     # not yet answered: open timers
+                    if open_m.any():
+                        if pend is None:
+                            pend = self.pending.setdefault(c, {})
+                        ko = [k for k, o in zip(k_new, open_m) if o]
+                        to = t_new[open_m].tolist()
+                        pend.update(zip(ko, to))
+                        for kk, tt in zip(ko, to):
+                            heapq.heappush(
+                                self._heap,
+                                (tt + self.window, c, kk, tt))
             if len(a_new) and pend:
                 gone = [k for k, t in pend.items()
                         if np.searchsorted(a_new, t, side="right")
