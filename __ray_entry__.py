@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_ship_orders": Q.q_late_ship_orders,
         "q6_revenue": Q.q_q6_revenue,
         "label_dim_stats": Q.q_label_dim_stats,
+        "cross_source_dups": Q.q_cross_source_dups,
     }
 
 
@@ -1197,4 +1198,14 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_id, event_type,
                          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
                   FROM events)""",
+        # provenance audit: near-dup clusters spanning source pairs
+        "cross_source_dups": f"""
+            WITH cl AS ({minhash_clusters_sql()}),
+            rs AS (SELECT DISTINCT cl.rep_id, d.source
+                   FROM cl JOIN documents d ON d.doc_id = cl.doc_id)
+            SELECT a.source AS src_a, b.source AS src_b,
+                   count(*) AS n_clusters
+            FROM rs a JOIN rs b
+              ON a.rep_id = b.rep_id AND a.source < b.source
+            GROUP BY 1, 2""",
     }

@@ -975,6 +975,49 @@ def q_minhash_clusters(sf_dir: str):
     return cluster_assignments(_docs_text(sf_dir), rep_pairs, multi)
 
 
+def q_cross_source_dups(sf_dir: str):
+    """Cross-SOURCE duplicate contamination (the provenance audit a
+    multi-crawl corpus merge runs): for every pair of sources, the
+    count of near-dup clusters spanning both. Composes the linear
+    (doc_id, rep_id) cluster contract with the source metadata via one
+    doc-keyed bucketed hash join, folds to DISTINCT (rep, source) pairs
+    per batch, then one rep-bucketed pass emits each cluster's source
+    pairs (bounded: sources² per cluster) into a bounded sum."""
+    from ..stages.bucketing import group_map_by_key
+    from ..stages.dedup_near import cluster_assignments
+    from ..stages.join import hash_inner_join
+    rep_pairs, multi = _neardup_parts(sf_dir, "minhash", threshold=0.9)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+    clusters = cluster_assignments(_docs_text(sf_dir), rep_pairs, multi)
+    joined = hash_inner_join(
+        clusters, docs, "doc_id", {"rep_id": "Int64"},
+        {"source": "object"}, size_ds=docs)
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df[["rep_id", "source"]].astype({"rep_id": "int64"})
+                .drop_duplicates())
+
+    def rep_pairs_fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates().sort_values(["rep_id", "source"],
+                                              kind="stable")
+        rep = df["rep_id"].to_numpy(np.int64)
+        src = df["source"].to_numpy(object)
+        from ..stages.graph import _seg_pairs, _segments
+        starts, lengths = _segments(rep)
+        ii, jj = _seg_pairs(src, starts, lengths)
+        out = (pd.DataFrame({"src_a": src[ii], "src_b": src[jj]})
+               .groupby(["src_a", "src_b"], sort=False).size()
+               .reset_index(name="n_clusters"))
+        out["n_clusters"] = out["n_clusters"].astype("int64")
+        return out
+
+    partials = group_map_by_key(
+        joined.map_batches(pair_partial, batch_format="pandas"),
+        "rep_id", rep_pairs_fold, size_ds=docs)
+    return _grouped_sums(partials, ["src_a", "src_b"], ["n_clusters"])
+
+
 def q_simhash_clusters(sf_dir: str):
     """(doc_id, rep_id) cluster assignment over the simhash hamming≤3
     relation, SQL-checked (recursive-CTE components)."""
