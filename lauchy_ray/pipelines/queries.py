@@ -26,6 +26,7 @@ from .. import rules as R
 from ..events_bridge import derive_turns
 from ..stages.dedup import dedup_exact
 from ..stages.dedup_near import emb_matrix, md5_60
+from ..stages.graph import _seg_pairs, _segments
 from ..stages.sessionize import sessionize
 from ..stages.watermark import flag_late
 from ..stages.windows import topk_rank, window_counts
@@ -1003,7 +1004,10 @@ def q_cross_source_dups(sf_dir: str):
                                               kind="stable")
         rep = df["rep_id"].to_numpy(np.int64)
         src = df["source"].to_numpy(object)
-        from ..stages.graph import _seg_pairs, _segments
+        # _seg_pairs/_segments imported at module top — a lazy relative
+        # import here re-runs on workers where the package isn't on
+        # sys.path (foreign-cwd driver contract; the repo's #1 recurring
+        # footgun, caught again by the final gate-sim)
         starts, lengths = _segments(rep)
         ii, jj = _seg_pairs(src, starts, lengths)
         out = (pd.DataFrame({"src_a": src[ii], "src_b": src[jj]})
