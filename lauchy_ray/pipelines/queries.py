@@ -1178,10 +1178,10 @@ def q_label_dim_stats(sf_dir: str):
                             "n": cnt.ravel(), "sum_q": s.ravel()})
         return out[out["n"] > 0].reset_index(drop=True)
 
-    out = _grouped_sums(ds.map_batches(partial, batch_format="pyarrow"),
-                        ["label", "dim"], ["n", "sum_q"])
-    return out.map_batches(lambda t: t.filter(pc.greater(t["n"], 0)),
-                           batch_format="pyarrow")
+    # (no post-merge n>0 filter: unlike embed_dim_stats, THIS partial
+    # already drops n==0 cells, so merged sums are always >= 1)
+    return _grouped_sums(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["label", "dim"], ["n", "sum_q"])
 
 
 Q4_LATE_US = 90 * 86_400_000_000  # late-shipment threshold (90 days)

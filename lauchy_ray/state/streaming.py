@@ -1731,9 +1731,11 @@ class AbsenceShardCore(ShardActorBase):
                 dup_m = np.ones(len(k_arr), bool)
                 dup_m[np.unique(k_arr, return_index=True)[1]] = False
                 if seen:
-                    dup_m |= np.isin(
-                        k_arr, np.fromiter(seen.keys(), np.int64,
-                                           len(seen)))
+                    # O(batch) dict lookups — materializing the seen-key
+                    # array would rescan O(state) per batch (review)
+                    dup_m |= np.fromiter(
+                        (k in seen for k in k_arr.tolist()), bool,
+                        len(k_arr))
                 for kk in k_arr[dup_m]:   # at-least-once dups: keep first
                     self.late.append({"conv_id": c, "turn_idx": int(kk),
                                       "ts": -1})
