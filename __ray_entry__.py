@@ -173,6 +173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_revenue": Q.q_q6_revenue,
         "label_dim_stats": Q.q_label_dim_stats,
         "cross_source_dups": Q.q_cross_source_dups,
+        "hourly_seasonality": Q.q_hourly_seasonality,
+        "user_activity_span": Q.q_user_activity_span,
     }
 
 
@@ -1208,4 +1210,19 @@ def oracle_sql() -> dict[str, str]:
             FROM rs a JOIN rs b
               ON a.rep_id = b.rep_id AND a.source < b.source
             GROUP BY 1, 2""",
+        # hour-of-day seasonality: pure epoch arithmetic == date_part
+        "hourly_seasonality": """
+            SELECT (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2""",
+        # per-user lifetime/engagement profile
+        "user_activity_span": f"""
+            SELECT user_id,
+                   min(epoch_us(ts)) AS first_us,
+                   max(epoch_us(ts)) AS last_us,
+                   count(DISTINCT epoch_us(ts) // {Q.DAY_US})
+                     AS active_days,
+                   count(*) AS n_events,
+                   max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us
+            FROM events GROUP BY 1""",
     }

@@ -1107,6 +1107,61 @@ def q_media_resize(sf_dir: str):
                               concurrency=(1, 4)).to_pandas()
 
 
+def q_hourly_seasonality(sf_dir: str):
+    """Hour-of-day × type seasonality profile (the date_part face):
+    bounded (24 × types) combiner, single-task merge. Hour derivation
+    is pure epoch arithmetic ((us // hour) % 24 ≡ UTC date_part)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hod = (t["ts"].cast(pa.int64()).to_numpy() // HOUR_US) % 24
+        return (pa.TableGroupBy(pa.table({"hour_of_day": hod,
+                                          "event_type": t["event_type"]}),
+                                ["hour_of_day", "event_type"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["hour_of_day", "event_type", "n"]))
+
+    return _grouped_sums(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["hour_of_day", "event_type"], ["n"])
+
+
+def q_user_activity_span(sf_dir: str):
+    """Per-user lifetime profile: first/last event time, span, active
+    days, total events — the engagement summary a retention model
+    consumes. ONE user-bucketed pass: per-batch (user, day) pairs plus
+    min/max/count partials fold per bucket; output is O(users)."""
+    from ..stages.bucketing import group_map_by_key
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64")
+        g = (pd.DataFrame({"user_id": df["user_id"].astype("int64"),
+                           "ts_us": ts_us, "day_id": ts_us // DAY_US})
+             .groupby(["user_id", "day_id"])
+             .agg(first_us=("ts_us", "min"), last_us=("ts_us", "max"),
+                  n_events=("ts_us", "size"))
+             .reset_index())
+        return g.astype({"n_events": "int64"})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["user_id", "day_id"])
+             .agg(first_us=("first_us", "min"), last_us=("last_us", "max"),
+                  n_events=("n_events", "sum")).reset_index()
+             .groupby("user_id")
+             .agg(first_us=("first_us", "min"), last_us=("last_us", "max"),
+                  active_days=("day_id", "nunique"),
+                  n_events=("n_events", "sum"))
+             .reset_index())
+        g["span_us"] = g["last_us"] - g["first_us"]
+        return g.astype({"active_days": "int64", "n_events": "int64",
+                         "span_us": "int64"})
+
+    return group_map_by_key(ds.map_batches(prep, batch_format="pandas"),
+                            "user_id", fold, size_ds=ds)
+
+
 Q6_YEAR = "1997"
 
 
