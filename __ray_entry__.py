@@ -175,6 +175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_source_dups": Q.q_cross_source_dups,
         "hourly_seasonality": Q.q_hourly_seasonality,
         "user_activity_span": Q.q_user_activity_span,
+        "events_weekly": Q.q_events_weekly,
+        "user_type_breadth": Q.q_user_type_breadth,
     }
 
 
@@ -1224,5 +1226,14 @@ def oracle_sql() -> dict[str, str]:
                      AS active_days,
                    count(*) AS n_events,
                    max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us
+            FROM events GROUP BY 1""",
+        # Monday-aligned weeks: (day+3)//7 ≡ date_trunc('week') indexing
+        "events_weekly": f"""
+            SELECT (epoch_us(ts) // {Q.DAY_US} + 3) // 7 AS week_id,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2""",
+        # engagement breadth: distinct types per user
+        "user_type_breadth": """
+            SELECT user_id, count(DISTINCT event_type) AS n_types
             FROM events GROUP BY 1""",
     }

@@ -1107,6 +1107,48 @@ def q_media_resize(sf_dir: str):
                               concurrency=(1, 4)).to_pandas()
 
 
+def q_events_weekly(sf_dir: str):
+    """ISO-Monday-aligned weekly counts per type (the date_trunc('week')
+    face): week_id = (day_id + 3) // 7 — epoch day 0 is a Thursday, so
+    the +3 shift lands week boundaries on Mondays, identical to
+    date_trunc('week'). Bounded (weeks × types) combiner."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        wk = (t["ts"].cast(pa.int64()).to_numpy() // DAY_US + 3) // 7
+        return (pa.TableGroupBy(pa.table({"week_id": wk,
+                                          "event_type": t["event_type"]}),
+                                ["week_id", "event_type"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["week_id", "event_type", "n"]))
+
+    return _grouped_sums(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["week_id", "event_type"], ["n"])
+
+
+def q_user_type_breadth(sf_dir: str):
+    """Per-user engagement breadth: how many DISTINCT event types each
+    user touched. Per-batch distinct (user, type) pairs collapse before
+    the shuffle; the user-bucket fold counts — the transpose of
+    distinct_users_by_type, output O(users)."""
+    from ..stages.bucketing import group_map_by_key
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return (df[["user_id", "event_type"]]
+                .astype({"user_id": "int64"}).drop_duplicates())
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.drop_duplicates().groupby("user_id", sort=False)
+             .size().reset_index(name="n_types"))
+        return g.astype({"user_id": "int64", "n_types": "int64"})
+
+    return group_map_by_key(ds.map_batches(pairs, batch_format="pandas"),
+                            "user_id", fold, size_ds=ds)
+
+
 def q_hourly_seasonality(sf_dir: str):
     """Hour-of-day × type seasonality profile (the date_part face):
     bounded (24 × types) combiner, single-task merge. Hour derivation
