@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_span": Q.q_user_activity_span,
         "events_weekly": Q.q_events_weekly,
         "user_type_breadth": Q.q_user_type_breadth,
+        "orders_backlog": Q.q_orders_backlog,
     }
 
 
@@ -1236,4 +1237,22 @@ def oracle_sql() -> dict[str, str]:
         "user_type_breadth": """
             SELECT user_id, count(DISTINCT event_type) AS n_types
             FROM events GROUP BY 1""",
+        # order-lifecycle backlog: step function over boundary days
+        "orders_backlog": f"""
+            WITH li AS (SELECT l_orderkey,
+                               max(epoch_us(l_shipdate)) // {Q.DAY_US}
+                                 AS close_day
+                        FROM lineitem GROUP BY 1),
+            iv AS (SELECT epoch_us(o.o_orderdate) // {Q.DAY_US}
+                            AS open_day, li.close_day
+                   FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey),
+            b AS (SELECT open_day AS day_id, 1 AS d FROM iv
+                  UNION ALL SELECT close_day + 1, -1 FROM iv),
+            s AS (SELECT day_id, CAST(sum(d) AS BIGINT) AS delta
+                  FROM b GROUP BY 1 HAVING sum(d) <> 0)
+            SELECT day_id,
+                   CAST(sum(delta) OVER (ORDER BY day_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS open_orders
+            FROM s""",
     }

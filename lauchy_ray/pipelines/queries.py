@@ -1107,6 +1107,71 @@ def q_media_resize(sf_dir: str):
                               concurrency=(1, 4)).to_pandas()
 
 
+def q_orders_backlog(sf_dir: str):
+    """Order-lifecycle backlog: OPEN orders per day (opened on the
+    order date, closed after the last lineitem ships) as a step
+    function over boundary days. One orderkey-bucketed fold derives
+    each order's close day from lineitem; the gated broadcast order map
+    attaches open days; per-day ±1 deltas are bounded (O(days)) and the
+    running backlog is a single cumsum over them — the sweep-line
+    pattern at day granularity, no global sort."""
+    import os
+
+    import pyarrow.parquet as pq
+    from ..stages.bucketing import group_map_by_key
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+    opath = f"{sf_dir}/orders.parquet"
+    orders = pq.read_table(opath, columns=["o_orderkey", "o_orderdate"])
+    ok = orders["o_orderkey"].to_numpy()
+    order = np.argsort(ok, kind="stable")
+    ref = ray.put((ok[order],
+                   (orders["o_orderdate"].cast(pa.int64()).to_numpy()
+                    // DAY_US)[order]))
+    assert os.path.getsize(opath) <= BROADCAST_DIM_BYTES, \
+        "orders map above the broadcast gate: route via hash_inner_join"
+
+    def close_partial(t: pa.Table) -> pd.DataFrame:
+        g = (pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_numpy(),
+            "close_day": t["l_shipdate"].cast(pa.int64()).to_numpy()
+            // DAY_US})
+            .groupby("l_orderkey")["close_day"].max().reset_index())
+        return g.astype({"l_orderkey": "int64", "close_day": "int64"})
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("l_orderkey")["close_day"].max().reset_index())
+        k, od = ray.get(ref)
+        key = g["l_orderkey"].to_numpy(np.int64)
+        p = np.searchsorted(k, key)
+        pc2 = np.minimum(p, max(len(k) - 1, 0))
+        valid = (k[pc2] == key) if len(k) else np.zeros(len(key), bool)
+        open_day = od[pc2[valid]]
+        close_day = g["close_day"].to_numpy(np.int64)[valid]
+        b = pd.DataFrame({
+            "day_id": np.concatenate([open_day, close_day + 1]),
+            "delta": np.concatenate([
+                np.ones(len(open_day), np.int64),
+                -np.ones(len(close_day), np.int64)])})
+        out = (b.groupby("day_id")["delta"].sum().reset_index())
+        return out.astype({"day_id": "int64", "delta": "int64"})
+
+    parts = group_map_by_key(
+        li.map_batches(close_partial, batch_format="pyarrow"),
+        "l_orderkey", deltas, size_ds=li)
+
+    def cum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("day_id", sort=True)["delta"].sum().reset_index()
+        g = g[g["delta"] != 0]
+        g["open_orders"] = g["delta"].cumsum().astype("int64")
+        return g[["day_id", "open_orders"]].astype(
+            {"day_id": "int64"}).reset_index(drop=True)
+
+    return parts.repartition(1).map_batches(cum, batch_format="pandas",
+                                            batch_size=None)
+
+
 def q_events_weekly(sf_dir: str):
     """ISO-Monday-aligned weekly counts per type (the date_trunc('week')
     face): week_id = (day_id + 3) // 7 — epoch day 0 is a Thursday, so
