@@ -178,6 +178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_weekly": Q.q_events_weekly,
         "user_type_breadth": Q.q_user_type_breadth,
         "orders_backlog": Q.q_orders_backlog,
+        "supplier_balance_by_nation": Q.q_supplier_balance_by_nation,
+        "monthly_returns": Q.q_monthly_returns,
     }
 
 
@@ -1255,4 +1257,24 @@ def oracle_sql() -> dict[str, str]:
                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
                      AS open_orders
             FROM s""",
+        # nation-coded supplier balance stats, exact cents
+        "supplier_balance_by_nation": """
+            SELECT n.n_name,
+                   count(*) AS n_suppliers,
+                   CAST(sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   min(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT))
+                     AS min_cents,
+                   max(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT))
+                     AS max_cents
+            FROM supplier s JOIN nation n
+              ON n.n_nationkey = s.s_nationkey
+            GROUP BY 1""",
+        # 30-day-bucket return-rate trend (bucket months, documented)
+        "monthly_returns": f"""
+            SELECT epoch_us(l_shipdate) // {30 * Q.DAY_US} AS month_id,
+                   CAST(count(*) FILTER (WHERE l_returnflag = 'R')
+                        AS BIGINT) AS n_returned,
+                   count(*) AS n_items
+            FROM lineitem GROUP BY 1""",
     }

@@ -1107,6 +1107,70 @@ def q_media_resize(sf_dir: str):
                               concurrency=(1, 4)).to_pandas()
 
 
+def q_supplier_balance_by_nation(sf_dir: str):
+    """Dimension-coded aggregate: supplier account-balance stats per
+    nation NAME — tiny nation map applied in-batch (no shuffle), exact
+    integer cents for the sums, count + min/max folded in one bounded
+    merge."""
+    import pyarrow.parquet as pq
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nat["n_nationkey"].to_pylist(),
+                       nat["n_name"].to_pylist()))
+    ds = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                         columns=["s_nationkey", "s_acctbal"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["s_acctbal"].to_numpy(np.float64) * 100.0
+                         + 0.5).astype(np.int64)
+        g = (pd.DataFrame({
+            "n_name": df["s_nationkey"].map(name_of),
+            "c": cents})
+            .groupby("n_name")["c"]
+            .agg(n_suppliers="size", sum_cents="sum",
+                 min_cents="min", max_cents="max").reset_index())
+        return g.astype({"n_suppliers": "int64", "sum_cents": "int64",
+                         "min_cents": "int64", "max_cents": "int64"})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("n_name")
+             .agg(n_suppliers=("n_suppliers", "sum"),
+                  sum_cents=("sum_cents", "sum"),
+                  min_cents=("min_cents", "min"),
+                  max_cents=("max_cents", "max")).reset_index())
+        return g.astype({"n_suppliers": "int64", "sum_cents": "int64",
+                         "min_cents": "int64", "max_cents": "int64"})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .repartition(1).map_batches(merge, batch_format="pandas",
+                                        batch_size=None))
+
+
+def q_monthly_returns(sf_dir: str):
+    """Return-rate trend: per ship-month, returned vs total lineitems
+    and the exact-rational rate numerators (the monitoring face every
+    order pipeline tracks). Month derivation is pure epoch arithmetic
+    on 30-day buckets (documented: bucket-months, not calendar months —
+    identical expression in the oracle); bounded combiner."""
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_shipdate", "l_returnflag"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = t["l_shipdate"].cast(pa.int64()).to_numpy() // (30 * DAY_US)
+        ret = pc.equal(t["l_returnflag"], "R").to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({"month_id": m,
+                           "n_returned": ret.astype(np.int64)})
+             .groupby("month_id")
+             .agg(n_returned=("n_returned", "sum"),
+                  n_items=("n_returned", "size")).reset_index())
+        return pa.Table.from_pandas(
+            g.astype({"month_id": "int64", "n_returned": "int64",
+                      "n_items": "int64"}), preserve_index=False)
+
+    return _grouped_sums(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["month_id"], ["n_returned", "n_items"])
+
+
 def q_orders_backlog(sf_dir: str):
     """Order-lifecycle backlog: OPEN orders per day (opened on the
     order date, closed after the last lineitem ships) as a step
