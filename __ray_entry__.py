@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_backlog": Q.q_orders_backlog,
         "supplier_balance_by_nation": Q.q_supplier_balance_by_nation,
         "monthly_returns": Q.q_monthly_returns,
+        "response_latency": Q.q_response_latency,
     }
 
 
@@ -1277,4 +1278,18 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_returned,
                    count(*) AS n_items
             FROM lineitem GROUP BY 1""",
+        # per-conv response latency: next strictly-later assistant turn
+        "response_latency": f"""WITH {_T},
+            u AS (SELECT conv_id, epoch_us(ts) AS t FROM turns
+                  WHERE role = 'user'),
+            lat AS (SELECT u.conv_id,
+                           (SELECT min(epoch_us(a.ts)) FROM turns a
+                            WHERE a.conv_id = u.conv_id
+                              AND a.role = 'assistant'
+                              AND epoch_us(a.ts) > u.t) - u.t AS l
+                    FROM u)
+            SELECT conv_id, count(l) AS n_answered,
+                   CAST(sum(l) AS BIGINT) AS sum_lat_us,
+                   min(l) AS min_lat_us, max(l) AS max_lat_us
+            FROM lat WHERE l IS NOT NULL GROUP BY 1""",
     }

@@ -1107,6 +1107,61 @@ def q_media_resize(sf_dir: str):
                               concurrency=(1, 4)).to_pandas()
 
 
+def q_response_latency(sf_dir: str):
+    """Per-conversation RESPONSE LATENCY: for every user turn, the gap
+    to the NEXT assistant turn (strictly later — the same exclusive
+    suffix-min scan the absence family uses), aggregated per conv in
+    exact integer microseconds (count/sum/min/max; no float). The
+    flagship transcript-quality analytic: conv-bucketed, output
+    O(conversations)."""
+    from ..stages.bucketing import group_map_by_key
+    turns = _turns(sf_dir)
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["role"].isin(["user", "assistant"]).to_numpy()
+        return pd.DataFrame({
+            "conv_id": df["conv_id"].to_numpy()[m],
+            "ts_us": df["ts"].astype("datetime64[us]")
+            .astype("int64").to_numpy()[m],
+            "is_user": (df["role"].to_numpy()[m] == "user")})
+
+    def latency(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "ts_us", "is_user"],
+                            kind="stable").reset_index(drop=True)
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({
+                "conv_id": pd.Series(dtype=object),
+                "n_answered": pd.Series(dtype="int64"),
+                "sum_lat_us": pd.Series(dtype="int64"),
+                "min_lat_us": pd.Series(dtype="int64"),
+                "max_lat_us": pd.Series(dtype="int64")})
+        key = df["conv_id"].to_numpy()
+        ts = df["ts_us"].to_numpy(np.int64)
+        opn = df["is_user"].to_numpy(bool)
+        vals = np.where(opn, _ABSENCE_SENT, ts)
+        rv, rk = vals[::-1], key[::-1]
+        starts = np.r_[True, rk[1:] != rk[:-1]]
+        cm = (pd.Series(rv).groupby(np.cumsum(starts)).cummin()
+              .to_numpy(np.int64))
+        ex = np.empty(n, np.int64)
+        ex[0] = _ABSENCE_SENT
+        ex[1:] = cm[:-1]
+        ex[starts] = _ABSENCE_SENT
+        nxt = ex[::-1]
+        ans = opn & (nxt < _ABSENCE_SENT)
+        lat = pd.DataFrame({"conv_id": key[ans],
+                            "l": nxt[ans] - ts[ans]})
+        g = (lat.groupby("conv_id")["l"]
+             .agg(n_answered="size", sum_lat_us="sum",
+                  min_lat_us="min", max_lat_us="max").reset_index())
+        return g.astype({"n_answered": "int64", "sum_lat_us": "int64",
+                         "min_lat_us": "int64", "max_lat_us": "int64"})
+
+    return group_map_by_key(turns.map_batches(prep, batch_format="pandas"),
+                            "conv_id", latency, size_ds=_events(sf_dir))
+
+
 def q_supplier_balance_by_nation(sf_dir: str):
     """Dimension-coded aggregate: supplier account-balance stats per
     nation NAME — tiny nation map applied in-batch (no shuffle), exact
