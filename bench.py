@@ -207,6 +207,38 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _trim_for_stdout(result: dict, sidecar: str) -> dict:
+    """The grading driver keeps only a ~2000-byte stdout tail; round 3's
+    4,043-byte line was recorded as "parsed": null. Emit a <1900-byte
+    summary (headline + scaling-relevant numbers + bandwidth probes) and
+    write the FULL result — per-query timings, streaming engines, both
+    calibration blocks — to a sidecar JSON file next to this script."""
+    with open(sidecar, "w") as f:
+        json.dump(result, f, indent=1)
+    calib = result.get("calibration", {})
+    calib_end = result.get("calibration_end", {})
+    slim = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "num_cpus": result["num_cpus"],
+        "bench_turns": result["bench_turns"],
+        "turns_per_sec": result["turns_per_sec"],
+        "headline_samples": result["headline_samples"],
+        # per-query timings live in the sidecar; stdout carries the totals
+        "queries": {"total_sec": result["queries_total_sec"],
+                    "n": len(result["queries"])},
+        "queries_total_sec": result["queries_total_sec"],
+        "membw_mb_s": [calib.get("membw_mb_s"), calib_end.get("membw_mb_s")],
+        "loadavg_1m": calib.get("loadavg_1m"),
+        "details_file": sidecar,
+    }
+    line = json.dumps(slim)
+    assert len(line) < 1900, f"stdout line {len(line)}B breaks driver contract"
+    return slim
+
+
 def single_run() -> dict:
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -255,12 +287,17 @@ def single_run() -> dict:
 
 def scaling() -> dict:
     def run(ncpu: int) -> dict:
+        # each subprocess gets its own sidecar (the full result); stdout is
+        # the trimmed summary, so read the sidecar for calibration blocks
+        sidecar = f"/tmp/lauchy_bench/sidecar_{ncpu}.json"
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   LAUCHY_BENCH_HEADLINE_ONLY="1")
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True, check=True,
-                             cwd=os.path.dirname(os.path.abspath(__file__)))
-        return json.loads(out.stdout.strip().splitlines()[-1])
+                   LAUCHY_BENCH_HEADLINE_ONLY="1",
+                   LAUCHY_BENCH_SIDECAR=sidecar)
+        subprocess.run([sys.executable, os.path.abspath(__file__)],
+                       env=env, capture_output=True, text=True, check=True,
+                       cwd=os.path.dirname(os.path.abspath(__file__)))
+        with open(sidecar) as f:
+            return json.load(f)
 
     lo, hi = 8, 32
     r_lo, r_hi = run(lo), run(hi)
@@ -279,7 +316,26 @@ def scaling() -> dict:
 
 
 if __name__ == "__main__":
+    here = os.path.dirname(os.path.abspath(__file__))
     if "--scaling" in sys.argv:
-        print(json.dumps(scaling()))
+        full = scaling()
+        sidecar = os.path.join(here, "bench_details_scaling.json")
+        with open(sidecar, "w") as f:
+            json.dump(full, f, indent=1)
+        slim = {k: full[k] for k in
+                ("sec_8", "sec_32", "turns_per_sec_8", "turns_per_sec_32",
+                 "scaling_efficiency", "bench_turns", "samples_8",
+                 "samples_32")}
+        slim["membw_mb_s"] = [
+            (full.get("calibration_8") or {}).get("membw_mb_s"),
+            (full.get("calibration_32") or {}).get("membw_mb_s")]
+        slim["details_file"] = sidecar
+        line = json.dumps(slim)
+        assert len(line) < 1900, f"stdout line {len(line)}B breaks contract"
+        print(line)
     else:
-        print(json.dumps(single_run()))
+        full = single_run()
+        sidecar = os.environ.get("LAUCHY_BENCH_SIDECAR",
+                                 os.path.join(here, "bench_details.json"))
+        os.makedirs(os.path.dirname(sidecar), exist_ok=True)
+        print(json.dumps(_trim_for_stdout(full, sidecar)))

@@ -1242,14 +1242,17 @@ def q_orders_backlog(sf_dir: str):
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_shipdate"])
     opath = f"{sf_dir}/orders.parquet"
+    # gate BEFORE reading/broadcasting (asserts vanish under -O and the
+    # old order read the whole table into driver memory first)
+    if os.path.getsize(opath) > BROADCAST_DIM_BYTES:
+        raise ValueError(
+            "orders map above the broadcast gate: route via hash_inner_join")
     orders = pq.read_table(opath, columns=["o_orderkey", "o_orderdate"])
     ok = orders["o_orderkey"].to_numpy()
     order = np.argsort(ok, kind="stable")
     ref = ray.put((ok[order],
                    (orders["o_orderdate"].cast(pa.int64()).to_numpy()
                     // DAY_US)[order]))
-    assert os.path.getsize(opath) <= BROADCAST_DIM_BYTES, \
-        "orders map above the broadcast gate: route via hash_inner_join"
 
     def close_partial(t: pa.Table) -> pd.DataFrame:
         g = (pd.DataFrame({

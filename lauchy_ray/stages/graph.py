@@ -242,8 +242,9 @@ SELECT node_id, rep_id FROM comp"""
 # iteration is EXACTLY reproducible — no float accumulation-order drift —
 # and the DuckDB oracle re-derives the identical trajectory. int64 bound:
 # total mass never exceeds nodes * PR_SCALE (damping only shrinks sums),
-# so per-node ranks stay < 2^63 up to ~9e6 nodes at this SCALE; larger
-# graphs lower PR_SCALE (mass / 2^63 of headroom) — documented tradeoff.
+# and the damping fold avoids the 85*S intermediate (split-form identity
+# in fold()), so every value stays < 2^63 up to ~9e6 nodes at this SCALE;
+# larger graphs lower PR_SCALE (mass / 2^63 of headroom) — documented.
 PR_SCALE = 10**12
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact rational
 PR_BASE = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
@@ -313,10 +314,18 @@ def pagerank(edges: rd.Dataset, iters: int = 5,
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("node", sort=False)["c"].sum().reset_index()
+        s = g["c"].to_numpy(np.int64)
+        # floor(85*S/100) WITHOUT the 85*S intermediate: a hub absorbing
+        # most of the graph's mass makes 85*S wrap int64 around ~1e5
+        # nodes (numpy wraps silently; DuckDB promotes to HUGEINT, so
+        # engine and oracle would diverge). The split form is exact:
+        # 85*(S//100) + (85*(S%100))//100, both terms < S < 2^63 for
+        # any graph whose total mass fits int64 (~9e6 nodes @ PR_SCALE).
+        damped = (PR_DAMP_NUM * (s // PR_DAMP_DEN)
+                  + PR_DAMP_NUM * (s % PR_DAMP_DEN) // PR_DAMP_DEN)
         return pd.DataFrame({
             "node": g["node"].to_numpy(np.int64),
-            "r": (PR_BASE
-                  + PR_DAMP_NUM * g["c"].to_numpy(np.int64) // PR_DAMP_DEN),
+            "r": PR_BASE + damped,
         })
 
     for _ in range(iters):

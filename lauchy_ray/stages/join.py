@@ -370,6 +370,10 @@ def interval_join_tagged(both: rd.Dataset, key: str = "user_id",
 
 def _inner_bucket(df: pd.DataFrame, key: str, left_cols: list[str],
                   right_cols: list[str]) -> pd.DataFrame:
+    # SQL inner join on NULL matches nothing, but pandas merge treats
+    # NA == NA as a match (and keys here are nullable Int64) — drop
+    # null-key rows first, mirroring _outer_bucket's explicit handling
+    df = df[df[key].notna()]
     lhs = df.loc[df["side"] == 0, [key] + left_cols]
     rhs = df.loc[df["side"] == 1, [key] + right_cols]
     return lhs.merge(rhs, on=key)  # m:n inner, C-vectorized

@@ -143,3 +143,22 @@ def test_pagerank_bucketed_path(ray_session, monkeypatch):
     got = (pagerank(rd.from_pandas(df).repartition(3)).to_pandas()
            .sort_values("node_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, _pr_ref(df))
+
+
+def test_pagerank_hub_no_int64_wrap(ray_session):
+    """A hub absorbing mass from 120k leaves makes the old 85*S damping
+    intermediate wrap int64 (S = 1.2e17, 85*S = 1.02e19 > 2^63); the
+    split-form fold must match the arbitrary-precision reference."""
+    from lauchy_ray.stages.graph import (PR_BASE, PR_DAMP_DEN, PR_DAMP_NUM,
+                                         PR_SCALE, pagerank)
+    n = 120_000
+    leaves = np.arange(1, n + 1, dtype=np.int64)
+    df = pd.DataFrame({"u": np.zeros(n, np.int64), "v": leaves})
+    got = (pagerank(rd.from_pandas(df).repartition(4), iters=1)
+           .to_pandas().set_index("node_id"))
+    s_hub = n * (PR_SCALE // 1)  # each leaf contributes r//deg = PR_SCALE
+    want_hub = PR_BASE + PR_DAMP_NUM * s_hub // PR_DAMP_DEN  # python bigint
+    assert int(got.loc[0, "rank_fp"]) == want_hub
+    s_leaf = PR_SCALE // n  # hub's mass split over its n neighbors
+    want_leaf = PR_BASE + PR_DAMP_NUM * s_leaf // PR_DAMP_DEN
+    assert int(got.loc[1, "rank_fp"]) == want_leaf

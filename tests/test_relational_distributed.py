@@ -107,3 +107,23 @@ def test_q5_fallback_join_path_matches_broadcast(ray_session, monkeypatch):
     slow = (Q.q_q5_region_revenue(sf).to_pandas()
             .sort_values("n_name").reset_index(drop=True))
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_hash_inner_join_null_keys_match_nothing(ray_session):
+    """SQL inner join on NULL matches nothing; pandas merge matches
+    NA == NA, so _inner_bucket must drop null-key rows (keys are coerced
+    to nullable Int64 by the tag step)."""
+    import ray.data as rd
+
+    from lauchy_ray.stages.join import hash_inner_join
+
+    left = pd.DataFrame({"k": pd.array([1, None, 2, None], dtype="Int64"),
+                         "lv": [10, 20, 30, 40]})
+    right = pd.DataFrame({"k": pd.array([1, None, 3], dtype="Int64"),
+                          "rv": [100, 200, 300]})
+    out = (hash_inner_join(rd.from_pandas(left), rd.from_pandas(right), "k",
+                           {"lv": "Int64"}, {"rv": "Int64"})
+           .to_pandas())
+    assert len(out) == 1
+    assert int(out["k"].iloc[0]) == 1
+    assert int(out["lv"].iloc[0]) == 10 and int(out["rv"].iloc[0]) == 100
