@@ -1626,6 +1626,49 @@ def run_streaming_patterns(input_path: str,
     return out, late_df, [f["watermark"] for f in finals]
 
 
+def _range_exists(d_code: np.ndarray, d_ts: np.ndarray,
+                  q_code: np.ndarray, q_t: np.ndarray,
+                  window: int) -> np.ndarray:
+    """For each query (code, t): does a data entry with the same code and
+    ts in (t, t + window] exist? Data sorted by (code, ts); queries in
+    any order. ONE vectorized searchsorted pair via compact-code +
+    offset packing (data restricted to the queried codes keeps the pack
+    small); falls back to a per-query bisect when the packed key would
+    overflow int64 (pathological ts span only)."""
+    n_q = len(q_code)
+    out = np.zeros(n_q, bool)
+    if n_q == 0 or len(d_code) == 0:
+        return out
+    un = np.unique(q_code)
+    lo_c = np.searchsorted(d_code, un, side="left")
+    hi_c = np.searchsorted(d_code, un, side="right")
+    lens = hi_c - lo_c
+    total = int(lens.sum())
+    if total == 0:
+        return out
+    starts = np.repeat(lo_c, lens)
+    offs = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+    sub_ts = d_ts[starts + offs]
+    sub_cc = np.repeat(np.arange(len(un)), lens)
+    qc = np.searchsorted(un, q_code)
+    base = int(min(sub_ts.min(), q_t.min()))
+    top = int(max(int(sub_ts.max()), int(q_t.max()) + window))
+    span = top - base + 2
+    if len(un) * span >= (1 << 62):
+        for i in range(n_q):
+            seg = sub_ts[np.flatnonzero(sub_cc == qc[i])] \
+                if lens[qc[i]] else sub_ts[:0]
+            lo = np.searchsorted(seg, q_t[i], side="right")
+            hi = np.searchsorted(seg, q_t[i] + window, side="right")
+            out[i] = lo < hi
+        return out
+    pk = sub_cc * span + (sub_ts - base)
+    lo = np.searchsorted(pk, qc * span + (q_t - base), side="right")
+    hi = np.searchsorted(pk, qc * span + (q_t + window - base),
+                         side="right")
+    return lo < hi
+
+
 class AbsenceShardCore(ShardActorBase):
     """Streaming ABSENCE / timeout CEP (the `A not followed by B within
     W` face — Flink CEP's notFollowedBy().within()): emit every user
@@ -1666,21 +1709,38 @@ class AbsenceShardCore(ShardActorBase):
                  checkpoint_path: str | None = None):
         self.window = int(window_us)
         self.lateness = int(lateness_us)
-        self.pending: dict = {}   # conv → {turn_idx: ts} unanswered user turns
-        self.assist: dict = {}    # conv → np.int64 sorted assistant ts (> wm)
-        self.seen_u: dict = {}    # conv → {turn_idx: ts} dup guard (ts > wm)
-        self._heap: list = []     # (deadline, conv, idx, ts) lazy timers
+        # COLUMNAR state (r4: the per-conv dict/segment design ran a
+        # Python loop body per conv per batch — ~600k tiny segments per
+        # shard on the 8M bench — capping the engine at ~0.7M turns/s;
+        # every structure below is a flat numpy array so each ingest is
+        # a fixed number of vectorized kernels regardless of conv count):
+        #   _names: conv_id → dense gcode (position in the Index)
+        #   assist (ts > wm), sorted by (gcode, ts)
+        #   seen dup-guard (ts > wm), sorted by packed (gcode<<34 | idx)
+        #   pending unanswered user turns, insertion order (no sort
+        #   needed: answer-removal and expiry are per-entry predicates)
+        self._names = pd.Index([], dtype=object)
+        self._a_code = np.empty(0, np.int64)
+        self._a_ts = np.empty(0, np.int64)
+        self._s_key = np.empty(0, np.int64)
+        self._s_ts = np.empty(0, np.int64)
+        self._p_code = np.empty(0, np.int64)
+        self._p_idx = np.empty(0, np.int64)
+        self._p_ts = np.empty(0, np.int64)
+        self._p_dl = np.empty(0, np.int64)
         self._init_shard_state(
             checkpoint_path, ("absence", self.window, self.lateness))
 
     def _core_state(self):
-        return (self.pending, self.assist, self.seen_u, self._heap)
+        return (self._names, self._a_code, self._a_ts, self._s_key,
+                self._s_ts, self._p_code, self._p_idx, self._p_ts,
+                self._p_dl)
 
     def _restore_core(self, core) -> None:
-        self.pending, self.assist, self.seen_u, self._heap = core
+        (self._names, self._a_code, self._a_ts, self._s_key, self._s_ts,
+         self._p_code, self._p_idx, self._p_ts, self._p_dl) = core
 
     def ingest(self, table: pa.Table, seq: int | None = None) -> int:
-        import heapq
         if self._skip_replay(table, seq):
             return 0
         ts = table["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -1694,83 +1754,92 @@ class AbsenceShardCore(ShardActorBase):
             self.late.append({"conv_id": conv[i], "turn_idx": int(idx[i]),
                               "ts": int(ts[i])})
         keep = ~late_m
-        is_u = keep & (roles == "user")
-        is_a = keep & (roles == "assistant")
-        # factorize + argsort segments: O(n log n) conv grouping, never
-        # an O(convs × rows) per-conv equality scan (review finding —
-        # the PatternShardCore lesson)
-        sel = np.flatnonzero(is_u | is_a)
-        codes, uconv = pd.factorize(conv[sel])
-        order = np.argsort(codes, kind="stable")
-        sel = sel[order]
-        codes = codes[order]
-        if len(codes):
-            seg_starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
-            seg_ends = np.r_[seg_starts[1:], len(codes)]
-        else:
-            seg_starts = seg_ends = np.array([], np.int64)
-        for s0, s1 in zip(seg_starts, seg_ends):
-            rows = sel[s0:s1]
-            c = uconv[codes[s0]]
-            inb_u = rows[is_u[rows]]
-            a_new = np.sort(ts[rows[is_a[rows]]])
-            a_old = self.assist.get(c)
-            a_all = (np.sort(np.concatenate([a_old, a_new]))
-                     if a_old is not None and len(a_new) else
-                     (a_old if a_old is not None else a_new))
-            pend = self.pending.get(c)
-            seen = self.seen_u.get(c)
-            if len(inb_u):
-                # vectorized over the conv's user turns (the per-turn
-                # Python loop with one searchsorted each was the
-                # engine's hot spot): keep-first duplicates via
-                # first-occurrence + seen-membership masks, ONE batched
-                # searchsorted pair for the answered check
-                k_arr = idx[inb_u]
-                t_arr = ts[inb_u]
-                dup_m = np.ones(len(k_arr), bool)
-                dup_m[np.unique(k_arr, return_index=True)[1]] = False
-                if seen:
-                    # O(batch) dict lookups — materializing the seen-key
-                    # array would rescan O(state) per batch (review)
-                    dup_m |= np.fromiter(
-                        (k in seen for k in k_arr.tolist()), bool,
-                        len(k_arr))
-                for kk in k_arr[dup_m]:   # at-least-once dups: keep first
-                    self.late.append({"conv_id": c, "turn_idx": int(kk),
-                                      "ts": -1})
-                new_m = ~dup_m
-                k_new = k_arr[new_m].tolist()
+        u_rows = np.flatnonzero(keep & (roles == "user"))
+        a_rows = np.flatnonzero(keep & (roles == "assistant"))
+
+        # dense conv codes: factorize the batch once, vectorized lookup
+        # against the persistent name index, append only the new names
+        codes_b, uconv = pd.factorize(
+            np.concatenate([conv[u_rows], conv[a_rows]]))
+        g_of_u = self._names.get_indexer(uconv) if len(uconv) else \
+            np.empty(0, np.int64)
+        miss = g_of_u == -1
+        if miss.any():
+            start = len(self._names)
+            self._names = self._names.append(pd.Index(uconv[miss]))
+            g_of_u[miss] = np.arange(start, start + int(miss.sum()))
+        if len(self._names) >= (1 << 29):
+            raise ValueError("conv cardinality exceeds dup-pack bounds")
+        g_all = g_of_u[codes_b] if len(codes_b) else np.empty(0, np.int64)
+        u_g = g_all[:len(u_rows)]
+        a_g = g_all[len(u_rows):]
+
+        # assistants: ONE lexsort by (gcode, ts), then a single merge
+        # into the state arrays (which share that sort order)
+        a_ts_b = ts[a_rows]
+        if len(a_rows):
+            o = np.lexsort((a_ts_b, a_g))
+            a_g = a_g[o]
+            a_ts_b = a_ts_b[o]
+            code2 = np.concatenate([self._a_code, a_g])
+            ts2 = np.concatenate([self._a_ts, a_ts_b])
+            o2 = np.lexsort((ts2, code2))
+            self._a_code = code2[o2]
+            self._a_ts = ts2[o2]
+
+        # users: batch-global first-occurrence dup mask + ONE exact
+        # searchsorted membership probe against the seen-guard keys
+        k_arr = idx[u_rows]
+        t_arr = ts[u_rows]
+        if len(u_rows):
+            if k_arr.max() >= (1 << 34):
+                raise ValueError("turn_idx exceeds dup-pack bounds")
+            q_key = (u_g << 34) | k_arr
+            dup_m = np.ones(len(u_rows), bool)
+            dup_m[np.unique(q_key, return_index=True)[1]] = False
+            if len(self._s_key):
+                pos = np.searchsorted(self._s_key, q_key)
+                pos_c = np.minimum(pos, len(self._s_key) - 1)
+                dup_m |= self._s_key[pos_c] == q_key
+            for i in np.flatnonzero(dup_m):   # at-least-once dups: keep 1st
+                self.late.append({"conv_id": conv[u_rows[i]],
+                                  "turn_idx": int(k_arr[i]), "ts": -1})
+            new_m = ~dup_m
+            if new_m.any():
+                g_new = u_g[new_m]
+                k_new = k_arr[new_m]
                 t_new = t_arr[new_m]
-                if k_new:
-                    if seen is None:
-                        seen = self.seen_u.setdefault(c, {})
-                    seen.update(zip(k_new, t_new.tolist()))
-                    lo = np.searchsorted(a_all, t_new, side="right")
-                    hi = np.searchsorted(a_all, t_new + self.window,
-                                         side="right")
-                    open_m = lo >= hi     # not yet answered: open timers
-                    if open_m.any():
-                        if pend is None:
-                            pend = self.pending.setdefault(c, {})
-                        ko = [k for k, o in zip(k_new, open_m) if o]
-                        to = t_new[open_m].tolist()
-                        pend.update(zip(ko, to))
-                        for kk, tt in zip(ko, to):
-                            heapq.heappush(
-                                self._heap,
-                                (tt + self.window, c, kk, tt))
-            if len(a_new) and pend:
-                gone = [k for k, t in pend.items()
-                        if np.searchsorted(a_new, t, side="right")
-                        < np.searchsorted(a_new, t + self.window,
-                                          side="right")]
-                for k in gone:
-                    del pend[k]
-                if not pend:
-                    self.pending.pop(c, None)
-            if len(a_all):
-                self.assist[c] = a_all
+                key_new = q_key[new_m]
+                o = np.argsort(key_new)
+                ins = np.searchsorted(self._s_key, key_new[o])
+                self._s_key = np.insert(self._s_key, ins, key_new[o])
+                self._s_ts = np.insert(self._s_ts, ins, t_new[o])
+                # unanswered at arrival (vs merged assist ⊇ this batch's
+                # assistants) → open a pending timer
+                open_m = ~_range_exists(self._a_code, self._a_ts,
+                                        g_new, t_new, self.window)
+                if open_m.any():
+                    self._p_code = np.concatenate(
+                        [self._p_code, g_new[open_m]])
+                    self._p_idx = np.concatenate(
+                        [self._p_idx, k_new[open_m]])
+                    self._p_ts = np.concatenate([self._p_ts, t_new[open_m]])
+                    self._p_dl = np.concatenate(
+                        [self._p_dl, t_new[open_m] + self.window])
+
+        # new assistants answer EXISTING pending turns (one vectorized
+        # range-exists over all pending entries; entries inserted above
+        # were already checked against the merged assist state)
+        if len(a_rows) and len(self._p_code):
+            answered = _range_exists(a_g, a_ts_b, self._p_code, self._p_ts,
+                                     self.window)
+            if answered.any():
+                keep_p = ~answered
+                self._p_code = self._p_code[keep_p]
+                self._p_idx = self._p_idx[keep_p]
+                self._p_ts = self._p_ts[keep_p]
+                self._p_dl = self._p_dl[keep_p]
+
         if int(cm[-1]) > self.wm:
             self.wm = int(cm[-1])
         self._expire(self.wm)
@@ -1781,38 +1850,39 @@ class AbsenceShardCore(ShardActorBase):
         return table.num_rows
 
     def _expire(self, bound: int) -> None:
-        import heapq
-        while self._heap and self._heap[0][0] <= bound:
-            dl, c, k, t = heapq.heappop(self._heap)
-            pend = self.pending.get(c)
-            if pend is not None and pend.get(k) == t:
-                del pend[k]
-                if not pend:
-                    self.pending.pop(c, None)
-                self.emitted.append({"conv_id": c, "turn_idx": k,
-                                     "ts": t, "deadline": dl})
+        if not len(self._p_dl):
+            return
+        m = self._p_dl <= bound
+        if not m.any():
+            return
+        convs = self._names[self._p_code[m]]
+        for c, k, t, dl in zip(convs, self._p_idx[m].tolist(),
+                               self._p_ts[m].tolist(),
+                               self._p_dl[m].tolist()):
+            self.emitted.append({"conv_id": c, "turn_idx": k,
+                                 "ts": t, "deadline": dl})
+        keep = ~m
+        self._p_code = self._p_code[keep]
+        self._p_idx = self._p_idx[keep]
+        self._p_ts = self._p_ts[keep]
+        self._p_dl = self._p_dl[keep]
 
     def _trim(self, bound: int) -> None:
-        for c in list(self.assist):
-            a = self.assist[c]
-            pos = np.searchsorted(a, bound, side="right")
-            if pos:
-                a = a[pos:]
-                if len(a):
-                    self.assist[c] = a
-                else:
-                    del self.assist[c]
+        # assist horizon trim: compaction preserves the (gcode, ts) sort
+        if len(self._a_ts):
+            m = self._a_ts > bound
+            if not m.all():
+                self._a_code = self._a_code[m]
+                self._a_ts = self._a_ts[m]
         # dup-guard eviction: once wm passes an entry's ts, any further
         # true copy (same ts) is wm-late-routed BEFORE the seen check,
         # so the entry is dead weight — state stays bounded by the
         # lateness horizon, not stream life (review finding)
-        for c in list(self.seen_u):
-            seen = self.seen_u[c]
-            drop = [k for k, t in seen.items() if t <= bound]
-            for k in drop:
-                del seen[k]
-            if not seen:
-                del self.seen_u[c]
+        if len(self._s_ts):
+            m = self._s_ts > bound
+            if not m.all():
+                self._s_key = self._s_key[m]
+                self._s_ts = self._s_ts[m]
 
     def finalize(self) -> dict:
         """End of stream: every still-pending user turn's window closes
@@ -1821,7 +1891,7 @@ class AbsenceShardCore(ShardActorBase):
         hist_emitted, hist_late = self._read_deltas()
         return {"emitted": hist_emitted + self.emitted,
                 "late": hist_late + self.late, "watermark": self.wm,
-                "state_convs": len(self.seen_u)}
+                "state_convs": len(self._names)}
 
 
 AbsenceShardActor = ray.remote(AbsenceShardCore)
