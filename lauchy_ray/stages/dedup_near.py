@@ -176,28 +176,37 @@ N_PARTITIONS = 64  # bucket-space hash partitions: the shuffle groups by
 
 
 def _partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """All candidate pairs within one bucket-space partition: sort once,
-    find equal-(band,hash) runs vectorized, expand pairs only for the
-    (rare) runs with 2..MAX_BUCKET distinct docs."""
-    g = g.sort_values(["band_id", "band_hash", "doc_id"], kind="stable")
-    key_change = (g["band_id"].ne(g["band_id"].shift())
-                  | g["band_hash"].ne(g["band_hash"].shift()))
-    run_id = key_change.cumsum()
-    sizes = run_id.map(run_id.value_counts())
-    hot = g[(sizes >= 2).to_numpy()]
-    hot_runs = run_id[(sizes >= 2).to_numpy()]
+    """All candidate pairs within one bucket-space partition: ONE lexsort,
+    vectorized run detection and in-run doc dedup, then pair expansion
+    grouped BY BUCKET SIZE — one (n_buckets, size) gather + one
+    triu_indices per DISTINCT size (≤ MAX_BUCKET of them), never a
+    Python loop per bucket (the per-run pandas groupby was a 3 s
+    single-task stage at 160k band rows / 201k pairs)."""
+    empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                          "b": pd.Series(dtype="int64")})
+    if not len(g):
+        return empty
+    bi = g["band_id"].to_numpy(np.int64)
+    bh = g["band_hash"].to_numpy(np.int64)
+    di = g["doc_id"].to_numpy(np.int64)
+    o = np.lexsort((di, bh, bi))
+    bi, bh, di = bi[o], bh[o], di[o]
+    new_run = np.r_[True, (bi[1:] != bi[:-1]) | (bh[1:] != bh[:-1])]
+    # same doc repeated inside a run: drop (docs are sorted within runs)
+    keep = new_run | np.r_[True, di[1:] != di[:-1]]
+    di, new_run = di[keep], new_run[keep]
+    run_sizes = np.bincount(np.cumsum(new_run) - 1)
+    starts = np.r_[0, np.cumsum(run_sizes)[:-1]]
+    ok = (run_sizes >= 2) & (run_sizes <= MAX_BUCKET)
     out_a, out_b = [], []
-    for _, grp in hot.groupby(hot_runs.to_numpy(), sort=False):
-        ids = np.unique(grp["doc_id"].to_numpy())
-        m = len(ids)
-        if m < 2 or m > MAX_BUCKET:
-            continue
-        ii, jj = np.triu_indices(m, k=1)   # vectorized pair expansion —
-        out_a.append(ids[ii])              # never one append per pair
-        out_b.append(ids[jj])
+    for sz in np.unique(run_sizes[ok]).tolist():
+        sel = np.flatnonzero(ok & (run_sizes == sz))
+        mat = di[starts[sel][:, None] + np.arange(sz)[None, :]]
+        ii, jj = np.triu_indices(sz, k=1)
+        out_a.append(mat[:, ii].ravel())   # a < b: docs ascend in-run
+        out_b.append(mat[:, jj].ravel())
     if not out_a:
-        return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                             "b": pd.Series(dtype="int64")})
+        return empty
     return pd.DataFrame({"a": np.concatenate(out_a),
                          "b": np.concatenate(out_b)})
 
@@ -255,11 +264,25 @@ def _verify_broadcast(docs: rd.Dataset, cand_df: pd.DataFrame, threshold: float,
         jac = np.empty(len(df))
         for i, (a, b) in enumerate(zip(df["a"], df["b"])):
             sa, sb = sets[a], sets[b]
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            # both sides are sorted-unique (np.unique'd at shingle time),
+            # so intersection = sorted-membership probe of the smaller
+            # side into the larger — O(min log max), no re-sort. (The
+            # old np.intersect1d concatenated + SORTED ~2k elements per
+            # pair; a batch-global lexsort kernel was tried and measured
+            # 4x WORSE — 65M-entry two-key indirect sorts lose to many
+            # small cache-resident probes.)
+            if len(sa) > len(sb):
+                sa, sb = sb, sa
+            if not len(sb):
+                jac[i] = 1.0
+                continue
+            pos = np.searchsorted(sb, sa)
+            pos[pos == len(sb)] = len(sb) - 1
+            inter = int(np.count_nonzero(sb[pos] == sa))
             union = len(sa) + len(sb) - inter
-            jac[i] = (inter / union) if union else 1.0
-        # RAW comparison (no rounding) — must equal the SQL oracle's
-        # CAST(i AS DOUBLE)/u >= t on identical integer set sizes
+            # RAW comparison (no rounding) — must equal the SQL oracle's
+            # CAST(i AS DOUBLE)/u >= t on identical integer set sizes
+            jac[i] = inter / union
         out = df.assign(jaccard=jac)
         return out[out["jaccard"] >= threshold]
 
