@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_quantize": Q.q_embed_quantize,
         "cep_absence": Q.q_cep_absence,
         "turn_absence": Q.q_turn_absence,
+        "response_pairs": Q.q_response_pairs,
         "value_mad_by_type": Q.q_value_mad_by_type,
         "user_value_intervals": Q.q_user_value_intervals,
         "best_docs_per_lang": Q.q_best_docs_per_lang,
@@ -531,6 +532,16 @@ def oracle_sql() -> dict[str, str]:
                   AND epoch_us(a.ts) > epoch_us(u.ts)
                   AND epoch_us(a.ts) <= epoch_us(u.ts)
                       + {Q.ABSENCE_W_US})""",
+        # interval join over the turns bridge — the batch face of the
+        # streaming JoinShardCore engine (the complement of turn_absence)
+        "response_pairs": f"""WITH {_T}
+            SELECT u.conv_id, u.turn_idx AS u_idx, a.turn_idx AS a_idx,
+                   epoch_us(a.ts) - epoch_us(u.ts) AS gap_us
+            FROM turns u JOIN turns a
+              ON a.conv_id = u.conv_id
+             AND u.role = 'user' AND a.role = 'assistant'
+             AND epoch_us(a.ts) > epoch_us(u.ts)
+             AND epoch_us(a.ts) <= epoch_us(u.ts) + {Q.ABSENCE_W_US}""",
         # robust spread: median + MAD, integer ceil(p*n/100) ranks
         "value_mad_by_type": """
             WITH c AS (SELECT event_type,

@@ -140,7 +140,7 @@ def run_streaming(paths: dict[str, str]) -> dict:
 
     from lauchy_ray.state.streaming import (
         run_streaming_absence, run_streaming_approx_topk,
-        run_streaming_dedup, run_streaming_distinct,
+        run_streaming_dedup, run_streaming_distinct, run_streaming_join,
         run_streaming_patterns, run_streaming_sessions,
         run_streaming_topk, run_streaming_window_counts)
 
@@ -179,6 +179,8 @@ def run_streaming(paths: dict[str, str]) -> dict:
     timed("cep_approx_topk", lambda: run_streaming_approx_topk(
         paths["turns"], hour, 5, 64, late, n_shards=8, validate_kwargs=vk))
     timed("cep_timeout", lambda: run_streaming_absence(
+        paths["turns"], gap, late, n_shards=8, validate_kwargs=vk))
+    timed("cep_join", lambda: run_streaming_join(
         paths["turns"], gap, late, n_shards=8, validate_kwargs=vk))
 
     dd = "/tmp/lauchy_bench/stream_dedup_out"

@@ -132,6 +132,17 @@ def main(argv: list[str] | None = None) -> int:
     sa.add_argument("--shards", type=int, default=8)
     sa.add_argument("--checkpoint-dir", default=None)
 
+    sj = sub.add_parser("stream-join", parents=[common],
+                        help="streaming user→assistant interval join "
+                             "(pairs with 0 < a_ts − u_ts ≤ window), "
+                             "exactly-once")
+    sj.add_argument("--input", required=True)
+    sj.add_argument("--out", required=True)
+    sj.add_argument("--window-min", type=int, default=30)
+    sj.add_argument("--lateness-min", type=int, default=5)
+    sj.add_argument("--shards", type=int, default=8)
+    sj.add_argument("--checkpoint-dir", default=None)
+
     tk = sub.add_parser("stream-topk", parents=[common],
                         help="streaming windowed top-k heavy hitters "
                              "(exact per-shard counts, or bounded-memory "
@@ -344,6 +355,23 @@ def main(argv: list[str] | None = None) -> int:
             pq.write_table(pa.Table.from_pandas(late),
                            os.path.join(args.out, "late.parquet"))
             print(json.dumps({"out": args.out, "absences": len(absences),
+                              "late_rows": len(late),
+                              "watermarks": [int(w) for w in wms]}))
+        elif args.cmd == "stream-join":
+            import os
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from .state.streaming import run_streaming_join
+            pairs, late, wms = run_streaming_join(
+                args.input, args.window_min * 60 * 1_000_000,
+                lateness_us=args.lateness_min * 60 * 1_000_000,
+                n_shards=args.shards, checkpoint_dir=args.checkpoint_dir)
+            os.makedirs(args.out, exist_ok=True)
+            pq.write_table(pa.Table.from_pandas(pairs),
+                           os.path.join(args.out, "pairs.parquet"))
+            pq.write_table(pa.Table.from_pandas(late),
+                           os.path.join(args.out, "late.parquet"))
+            print(json.dumps({"out": args.out, "pairs": len(pairs),
                               "late_rows": len(late),
                               "watermarks": [int(w) for w in wms]}))
         elif args.cmd == "stream-topk":

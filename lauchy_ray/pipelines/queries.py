@@ -4000,6 +4000,47 @@ def q_turn_absence(sf_dir: str):
                             "conv_id", absence, size_ds=_events(sf_dir))
 
 
+def q_response_pairs(sf_dir: str):
+    """User→assistant interval join over the canonical events→turns
+    bridge — the batch face of the streaming JoinShardCore engine
+    (state/streaming.py): every (user, assistant) pair in a
+    conversation with 0 < a_ts − u_ts ≤ 30 min. Conv-bucketed; pair
+    expansion runs the SAME _range_pairs kernel the streaming engine
+    uses, so batch and stream share one join primitive."""
+    from ..stages.bucketing import group_map_by_key
+    from ..state.streaming import _range_pairs
+    turns = _turns(sf_dir)
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["role"].isin(["user", "assistant"]).to_numpy()
+        return pd.DataFrame({
+            "conv_id": df["conv_id"].to_numpy()[m],
+            "turn_idx": df["turn_idx"].to_numpy(np.int64)[m],
+            "ts_us": df["ts"].astype("datetime64[us]")
+            .astype("int64").to_numpy()[m],
+            "is_user": (df["role"].to_numpy()[m] == "user")})
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        codes, uniq = pd.factorize(df["conv_id"])
+        is_u = df["is_user"].to_numpy()
+        ts = df["ts_us"].to_numpy(np.int64)
+        ti = df["turn_idx"].to_numpy(np.int64)
+        ac, at, ai = codes[~is_u], ts[~is_u], ti[~is_u]
+        o = np.lexsort((at, ac))
+        ac, at, ai = ac[o], at[o], ai[o]
+        uc, ut, ui = codes[is_u], ts[is_u], ti[is_u]
+        q, d = _range_pairs(ac, at, uc, ut, ut + ABSENCE_W_US,
+                            "right", "right")
+        uniq_arr = np.asarray(uniq, dtype=object)
+        return pd.DataFrame({
+            "conv_id": uniq_arr[uc[q]] if len(q) else
+            np.empty(0, object),
+            "u_idx": ui[q], "a_idx": ai[d], "gap_us": at[d] - ut[q]})
+
+    return group_map_by_key(turns.map_batches(prep, batch_format="pandas"),
+                            "conv_id", pairs, size_ds=_events(sf_dir))
+
+
 def q_embed_quantize(sf_dir: str):
     """Scalar int8-style quantization of the embedding corpus (the ANN
     compression step): per-dimension [min, max] from one bounded pass,

@@ -36,6 +36,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 
@@ -126,6 +127,25 @@ class ShardActorBase:
         if len(ts) > 1:
             np.maximum(self.wm, cm[:-1], out=prefix_wm[1:])
         return cm, prefix_wm
+
+    @staticmethod
+    def _decode_batch(table: pa.Table):
+        """(ts, idx, codes, names, is_user, is_assistant): arrow-native
+        batch decode. dictionary_encode factorizes conv_id in C and only
+        the DISTINCT names cross into Python objects — the old
+        to_pylist + pd.factorize + object-dtype role comparisons were
+        one boxed PyObject per ROW and dominated columnar-engine ingest
+        (2.4 s of a 3.0 s join pass at 1M rows)."""
+        ts = table["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        idx = table["turn_idx"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        enc = pc.dictionary_encode(table["conv_id"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        names = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        role = table["role"]
+        is_u = pc.equal(role, "user").to_numpy(zero_copy_only=False)
+        is_a = pc.equal(role, "assistant").to_numpy(zero_copy_only=False)
+        return ts, idx, codes, names, is_u, is_a
 
     def _route_late_rows(self, table: pa.Table, ts: np.ndarray,
                          wid: np.ndarray, late_mask: np.ndarray) -> None:
@@ -1743,36 +1763,31 @@ class AbsenceShardCore(ShardActorBase):
     def ingest(self, table: pa.Table, seq: int | None = None) -> int:
         if self._skip_replay(table, seq):
             return 0
-        ts = table["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        idx = table["turn_idx"].to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        conv = np.asarray(table["conv_id"].to_pylist(), dtype=object)
-        roles = np.asarray(table["role"].to_pylist(), dtype=object)
+        ts, idx, bcodes, names, is_u_all, is_a_all = \
+            self._decode_batch(table)
         cm, prefix_wm = self._prefix_watermark(ts)
         late_m = ts <= prefix_wm
         for i in np.flatnonzero(late_m):
-            self.late.append({"conv_id": conv[i], "turn_idx": int(idx[i]),
-                              "ts": int(ts[i])})
+            self.late.append({"conv_id": names[bcodes[i]],
+                              "turn_idx": int(idx[i]), "ts": int(ts[i])})
         keep = ~late_m
-        u_rows = np.flatnonzero(keep & (roles == "user"))
-        a_rows = np.flatnonzero(keep & (roles == "assistant"))
+        u_rows = np.flatnonzero(keep & is_u_all)
+        a_rows = np.flatnonzero(keep & is_a_all)
 
-        # dense conv codes: factorize the batch once, vectorized lookup
-        # against the persistent name index, append only the new names
-        codes_b, uconv = pd.factorize(
-            np.concatenate([conv[u_rows], conv[a_rows]]))
-        g_of_u = self._names.get_indexer(uconv) if len(uconv) else \
+        # dense conv codes: arrow dictionary-encode factorized the batch
+        # in C; vectorized lookup against the persistent name index,
+        # append only the new names
+        g_of_name = self._names.get_indexer(names) if len(names) else \
             np.empty(0, np.int64)
-        miss = g_of_u == -1
+        miss = g_of_name == -1
         if miss.any():
             start = len(self._names)
-            self._names = self._names.append(pd.Index(uconv[miss]))
-            g_of_u[miss] = np.arange(start, start + int(miss.sum()))
+            self._names = self._names.append(pd.Index(names[miss]))
+            g_of_name[miss] = np.arange(start, start + int(miss.sum()))
         if len(self._names) >= (1 << 29):
             raise ValueError("conv cardinality exceeds dup-pack bounds")
-        g_all = g_of_u[codes_b] if len(codes_b) else np.empty(0, np.int64)
-        u_g = g_all[:len(u_rows)]
-        a_g = g_all[len(u_rows):]
+        u_g = g_of_name[bcodes[u_rows]]
+        a_g = g_of_name[bcodes[a_rows]]
 
         # assistants: ONE lexsort by (gcode, ts), then a single merge
         # into the state arrays (which share that sort order)
@@ -1802,7 +1817,7 @@ class AbsenceShardCore(ShardActorBase):
                 pos_c = np.minimum(pos, len(self._s_key) - 1)
                 dup_m |= self._s_key[pos_c] == q_key
             for i in np.flatnonzero(dup_m):   # at-least-once dups: keep 1st
-                self.late.append({"conv_id": conv[u_rows[i]],
+                self.late.append({"conv_id": names[bcodes[u_rows[i]]],
                                   "turn_idx": int(k_arr[i]), "ts": -1})
             new_m = ~dup_m
             if new_m.any():
@@ -1895,6 +1910,299 @@ class AbsenceShardCore(ShardActorBase):
 
 
 AbsenceShardActor = ray.remote(AbsenceShardCore)
+
+
+def _range_pairs(d_code: np.ndarray, d_ts: np.ndarray,
+                 q_code: np.ndarray, q_lo: np.ndarray, q_hi: np.ndarray,
+                 lo_side: str, hi_side: str):
+    """(q_indices, d_indices) of every (query, data) pair with equal code
+    and d_ts inside the query's [q_lo, q_hi] bounds under the given
+    searchsorted sides (e.g. lo_side="right", hi_side="right" means
+    q_lo < d_ts ≤ q_hi). Data sorted by (code, ts); queries any order.
+    The pair-EXPANDING sibling of :func:`_range_exists` — same compact-
+    code offset packing, same bisect fallback on pathological spans.
+    Output size is the true pair count (never materializes a cross
+    product)."""
+    n_q = len(q_code)
+    none = (np.empty(0, np.int64), np.empty(0, np.int64))
+    if n_q == 0 or len(d_code) == 0:
+        return none
+    un = np.unique(q_code)
+    lo_c = np.searchsorted(d_code, un, side="left")
+    hi_c = np.searchsorted(d_code, un, side="right")
+    lens = hi_c - lo_c
+    total = int(lens.sum())
+    if total == 0:
+        return none
+    starts = np.repeat(lo_c, lens)
+    offs = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+    sub_idx = starts + offs          # global data indices, (code, ts)-sorted
+    sub_ts = d_ts[sub_idx]
+    sub_cc = np.repeat(np.arange(len(un)), lens)
+    qc = np.searchsorted(un, q_code)
+    base = int(min(int(sub_ts.min()), int(q_lo.min())))
+    top = int(max(int(sub_ts.max()), int(q_hi.max())))
+    span = top - base + 2
+    if len(un) * span >= (1 << 62):
+        out_q, out_d = [], []
+        for i in range(n_q):
+            l0, h0 = lo_c[qc[i]], hi_c[qc[i]]
+            seg = d_ts[l0:h0]
+            lo = np.searchsorted(seg, q_lo[i], side=lo_side)
+            hi = np.searchsorted(seg, q_hi[i], side=hi_side)
+            if hi > lo:
+                out_d.append(np.arange(l0 + lo, l0 + hi))
+                out_q.append(np.full(hi - lo, i, np.int64))
+        if not out_q:
+            return none
+        return np.concatenate(out_q), np.concatenate(out_d)
+    pk = sub_cc * span + (sub_ts - base)
+    lo = np.searchsorted(pk, qc * span + (q_lo - base), side=lo_side)
+    hi = np.searchsorted(pk, qc * span + (q_hi - base), side=hi_side)
+    counts = hi - lo
+    tot_p = int(counts.sum())
+    if tot_p == 0:
+        return none
+    q_rep = np.repeat(np.arange(n_q, dtype=np.int64), counts)
+    d_pos = (np.arange(tot_p) - np.repeat(np.cumsum(counts) - counts, counts)
+             + np.repeat(lo, counts))
+    return q_rep, sub_idx[d_pos]
+
+
+class JoinShardCore(ShardActorBase):
+    """Streaming stream-stream INTERVAL JOIN (Flink's intervalJoin /
+    Kafka Streams' windowed stream-stream join face): emit every
+    (user turn, assistant turn) pair of the same conversation with
+    0 < a_ts − u_ts ≤ window_us, exactly-once, watermark-driven — the
+    pairing complement of the absence engine (join ∪ absence covers
+    every kept user turn exactly once).
+
+    Emission rule (symmetric hash join): a pair emits when its LATER
+    side is applied. Each micro-batch runs three disjoint vectorized
+    passes — new users × retained assistants, new assistants × retained
+    users, and new users × this batch's new assistants — so no pair can
+    emit twice and a mid-batch split only moves rows between the
+    "state" and "in-batch" sides of the passes (slicing-invariant).
+
+    Late rule: the row-level prefix watermark shared by every engine —
+    late rows route to the late output and join nothing.
+
+    Retention is the lossless horizon trim: users with
+    u_ts > wm − window (a future non-late assistant has a_ts > wm and
+    needs u_ts ≥ a_ts − window), assistants with a_ts > wm (a future
+    non-late user has u_ts > wm and needs a_ts > u_ts).
+
+    Duplicates (at-least-once fragments) keep the FIRST copy per
+    (conv, turn_idx) across BOTH roles, in arrival order; later copies
+    route late with ts = −1. Unlike the absence engine — where a
+    duplicate assistant is harmless because answers are existence-based
+    — the join MUST dedup assistants too, or each copy would re-emit
+    its pairs. The guard entry evicts once wm passes its ts (any further
+    true copy is wm-late-routed before the guard is consulted).
+
+    State is columnar throughout (flat numpy arrays, vectorized kernels
+    per batch — the absence engine's round-4 design): per-side
+    (code, idx, ts) sorted by (code, ts), plus the packed dup-guard.
+    """
+
+    def __init__(self, window_us: int, lateness_us: int,
+                 checkpoint_path: str | None = None):
+        self.window = int(window_us)
+        self.lateness = int(lateness_us)
+        self._names = pd.Index([], dtype=object)
+        self._u_code = np.empty(0, np.int64)
+        self._u_idx = np.empty(0, np.int64)
+        self._u_ts = np.empty(0, np.int64)
+        self._a_code = np.empty(0, np.int64)
+        self._a_idx = np.empty(0, np.int64)
+        self._a_ts = np.empty(0, np.int64)
+        self._s_key = np.empty(0, np.int64)
+        self._s_ts = np.empty(0, np.int64)
+        self._init_shard_state(
+            checkpoint_path, ("sjoin", self.window, self.lateness))
+
+    def _core_state(self):
+        return (self._names, self._u_code, self._u_idx, self._u_ts,
+                self._a_code, self._a_idx, self._a_ts,
+                self._s_key, self._s_ts)
+
+    def _restore_core(self, core) -> None:
+        (self._names, self._u_code, self._u_idx, self._u_ts,
+         self._a_code, self._a_idx, self._a_ts,
+         self._s_key, self._s_ts) = core
+
+    def _emit_pairs(self, code: np.ndarray, u_idx: np.ndarray,
+                    u_ts: np.ndarray, a_idx: np.ndarray,
+                    a_ts: np.ndarray) -> None:
+        # COLUMNAR emission: joins emit O(pairs) rows (3.8M on the 8M
+        # bench — half the input volume), so each pass appends ONE block
+        # of arrays; per-pair dict rows measured 4-5x slower end-to-end.
+        # self.emitted here is a list of column BLOCKS, not row dicts —
+        # run_streaming_join concatenates them.
+        if not len(code):
+            return
+        self.emitted.append({
+            "conv_id": np.asarray(self._names[code], dtype=object),
+            "u_idx": u_idx.astype(np.int64), "a_idx": a_idx.astype(np.int64),
+            "u_ts": u_ts.astype(np.int64), "a_ts": a_ts.astype(np.int64),
+            "gap_us": (a_ts - u_ts).astype(np.int64)})
+
+    def ingest(self, table: pa.Table, seq: int | None = None) -> int:
+        if self._skip_replay(table, seq):
+            return 0
+        ts, idx, bcodes, names, is_u_all, is_a_all = \
+            self._decode_batch(table)
+        cm, prefix_wm = self._prefix_watermark(ts)
+        late_m = ts <= prefix_wm
+        for i in np.flatnonzero(late_m):
+            self.late.append({"conv_id": names[bcodes[i]],
+                              "turn_idx": int(idx[i]), "ts": int(ts[i])})
+        keep = ~late_m
+        # sel ascending = ARRIVAL order, so keep-first dup semantics are
+        # exactly the scalar oracle's regardless of role interleaving
+        sel = np.flatnonzero(keep & (is_u_all | is_a_all))
+        is_u = is_u_all[sel]
+        g_of_name = self._names.get_indexer(names) if len(names) else \
+            np.empty(0, np.int64)
+        miss = g_of_name == -1
+        if miss.any():
+            start = len(self._names)
+            self._names = self._names.append(pd.Index(names[miss]))
+            g_of_name[miss] = np.arange(start, start + int(miss.sum()))
+        if len(self._names) >= (1 << 29):
+            raise ValueError("conv cardinality exceeds dup-pack bounds")
+        g_sel = g_of_name[bcodes[sel]]
+        k_sel = idx[sel]
+        t_sel = ts[sel]
+
+        if len(sel):
+            if k_sel.max() >= (1 << 34):
+                raise ValueError("turn_idx exceeds dup-pack bounds")
+            q_key = (g_sel << 34) | k_sel
+            dup_m = np.ones(len(sel), bool)
+            dup_m[np.unique(q_key, return_index=True)[1]] = False
+            if len(self._s_key):
+                pos = np.searchsorted(self._s_key, q_key)
+                pos_c = np.minimum(pos, len(self._s_key) - 1)
+                dup_m |= self._s_key[pos_c] == q_key
+            for i in np.flatnonzero(dup_m):
+                self.late.append({"conv_id": names[bcodes[sel[i]]],
+                                  "turn_idx": int(k_sel[i]), "ts": -1})
+            new_m = ~dup_m
+            if new_m.any():
+                key_new = q_key[new_m]
+                o = np.argsort(key_new)
+                ins = np.searchsorted(self._s_key, key_new[o])
+                self._s_key = np.insert(self._s_key, ins, key_new[o])
+                self._s_ts = np.insert(self._s_ts, ins, t_sel[new_m][o])
+
+                W = self.window
+                un_m = new_m & is_u
+                an_m = new_m & ~is_u
+                ug, uk, ut = g_sel[un_m], k_sel[un_m], t_sel[un_m]
+                ag, ak, at = g_sel[an_m], k_sel[an_m], t_sel[an_m]
+                oa = np.lexsort((at, ag))
+                ag, ak, at = ag[oa], ak[oa], at[oa]
+
+                # pass A: new users × RETAINED assistants, a ∈ (u, u+W]
+                q, d = _range_pairs(self._a_code, self._a_ts,
+                                    ug, ut, ut + W, "right", "right")
+                self._emit_pairs(ug[q], uk[q], ut[q],
+                                 self._a_idx[d], self._a_ts[d])
+                # pass B: new assistants × RETAINED users, u ∈ [a−W, a)
+                q, d = _range_pairs(self._u_code, self._u_ts,
+                                    ag, at - W, at, "left", "left")
+                self._emit_pairs(ag[q], self._u_idx[d], self._u_ts[d],
+                                 ak[q], at[q])
+                # pass C: new users × THIS BATCH's new assistants
+                q, d = _range_pairs(ag, at, ug, ut, ut + W,
+                                    "right", "right")
+                self._emit_pairs(ug[q], uk[q], ut[q], ak[d], at[d])
+
+                # merge the new rows into per-side state
+                if len(ug):
+                    c2 = np.concatenate([self._u_code, ug])
+                    k2 = np.concatenate([self._u_idx, uk])
+                    t2 = np.concatenate([self._u_ts, ut])
+                    o2 = np.lexsort((t2, c2))
+                    self._u_code, self._u_idx, self._u_ts = \
+                        c2[o2], k2[o2], t2[o2]
+                if len(ag):
+                    c2 = np.concatenate([self._a_code, ag])
+                    k2 = np.concatenate([self._a_idx, ak])
+                    t2 = np.concatenate([self._a_ts, at])
+                    o2 = np.lexsort((t2, c2))
+                    self._a_code, self._a_idx, self._a_ts = \
+                        c2[o2], k2[o2], t2[o2]
+
+        if int(cm[-1]) > self.wm:
+            self.wm = int(cm[-1])
+        self._trim(self.wm)
+        if seq is not None:
+            self.seq = seq
+            self._checkpoint()
+        return table.num_rows
+
+    def _trim(self, bound: int) -> None:
+        if len(self._u_ts):
+            m = self._u_ts > bound - self.window
+            if not m.all():
+                self._u_code = self._u_code[m]
+                self._u_idx = self._u_idx[m]
+                self._u_ts = self._u_ts[m]
+        if len(self._a_ts):
+            m = self._a_ts > bound
+            if not m.all():
+                self._a_code = self._a_code[m]
+                self._a_idx = self._a_idx[m]
+                self._a_ts = self._a_ts[m]
+        if len(self._s_ts):
+            m = self._s_ts > bound
+            if not m.all():
+                self._s_key = self._s_key[m]
+                self._s_ts = self._s_ts[m]
+
+    def finalize(self) -> dict:
+        """End of stream: a join emits pairs as they complete, so there
+        is nothing to flush — finalize ≡ the batch interval join over
+        the kept, deduped rows."""
+        hist_emitted, hist_late = self._read_deltas()
+        return {"emitted": hist_emitted + self.emitted,
+                "late": hist_late + self.late, "watermark": self.wm,
+                "state_convs": len(self._names)}
+
+
+JoinShardActor = ray.remote(JoinShardCore)
+
+
+def run_streaming_join(input_path: str, window_us: int,
+                       lateness_us: int = 5 * 60 * 1_000_000,
+                       n_shards: int = 8,
+                       validate_kwargs: dict | None = None,
+                       max_pending: int = 4,
+                       checkpoint_dir: str | None = None):
+    """Streaming user→assistant interval join over the fragment stream
+    (validated, null-text-dropped — the same stream every other CEP
+    engine consumes). → (pairs DataFrame, late DataFrame, watermarks)."""
+    fragments = list_fragments(input_path)
+    meta = {"kind": "sjoin", "window_us": window_us,
+            "lateness_us": lateness_us, "n_shards": n_shards}
+    _guard_checkpoint_dir(checkpoint_dir, meta, fragments)
+    actors = [JoinShardActor.remote(
+        window_us, lateness_us,
+        os.path.join(checkpoint_dir, f"shard-{s}.ckpt") if checkpoint_dir
+        else None)
+        for s in range(n_shards)]
+    finals = _pump_fragments(actors, fragments, n_shards,
+                             validate_kwargs, max_pending)
+    blocks = [b for f in finals for b in f["emitted"]]
+    late = [row for f in finals for row in f["late"]]
+    cols = ["conv_id", "u_idx", "a_idx", "u_ts", "a_ts", "gap_us"]
+    out = (pd.concat([pd.DataFrame(b) for b in blocks], ignore_index=True)
+           [cols] if blocks else pd.DataFrame(columns=cols))
+    late_df = (pd.DataFrame(late) if late else
+               pd.DataFrame(columns=["conv_id", "turn_idx", "ts"]))
+    return out, late_df, [f["watermark"] for f in finals]
 
 
 def run_streaming_absence(input_path: str, window_us: int,
