@@ -848,11 +848,15 @@ def run_streaming_dedup(input_path: str, out_dir: str,
 
 def _shard_tables(table: pa.Table, n_shards: int) -> dict[int, pa.Table]:
     """Split one fragment by conv shard. crc32 runs once per DISTINCT
-    conv_id (factorize first), not once per row — this sits on the
-    per-fragment prepare hot path (round-1 judge finding)."""
-    convs = np.asarray(table["conv_id"].to_pylist(), dtype=object)
-    uniq, inv = np.unique(convs, return_inverse=True)
-    uniq_shards = np.array([shard_of(c, n_shards) for c in uniq], dtype=np.int64)
+    conv_id — arrow dictionary_encode factorizes in C, so only the
+    distinct names cross into Python (to_pylist + object np.unique was
+    0.23 s vs 0.06 s per 126k-row fragment, on the prepare hot path of
+    every streaming engine)."""
+    enc = pc.dictionary_encode(table["conv_id"].combine_chunks())
+    inv = enc.indices.to_numpy(zero_copy_only=False)
+    uniq = enc.dictionary.to_pylist()
+    uniq_shards = np.array([shard_of(c, n_shards) for c in uniq],
+                           dtype=np.int64)
     shards = uniq_shards[inv]
     out = {}
     for s in range(n_shards):
@@ -1442,9 +1446,15 @@ class PatternShardCore(ShardActorBase):
             ts = table["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
             idx = table["turn_idx"].to_numpy(
                 zero_copy_only=False).astype(np.int64)
-            conv = np.asarray(table["conv_id"].to_pylist(), dtype=object)
-            roles = pd.Series(table["role"].to_pylist())
-            code = roles.map(_PAT_CODE_OF).fillna(_PAT_X).to_numpy(np.int8)
+            # arrow-native decode (the boxed to_pylist + Series.map
+            # prologue was one PyObject per row — see _decode_batch)
+            enc = pc.dictionary_encode(table["conv_id"].combine_chunks())
+            names = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+            conv = names[enc.indices.to_numpy(zero_copy_only=False)]
+            role = table["role"]
+            code = np.full(n, _PAT_X, np.int8)
+            for r, pat in _PAT_CODE_OF.items():
+                code[pc.equal(role, r).to_numpy(zero_copy_only=False)] = pat
 
             # row-level prefix watermark (windows-engine rule): late iff
             # ts ≤ wm computed over strictly-prior arrivals
