@@ -29,7 +29,7 @@ from lauchy_ray.stages.dedup_near import (  # noqa: E402
     minhash_clusters_sql, minhash_sql, simhash_clusters_sql, simhash_sql)
 from lauchy_ray.stages.fuzzy import fuzzy_pairs_sql  # noqa: E402
 from lauchy_ray.stages.graph import (  # noqa: E402
-    connected_components_sql, pagerank_sql, triangle_sql,
+    bfs_levels_sql, connected_components_sql, pagerank_sql, triangle_sql,
     user_item_edges_sql)
 from lauchy_ray.stages.multimodal import (  # noqa: E402
     audio_resample_sql, media_features_sql, media_resize_sql)
@@ -165,6 +165,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cep_absence": Q.q_cep_absence,
         "turn_absence": Q.q_turn_absence,
         "response_pairs": Q.q_response_pairs,
+        "order_count_dist": Q.q_order_count_dist,
+        "large_orders": Q.q_large_orders,
+        "promo_revenue": Q.q_promo_revenue,
+        "inactive_rich_customers": Q.q_inactive_rich_customers,
+        "bfs_levels": Q.q_bfs_levels,
         "value_mad_by_type": Q.q_value_mad_by_type,
         "user_value_intervals": Q.q_user_value_intervals,
         "best_docs_per_lang": Q.q_best_docs_per_lang,
@@ -542,6 +547,61 @@ def oracle_sql() -> dict[str, str]:
              AND u.role = 'user' AND a.role = 'assistant'
              AND epoch_us(a.ts) > epoch_us(u.ts)
              AND epoch_us(a.ts) <= epoch_us(u.ts) + {Q.ABSENCE_W_US}""",
+        # TPC-H Q13 shape: LEFT JOIN count distribution incl. the zero
+        # bucket (the engine derives it from two scalars, no join)
+        "order_count_dist": """
+            WITH pc AS (SELECT c.c_custkey, count(o.o_custkey) AS c_count
+                        FROM customer c LEFT JOIN orders o
+                          ON c.c_custkey = o.o_custkey
+                        GROUP BY 1)
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   count(*) AS custdist
+            FROM pc GROUP BY 1""",
+        # TPC-H Q18 shape: exact integer quantity sums above a threshold
+        "large_orders": f"""
+            SELECT l_orderkey,
+                   CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                        AS BIGINT) AS total_qty
+            FROM lineitem GROUP BY 1
+            HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                   > {Q.Q18_QTY_MIN}""",
+        # TPC-H Q14 shape: promo revenue share per 30-day month, exact
+        # 1e-4-dollar integers on both sides of the ratio
+        "promo_revenue": f"""
+            SELECT epoch_us(l_shipdate) // {30 * Q.DAY_US} AS month_id,
+                   CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0
+                            END) AS BIGINT) AS promo_rev_e4,
+                   CAST(sum(rev) AS BIGINT) AS total_rev_e4
+            FROM (SELECT l_partkey, l_shipdate,
+                         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                         * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                       AS BIGINT)) AS rev
+                  FROM lineitem) li
+            JOIN part ON p_partkey = l_partkey
+            GROUP BY 1""",
+        # TPC-H Q22 shape: above-average positive balance (EXACT integer
+        # cross-multiply, no float average) + recent-order anti join
+        "inactive_rich_customers": f"""
+            WITH cents AS (SELECT c_custkey, c_nationkey, c_acctbal,
+                                  CAST(floor(c_acctbal * 100 + 0.5)
+                                       AS BIGINT) AS bc
+                           FROM customer),
+            stats AS (SELECT CAST(sum(bc) AS BIGINT) AS s,
+                             count(*) AS n
+                      FROM cents WHERE c_acctbal > 0),
+            cand AS (SELECT c.c_nationkey, c.bc FROM cents c, stats
+                     WHERE c.bc * stats.n > stats.s
+                       AND NOT EXISTS (
+                         SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderdate >=
+                               TIMESTAMP '{Q.Q22_CUTOFF}'))
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   count(*) AS numcust,
+                   CAST(sum(bc) AS BIGINT) AS totacctbal_cents
+            FROM cand GROUP BY 1""",
+        # multi-source BFS levels: recursive CTE, UNION dedup, same cap
+        "bfs_levels": bfs_levels_sql(user_item_edges_sql()),
         # robust spread: median + MAD, integer ceil(p*n/100) ranks
         "value_mad_by_type": """
             WITH c AS (SELECT event_type,

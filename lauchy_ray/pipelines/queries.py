@@ -4148,3 +4148,232 @@ def q_props_k_stats(sf_dir: str):
     return (ds.map_batches(partial, batch_format="pandas")
             .repartition(1).map_batches(merge, batch_format="pandas",
                                         batch_size=None))
+
+
+# ------------------------------------------------ TPC-H widening (round 4)
+
+Q18_QTY_MIN = 250          # large-order threshold (p99-ish at every sf)
+Q22_CUTOFF = "2001-01-01"  # inactivity horizon for the anti-join
+
+
+def q_order_count_dist(sf_dir: str):
+    """TPC-H Q13 shape: distribution of orders-per-customer INCLUDING
+    zero-order customers — WITHOUT the LEFT JOIN. Per-customer counts
+    fold in conv-bucket parallel (group_map_by_key), the histogram of
+    counts is a bounded second aggregate (distinct counts ≤ max orders
+    per customer), and the zero bucket is total_customers −
+    customers_with_orders (two scalars), emitted only when nonzero —
+    exactly what the oracle's LEFT JOIN produces."""
+    import pyarrow.parquet as pq
+    from ..stages.bucketing import group_map_by_key
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+
+    def per_cust(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", sort=False).size().reset_index(
+            name="c_count")
+        return g.astype({"o_custkey": "int64", "c_count": "int64"})
+
+    counts = group_map_by_key(orders, "o_custkey", per_cust,
+                              size_ds=orders)
+    hist = _grouped_sums(
+        counts.map_batches(
+            lambda df: df[["c_count"]], batch_format="pandas"),
+        ["c_count"], [], count_as="custdist").to_pandas()
+    n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    n_with = int(hist["custdist"].sum())
+    if n_cust > n_with:
+        hist = pd.concat([hist, pd.DataFrame(
+            {"c_count": [0], "custdist": [n_cust - n_with]})],
+            ignore_index=True)
+    return (hist.astype({"c_count": "int64", "custdist": "int64"})
+            .sort_values("c_count").reset_index(drop=True))
+
+
+def q_large_orders(sf_dir: str):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold. Quantities are integral (asserted by cast), so the sums
+    are exact int64; per-batch grouped partials then an orderkey-bucket
+    fold — output is O(qualifying orders), never the full order list."""
+    from ..stages.bucketing import group_map_by_key
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        q = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        g = (pd.DataFrame({"l_orderkey": t["l_orderkey"].to_numpy(),
+                           "total_qty": q})
+             .groupby("l_orderkey", sort=False)["total_qty"].sum()
+             .reset_index())
+        return g.astype({"l_orderkey": "int64", "total_qty": "int64"})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("l_orderkey", sort=False)["total_qty"].sum()
+             .reset_index())
+        g = g[g["total_qty"] > Q18_QTY_MIN]
+        return g.astype({"l_orderkey": "int64", "total_qty": "int64"})
+
+    return group_map_by_key(li.map_batches(partial, batch_format="pyarrow"),
+                            "l_orderkey", fold, size_ds=li)
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: PROMO-part revenue share per 30-day month, in
+    EXACT 1e-4-dollar integers (both the numerator and the denominator
+    ship as int64 — no float division to drift). The p_partkey→is_promo
+    flag is a gated broadcast (sorted keys + searchsorted); over the
+    gate the plan routes through the bucketed hash join."""
+    import os
+
+    import pyarrow.parquet as pq
+    from ..stages.join import hash_inner_join
+
+    ppath = f"{sf_dir}/part.parquet"
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"])
+
+    def rev_cols(t: pa.Table):
+        month = (t["l_shipdate"].cast(pa.int64()).to_numpy()
+                 // (30 * DAY_US))
+        price = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        pc_ = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        dp = np.floor(disc * 100.0 + 0.5).astype(np.int64)
+        return month.astype(np.int64), pc_ * (100 - dp)
+
+    if os.path.getsize(ppath) <= BROADCAST_DIM_BYTES:
+        part = pq.read_table(ppath, columns=["p_partkey", "p_type"])
+        pk = part["p_partkey"].to_numpy()
+        order = np.argsort(pk, kind="stable")
+        promo = (np.asarray(part["p_type"].to_pylist(), dtype=object)
+                 == "PROMO")
+        ref = ray.put((pk[order], promo[order]))
+
+        def partial(t: pa.Table) -> pd.DataFrame:
+            month, rev = rev_cols(t)
+            k, isp = ray.get(ref)
+            key = t["l_partkey"].to_numpy()
+            p = np.minimum(np.searchsorted(k, key), max(len(k) - 1, 0))
+            hit = (k[p] == key) if len(k) else np.zeros(len(key), bool)
+            promo_rev = np.where(hit & isp[p], rev, 0)
+            return (pd.DataFrame({"month_id": month,
+                                  "promo_rev_e4": promo_rev,
+                                  "total_rev_e4": rev})
+                    .groupby("month_id", sort=False).sum().reset_index()
+                    .astype("int64"))
+
+        joined = li.map_batches(partial, batch_format="pyarrow")
+    else:
+        parts = rd.read_parquet(ppath, columns=["p_partkey", "p_type"])
+
+        def tag_rev(t: pa.Table) -> pd.DataFrame:
+            month, rev = rev_cols(t)
+            return pd.DataFrame({"l_partkey": t["l_partkey"].to_numpy(),
+                                 "month_id": month, "rev_e4": rev})
+
+        j = hash_inner_join(
+            li.map_batches(tag_rev, batch_format="pyarrow"), parts,
+            "l_partkey",
+            {"month_id": "Int64", "rev_e4": "Int64"}, {"p_type": "string"},
+            right_key="p_partkey", size_ds=li)
+        joined = j.map_batches(
+            lambda df: pd.DataFrame({
+                "month_id": df["month_id"].to_numpy(np.int64),
+                "promo_rev_e4": np.where(
+                    df["p_type"].to_numpy(object) == "PROMO",
+                    df["rev_e4"].to_numpy(np.int64), 0),
+                "total_rev_e4": df["rev_e4"].to_numpy(np.int64)}),
+            batch_format="pandas")
+
+    return _grouped_sums(joined, ["month_id"],
+                         ["promo_rev_e4", "total_rev_e4"])
+
+
+def q_inactive_rich_customers(sf_dir: str):
+    """TPC-H Q22 shape: customers with an above-average positive balance
+    and NO order since the cutoff, counted per nation. The average
+    filter is an EXACT integer cross-multiply (bal_cents · n_pos >
+    sum_pos_cents — no float average), the active-customer set is a
+    gated broadcast of sorted custkeys (fallback: bucketed anti join),
+    and balances aggregate in exact cents."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    cut = int(np.datetime64(Q22_CUTOFF).astype("datetime64[us]")
+              .astype(np.int64))
+    cpath = f"{sf_dir}/customer.parquet"
+    opath = f"{sf_dir}/orders.parquet"
+
+    # distinct recently-active custkeys — one pruned pass over orders
+    active = (rd.read_parquet(opath, columns=["o_custkey", "o_orderdate"])
+              .map_batches(
+                  lambda t: pd.DataFrame({
+                      "k": np.unique(t["o_custkey"].to_numpy()[
+                          t["o_orderdate"].cast(pa.int64()).to_numpy()
+                          >= cut])}),
+                  batch_format="pyarrow")
+              .to_pandas())
+    active_keys = np.unique(active["k"].to_numpy(np.int64))
+    if os.path.getsize(cpath) > BROADCAST_DIM_BYTES:
+        raise ValueError("customer table above the broadcast gate: "
+                         "route the anti join via bucketed co-location")
+    akeys = ray.put(active_keys)
+
+    cust = rd.read_parquet(cpath, columns=["c_custkey", "c_nationkey",
+                                           "c_acctbal"])
+
+    def stats_partial(t: pa.Table) -> pd.DataFrame:
+        bal = t["c_acctbal"].to_numpy()
+        pos = bal > 0.0
+        cents = np.floor(bal[pos] * 100.0 + 0.5).astype(np.int64)
+        return pd.DataFrame({"s": pd.array([int(cents.sum())], "int64"),
+                             "n": pd.array([int(pos.sum())], "int64")})
+
+    st = (cust.map_batches(stats_partial, batch_format="pyarrow")
+          .to_pandas())
+    s_pos, n_pos = int(st["s"].sum()), int(st["n"].sum())
+
+    def pick(t: pa.Table) -> pd.DataFrame:
+        bal = t["c_acctbal"].to_numpy()
+        cents = np.floor(bal * 100.0 + 0.5).astype(np.int64)
+        rich = cents * n_pos > s_pos
+        keys = t["c_custkey"].to_numpy()
+        ak = ray.get(akeys)
+        p = np.minimum(np.searchsorted(ak, keys), max(len(ak) - 1, 0))
+        inactive = ~((ak[p] == keys) if len(ak) else
+                     np.zeros(len(keys), bool))
+        m = rich & inactive
+        return (pd.DataFrame({
+            "c_nationkey": t["c_nationkey"].to_numpy()[m].astype(np.int64),
+            "numcust": np.ones(int(m.sum()), np.int64),
+            "totacctbal_cents": cents[m]})
+            .groupby("c_nationkey", sort=False).sum().reset_index()
+            .astype("int64"))
+
+    return _grouped_sums(cust.map_batches(pick, batch_format="pyarrow"),
+                         ["c_nationkey"], ["numcust", "totacctbal_cents"])
+
+
+def q_bfs_levels(sf_dir: str):
+    """Multi-source BFS over the user↔item interaction graph: hop
+    distance to the nearest seed user (id ≡ 0 mod 1000), capped at 16
+    rounds — level-synchronous Pregel rounds over the materialized
+    doubled edge list (stages/graph.bfs_levels); oracle = recursive CTE
+    with UNION dedup and the identical cap."""
+    from ..stages.graph import bfs_levels
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        uid = t["user_id"].to_numpy().astype(np.int64)
+        m = (eid % 101) == 0
+        return pa.table({"u": uid[m],
+                         "v": 1_000_000 + eid[m] % 4093})
+
+    return bfs_levels(ds.map_batches(edges, batch_format="pyarrow"),
+                      size_ds=ds)

@@ -545,3 +545,115 @@ FROM (SELECT apex AS vid FROM tri
       UNION ALL SELECT v FROM tri
       UNION ALL SELECT w FROM tri) corners
 GROUP BY 1"""
+
+
+# ------------------------------------------------- multi-source BFS levels
+
+def bfs_levels(edges: rd.Dataset, seed_mod: int = 1000,
+               max_rounds: int = 16,
+               size_ds: rd.Dataset | None = None) -> rd.Dataset:
+    """(node_id, level): hop distance to the NEAREST seed node over the
+    UNDIRECTED graph of ``edges`` (u, v int64), level-synchronous
+    multi-source BFS, capped at ``max_rounds`` (nodes further away are
+    omitted — the recursive-CTE oracle carries the identical cap).
+    Seeds are the user-side nodes (< the item-id offset) whose id is
+    ≡ 0 (mod seed_mod).
+
+    Pregel-shaped like :func:`pagerank`: the doubled distinct edge list
+    is built once and MATERIALIZED; each round is one edge-bucket join
+    (frontier → neighbors) and one node-bucket anti-merge (drop already-
+    visited), terminating early when the frontier empties — rounds ≤
+    graph diameter, wire cost O(edges) per round, the driver holds two
+    scalars (round counter, frontier count), never per-node state."""
+    from .bucketing import group_map_by_key, safe_size_bytes
+    from .join import hash_inner_join
+
+    size = safe_size_bytes(edges)
+    if size is None and size_ds is not None:
+        size = safe_size_bytes(size_ds)
+    esize = (2 * size) if size else None
+    doubled = edges.select_columns(_EDGE_COLS).map_batches(
+        _doubled, batch_format="pandas")
+
+    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.drop_duplicates(subset=["u", "v"])
+                .astype({"u": "int64", "v": "int64"}))
+
+    ed = group_map_by_key(doubled, "u", dedupe,
+                          size_bytes=esize).materialize()
+    msize = safe_size_bytes(ed)
+    if msize is not None:
+        esize = msize
+
+    def seed_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["u"].to_numpy(np.int64)
+        s = np.unique(n[(n % seed_mod) == 0])
+        return pd.DataFrame({"node": s,
+                             "level": np.zeros(len(s), np.int64)})
+
+    # visited (node → level) and the current frontier both start as the
+    # seed set; per-bucket dedup makes rows unique
+    visited = group_map_by_key(
+        ed.map_batches(seed_rows, batch_format="pandas"), "node",
+        lambda df: df.drop_duplicates("node"),
+        size_bytes=esize).materialize()
+    frontier = visited
+    n_front = frontier.count()
+
+    for r in range(1, max_rounds + 1):
+        if n_front == 0:
+            break
+        msgs = hash_inner_join(
+            ed, frontier.select_columns(["node"]), "u",
+            {"v": "Int64"}, {}, right_key="node", size_bytes=esize)
+        cand = msgs.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df["v"].to_numpy(np.int64)}).drop_duplicates(),
+            batch_format="pandas")
+        # anti-merge: candidates not yet visited become the next level.
+        # Tagged union co-located per node bucket — lvl −1 marks a
+        # candidate; a bucket keeps candidates with no visited row.
+        tag_v = visited.map_batches(
+            lambda df: df[["node", "level"]], batch_format="pandas")
+        tag_c = cand.map_batches(
+            lambda df: df.assign(level=np.int64(-1)),
+            batch_format="pandas")
+        lvl = np.int64(r)
+
+        def merge(df: pd.DataFrame, lvl=lvl) -> pd.DataFrame:
+            known = df.loc[df["level"] >= 0]
+            new = df.loc[df["level"] < 0, ["node"]].drop_duplicates()
+            new = new[~new["node"].isin(known["node"])]
+            out = pd.concat(
+                [known, new.assign(level=lvl)], ignore_index=True)
+            return out.astype({"node": "int64", "level": "int64"})
+
+        visited = group_map_by_key(tag_v.union(tag_c), "node", merge,
+                                   size_bytes=esize).materialize()
+        frontier = visited.filter(
+            expr=f"level == {r}").materialize()
+        n_front = frontier.count()
+
+    return visited.map_batches(
+        lambda df: df.rename(columns={"node": "node_id"}),
+        batch_format="pandas")
+
+
+def bfs_levels_sql(edges_body: str, seed_mod: int = 1000,
+                   max_rounds: int = 16) -> str:
+    """DuckDB oracle for :func:`bfs_levels` — recursive CTE over the
+    same doubled edge list, UNION-dedup on (node, lvl) pairs (bounded
+    by nodes × (max_rounds+1); UNION ALL would enumerate paths and
+    explode on cyclic graphs), min(lvl) per node, identical cap."""
+    return f"""
+WITH RECURSIVE edges0 AS ({edges_body}),
+edges AS (SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0),
+seeds AS (SELECT DISTINCT u AS node FROM edges
+          WHERE u % {seed_mod} = 0),
+walk(node, lvl) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.v, w.lvl + 1 FROM walk w JOIN edges e ON e.u = w.node
+  WHERE w.lvl < {max_rounds})
+SELECT node AS node_id, CAST(min(lvl) AS BIGINT) AS level
+FROM walk GROUP BY 1"""

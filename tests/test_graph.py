@@ -162,3 +162,53 @@ def test_pagerank_hub_no_int64_wrap(ray_session):
     s_leaf = PR_SCALE // n  # hub's mass split over its n neighbors
     want_leaf = PR_BASE + PR_DAMP_NUM * s_leaf // PR_DAMP_DEN
     assert int(got.loc[1, "rank_fp"]) == want_leaf
+
+
+def _bfs_ref(df: pd.DataFrame, seed_mod=1000, cap=16) -> pd.DataFrame:
+    """Single-process multi-source BFS reference."""
+    adj: dict[int, set] = {}
+    for a, b in zip(df["u"], df["v"]):
+        a, b = int(a), int(b)
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    level = {n: 0 for n in adj if n % seed_mod == 0}
+    frontier = set(level)
+    for r in range(1, cap + 1):
+        nxt = set()
+        for n in frontier:
+            for m in adj[n]:
+                if m not in level:
+                    level[m] = r
+                    nxt.add(m)
+        frontier = nxt
+    return (pd.DataFrame({"node_id": list(level),
+                          "level": list(level.values())})
+            .astype("int64").sort_values("node_id").reset_index(drop=True))
+
+
+def test_bfs_levels_matches_reference(ray_session):
+    from lauchy_ray.stages.graph import bfs_levels
+    rng = np.random.default_rng(5)
+    # ids multiples of 500 so some hit the seed rule (mod 1000)
+    df = pd.DataFrame({
+        "u": (rng.integers(0, 40, 120) * 500).astype(np.int64),
+        "v": (rng.integers(0, 40, 120) * 500).astype(np.int64)})
+    df = df[df.u != df.v]
+    got = (bfs_levels(rd.from_pandas(df).repartition(4), seed_mod=1000)
+           .to_pandas().astype("int64")
+           .sort_values("node_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, _bfs_ref(df))
+
+
+def test_bfs_levels_cap_and_chain(ray_session):
+    """A 20-node path from the seed: nodes past the 16-round cap are
+    omitted, matching the capped oracle."""
+    from lauchy_ray.stages.graph import bfs_levels
+    n = 21
+    ids = np.arange(n, dtype=np.int64) + 1_000  # only node 1000 seeds
+    df = pd.DataFrame({"u": ids[:-1], "v": ids[1:]})
+    got = (bfs_levels(rd.from_pandas(df), seed_mod=1000)
+           .to_pandas().astype("int64")
+           .sort_values("node_id").reset_index(drop=True))
+    assert len(got) == 17                      # levels 0..16
+    assert got["level"].tolist() == list(range(17))
