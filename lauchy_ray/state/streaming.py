@@ -735,7 +735,16 @@ class DedupShardCore(ShardActorBase):
         self.retention = retention_us
         self.lateness = lateness_us
         self.out_dir = out_dir
+        # COLUMNAR fast path for the canonical (conv_id, turn_idx) key:
+        # sorted packed int64 keys + one searchsorted membership probe
+        # per batch (the generic path hashes one Python tuple per ROW —
+        # it remains for arbitrary key_cols). Same first-wins, same
+        # amortized-sweep eviction timing, byte-identical output.
+        self._fast = self.key_cols == ["conv_id", "turn_idx"]
         self.seen: dict[tuple, int] = {}
+        self._names = pd.Index([], dtype=object)
+        self._k = np.empty(0, np.int64)
+        self._t = np.empty(0, np.int64)
         self._evict_mark = 64  # amortized sweep threshold
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
@@ -750,32 +759,83 @@ class DedupShardCore(ShardActorBase):
         # initial threshold would sweep earlier than the clean run and
         # could accept a duplicate the clean run dropped (replay must be
         # byte-identical)
+        if self._fast:
+            return ("fast", self._names, self._k, self._t,
+                    self._evict_mark)
         return (self.seen, self._evict_mark)
 
     def _restore_core(self, core) -> None:
-        self.seen, self._evict_mark = core
+        if len(core) == 5 and core[0] == "fast":
+            _, self._names, self._k, self._t, self._evict_mark = core
+        else:
+            self.seen, self._evict_mark = core
+
+    def _n_state(self) -> int:
+        return len(self._k) if self._fast else len(self.seen)
 
     def ingest(self, table: pa.Table, seq: int | None = None) -> int:
         if seq is not None and seq <= self.seq:
             return 0
         n = table.num_rows
-        accepted_idx: list[int] = []
+        accepted_idx = []
         if n:
             ts = table["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            key_arrays = [table[c].to_pylist() for c in self.key_cols]
-            for i in range(n):
-                key = tuple(arr[i] for arr in key_arrays)
-                if key not in self.seen:
-                    self.seen[key] = int(ts[i])
-                    accepted_idx.append(i)
+            if self._fast:
+                idx = table["turn_idx"].to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                enc = pc.dictionary_encode(
+                    table["conv_id"].combine_chunks())
+                codes = enc.indices.to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                names = np.asarray(enc.dictionary.to_pylist(),
+                                   dtype=object)
+                g = self._names.get_indexer(names) if len(names) else \
+                    np.empty(0, np.int64)
+                miss = g == -1
+                if miss.any():
+                    start = len(self._names)
+                    self._names = self._names.append(
+                        pd.Index(names[miss]))
+                    g[miss] = np.arange(start, start + int(miss.sum()))
+                if (len(self._names) >= (1 << 29)
+                        or (len(idx) and (idx.min() < 0
+                                          or idx.max() >= (1 << 34)))):
+                    raise ValueError("key exceeds dedup pack bounds")
+                key = (g[codes] << 34) | idx
+                first = np.zeros(n, bool)
+                first[np.unique(key, return_index=True)[1]] = True
+                if len(self._k):
+                    pos = np.minimum(np.searchsorted(self._k, key),
+                                     len(self._k) - 1)
+                    acc_m = first & (self._k[pos] != key)
+                else:
+                    acc_m = first
+                accepted_idx = np.flatnonzero(acc_m)
+                k_new = key[acc_m]
+                o = np.argsort(k_new)
+                ins = np.searchsorted(self._k, k_new[o])
+                self._k = np.insert(self._k, ins, k_new[o])
+                self._t = np.insert(self._t, ins, ts[acc_m][o])
+            else:
+                key_arrays = [table[c].to_pylist() for c in self.key_cols]
+                for i in range(n):
+                    key = tuple(arr[i] for arr in key_arrays)
+                    if key not in self.seen:
+                        self.seen[key] = int(ts[i])
+                        accepted_idx.append(i)
             wm_new = int(ts.max()) - self.lateness
             if wm_new > self.wm:
                 self.wm = wm_new
-            if len(self.seen) > self._evict_mark:
+            if self._n_state() > self._evict_mark:
                 horizon = self.wm - self.retention
-                self.seen = {k: t for k, t in self.seen.items() if t > horizon}
-                self._evict_mark = max(64, 2 * len(self.seen))
-        out = table.take(pa.array(accepted_idx, pa.int64()))
+                if self._fast:
+                    m = self._t > horizon
+                    self._k, self._t = self._k[m], self._t[m]
+                else:
+                    self.seen = {k: t for k, t in self.seen.items()
+                                 if t > horizon}
+                self._evict_mark = max(64, 2 * self._n_state())
+        out = table.take(pa.array(np.asarray(accepted_idx, np.int64)))
         if self.out_dir is not None and seq is not None:
             # sink.py's write→fsync(file)→rename→fsync(dir) discipline: the
             # snapshot below is the commit record, so the part's directory
@@ -790,7 +850,7 @@ class DedupShardCore(ShardActorBase):
 
     def finalize(self) -> dict:
         return {"emitted": [], "late": [], "watermark": self.wm,
-                "state_keys": len(self.seen)}
+                "state_keys": self._n_state()}
 
 
 def run_streaming_dedup(input_path: str, out_dir: str,
