@@ -33,6 +33,7 @@ from lauchy_ray.stages.graph import (  # noqa: E402
     user_item_edges_sql)
 from lauchy_ray.stages.multimodal import (  # noqa: E402
     audio_resample_sql, media_features_sql, media_resize_sql)
+from lauchy_ray.stages.cluster import kmeans_sql  # noqa: E402
 from lauchy_ray.stages.decontam import decontam_sql  # noqa: E402
 from lauchy_ray.stages.sketches import cms_sql, hll_sql  # noqa: E402
 from lauchy_ray.stages.terms import (  # noqa: E402
@@ -170,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": Q.q_promo_revenue,
         "inactive_rich_customers": Q.q_inactive_rich_customers,
         "bfs_levels": Q.q_bfs_levels,
+        "embed_kmeans": Q.q_embed_kmeans,
         "value_mad_by_type": Q.q_value_mad_by_type,
         "user_value_intervals": Q.q_user_value_intervals,
         "best_docs_per_lang": Q.q_best_docs_per_lang,
@@ -600,6 +602,8 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS numcust,
                    CAST(sum(bc) AS BIGINT) AS totacctbal_cents
             FROM cand GROUP BY 1""",
+        # exact fixed-point k-means: identical integer Lloyd trajectory
+        "embed_kmeans": kmeans_sql(k=8, iters=2),
         # multi-source BFS levels: recursive CTE, UNION dedup, same cap
         "bfs_levels": bfs_levels_sql(user_item_edges_sql()),
         # robust spread: median + MAD, integer ceil(p*n/100) ranks

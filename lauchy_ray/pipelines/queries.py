@@ -4377,3 +4377,14 @@ def q_bfs_levels(sf_dir: str):
 
     return bfs_levels(ds.map_batches(edges, batch_format="pyarrow"),
                       size_ds=ds)
+
+
+def q_embed_kmeans(sf_dir: str):
+    """Exact fixed-point k-means over the embedding corpus (k=8, two
+    Lloyd rounds + final assignment) — stages/cluster.py; the oracle
+    re-derives the identical integer trajectory with one CTE pair per
+    round."""
+    from ..stages.cluster import kmeans_fp
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return kmeans_fp(ds, k=8, iters=2)
