@@ -39,7 +39,8 @@ from lauchy_ray.stages.sketches import cms_sql, hll_sql  # noqa: E402
 from lauchy_ray.stages.terms import (  # noqa: E402
     TFIDF_K, TOP_TERMS_K, bigram_sql, cooccur_sql)
 from lauchy_ray.stages.textops import (  # noqa: E402
-    chunk_dedup_sql, fingerprint_sql, lang_id_sql, pii_scrub_sql)
+    chunk_dedup_sql, corpus_filter_sql, fingerprint_sql, lang_id_sql,
+    pii_scrub_sql)
 
 
 def entry() -> Any:
@@ -172,6 +173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inactive_rich_customers": Q.q_inactive_rich_customers,
         "bfs_levels": Q.q_bfs_levels,
         "embed_kmeans": Q.q_embed_kmeans,
+        "corpus_filter": Q.q_corpus_filter,
+        "unpivot_lineitem": Q.q_unpivot_lineitem,
         "value_mad_by_type": Q.q_value_mad_by_type,
         "user_value_intervals": Q.q_user_value_intervals,
         "best_docs_per_lang": Q.q_best_docs_per_lang,
@@ -602,6 +605,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS numcust,
                    CAST(sum(bc) AS BIGINT) AS totacctbal_cents
             FROM cand GROUP BY 1""",
+        # C4-style corpus gate: identical ordered CASE chain
+        "corpus_filter": corpus_filter_sql(),
+        # UNPIVOT: four exact-cents measure totals
+        "unpivot_lineitem": """
+            SELECT measure,
+                   CAST(sum(CAST(floor(v * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM (SELECT unnest(['l_quantity', 'l_extendedprice',
+                                 'l_discount', 'l_tax']) AS measure,
+                         unnest([l_quantity, l_extendedprice,
+                                 l_discount, l_tax]) AS v
+                  FROM lineitem)
+            GROUP BY 1""",
         # exact fixed-point k-means: identical integer Lloyd trajectory
         "embed_kmeans": kmeans_sql(k=8, iters=2),
         # multi-source BFS levels: recursive CTE, UNION dedup, same cap

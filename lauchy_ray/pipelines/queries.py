@@ -4388,3 +4388,35 @@ def q_embed_kmeans(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     return kmeans_fp(ds, k=8, iters=2)
+
+
+def q_corpus_filter(sf_dir: str):
+    """C4-style training-corpus quality gate (ordered first-match reject
+    reasons, exact integer cross-multiply thresholds) — the flagship
+    validator's accept/route shape over documents
+    (textops.corpus_filter_batch / corpus_filter_sql)."""
+    from ..stages.textops import corpus_filter_batch
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(corpus_filter_batch, batch_format="pandas")
+
+
+def q_unpivot_lineitem(sf_dir: str):
+    """UNPIVOT (wide → long) face: lineitem's four measure columns melt
+    into (measure, total) rows — exact integer cents; the bounded-key
+    grouped-sum shape, four output rows regardless of input size."""
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity", "l_extendedprice",
+                                  "l_discount", "l_tax"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        vals = {c: int(np.floor(t[c].to_numpy() * 100.0 + 0.5)
+                       .astype(np.int64).sum())
+                for c in ("l_quantity", "l_extendedprice",
+                          "l_discount", "l_tax")}
+        return pd.DataFrame({"measure": list(vals),
+                             "total_cents": np.fromiter(
+                                 vals.values(), np.int64, len(vals))})
+
+    return _grouped_sums(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["measure"], ["total_cents"])

@@ -373,3 +373,86 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
        CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS DOUBLE)
          / CAST(count(*) AS DOUBLE) AS dup_ratio
 FROM r GROUP BY doc_id"""
+
+
+# ------------------------------------------ C4-style corpus quality gate
+
+def corpus_filter_batch(df: pd.DataFrame,
+                        text_col: str = "text") -> pd.DataFrame:
+    """(doc_id, keep, reject_reason): the training-corpus quality GATE —
+    the flagship validator's accept/route shape applied to documents
+    (C4/Gopher-style rules, public heuristics). Reasons are ORDERED and
+    first-match-wins, all decided in EXACT integer comparisons (ratio
+    thresholds as cross-multiplies — no float boundary drift vs SQL):
+
+      too-short   n_chars < 100
+      too-long    n_chars > 500
+      low-alpha   5·n_alpha < 2·n_chars          (alpha ratio < 0.4)
+      high-punct  20·n_punct > n_chars           (punct ratio > 5%)
+      repetitive  2·n_distinct_ws < n_ws         (>50% repeated tokens)
+
+    The whitespace tokenization is the shared WS_TOKEN_RE byte class
+    (ASCII-only — see the note above)."""
+    import re
+    text = df[text_col]
+    n_chars = text.str.len().astype("int64").to_numpy()
+    n_alpha = text.str.count(r"[A-Za-z]").astype("int64").to_numpy()
+    n_punct = text.str.count(PUNCT_RE).astype("int64").to_numpy()
+    ws_re = re.compile(WS_TOKEN_RE)
+    n_ws = np.empty(len(text), np.int64)
+    n_dist = np.empty(len(text), np.int64)
+    for i, t in enumerate(text):
+        toks = ws_re.findall(t)
+        n_ws[i] = len(toks)
+        n_dist[i] = len(set(toks))
+    reason = np.full(len(text), "", dtype=object)
+    rules = [
+        ("too-short", n_chars < 100),
+        ("too-long", n_chars > 500),
+        ("low-alpha", 5 * n_alpha < 2 * n_chars),
+        ("high-punct", 20 * n_punct > n_chars),
+        ("repetitive", 2 * n_dist < n_ws),
+    ]
+    undecided = np.ones(len(text), bool)
+    for name, m in rules:
+        hit = undecided & m
+        reason[hit] = name
+        undecided &= ~hit
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+        "keep": undecided,
+        "reject_reason": reason,
+    })
+
+
+def corpus_filter_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`corpus_filter_batch` — the identical
+    ordered CASE chain over identical integer signals."""
+    return f"""
+WITH sig AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT)
+           AS n_alpha,
+         CAST(len(regexp_extract_all(text, '{PUNCT_RE}')) AS BIGINT)
+           AS n_punct,
+         CAST(len(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS BIGINT)
+           AS n_ws,
+         CAST(len(list_distinct(
+             regexp_extract_all(text, '[^ \t\n\r\f\v]+'))) AS BIGINT)
+           AS n_dist
+  FROM {table})
+SELECT doc_id,
+       CASE WHEN n_chars < 100 THEN 'too-short'
+            WHEN n_chars > 500 THEN 'too-long'
+            WHEN 5 * n_alpha < 2 * n_chars THEN 'low-alpha'
+            WHEN 20 * n_punct > n_chars THEN 'high-punct'
+            WHEN 2 * n_dist < n_ws THEN 'repetitive'
+            ELSE '' END AS reject_reason,
+       (CASE WHEN n_chars < 100 THEN 'too-short'
+            WHEN n_chars > 500 THEN 'too-long'
+            WHEN 5 * n_alpha < 2 * n_chars THEN 'low-alpha'
+            WHEN 20 * n_punct > n_chars THEN 'high-punct'
+            WHEN 2 * n_dist < n_ws THEN 'repetitive'
+            ELSE '' END) = '' AS keep
+FROM sig"""
