@@ -237,7 +237,8 @@ def _trim_for_stdout(result: dict, sidecar: str) -> dict:
         "details_file": sidecar,
     }
     line = json.dumps(slim)
-    assert len(line) < 1900, f"stdout line {len(line)}B breaks driver contract"
+    if len(line) >= 1900:   # explicit raise — asserts vanish under -O
+        raise ValueError(f"stdout line {len(line)}B breaks driver contract")
     return slim
 
 
@@ -333,11 +334,13 @@ if __name__ == "__main__":
             (full.get("calibration_32") or {}).get("membw_mb_s")]
         slim["details_file"] = sidecar
         line = json.dumps(slim)
-        assert len(line) < 1900, f"stdout line {len(line)}B breaks contract"
+        if len(line) >= 1900:
+            raise ValueError(f"stdout line {len(line)}B breaks contract")
         print(line)
     else:
         full = single_run()
         sidecar = os.environ.get("LAUCHY_BENCH_SIDECAR",
                                  os.path.join(here, "bench_details.json"))
-        os.makedirs(os.path.dirname(sidecar), exist_ok=True)
+        if os.path.dirname(sidecar):   # bare filename → cwd, no makedirs
+            os.makedirs(os.path.dirname(sidecar), exist_ok=True)
         print(json.dumps(_trim_for_stdout(full, sidecar)))

@@ -12,6 +12,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .. import rules as R
 from ..rules import DEFAULT_RULES
 from ..stages.validator import Validator
 from ..state.sink import run_exactly_once
@@ -26,7 +27,9 @@ class ValidateTransform:
     construction is noise next to fragment IO."""
 
     def __init__(self, rules=None, entity_codes=None, enable_blacklist=True):
-        from .. import rules as R
+        # NOTE: __init__ runs per task on WORKERS — module-top import of
+        # R is load-bearing (lazy relative import would ModuleNotFoundError
+        # under a foreign-cwd driver; see tests/test_no_lazy_relative_imports)
         self.rules = DEFAULT_RULES if rules is None else rules
         self.entity_codes = entity_codes
         self.enable_blacklist = enable_blacklist

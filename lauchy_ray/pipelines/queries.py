@@ -4259,9 +4259,12 @@ def q_promo_revenue(sf_dir: str):
             p = np.minimum(np.searchsorted(k, key), max(len(k) - 1, 0))
             hit = (k[p] == key) if len(k) else np.zeros(len(key), bool)
             promo_rev = np.where(hit & isp[p], rev, 0)
-            return (pd.DataFrame({"month_id": month,
-                                  "promo_rev_e4": promo_rev,
-                                  "total_rev_e4": rev})
+            # INNER-join semantics: a dangling l_partkey contributes to
+            # NEITHER sum (the fallback hash join and the oracle both
+            # drop it — the two plan paths must agree on FK violations)
+            return (pd.DataFrame({"month_id": month[hit],
+                                  "promo_rev_e4": promo_rev[hit],
+                                  "total_rev_e4": rev[hit]})
                     .groupby("month_id", sort=False).sum().reset_index()
                     .astype("int64"))
 

@@ -556,8 +556,9 @@ def bfs_levels(edges: rd.Dataset, seed_mod: int = 1000,
     UNDIRECTED graph of ``edges`` (u, v int64), level-synchronous
     multi-source BFS, capped at ``max_rounds`` (nodes further away are
     omitted — the recursive-CTE oracle carries the identical cap).
-    Seeds are the user-side nodes (< the item-id offset) whose id is
-    ≡ 0 (mod seed_mod).
+    Seeds are ALL nodes whose id is ≡ 0 (mod seed_mod) — including
+    item-side ids that happen to divide (the oracle applies the same
+    rule, so the two sides agree by construction).
 
     Pregel-shaped like :func:`pagerank`: the doubled distinct edge list
     is built once and MATERIALIZED; each round is one edge-bucket join

@@ -139,13 +139,54 @@ class ShardActorBase:
         ts = table["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         idx = table["turn_idx"].to_numpy(
             zero_copy_only=False).astype(np.int64)
-        enc = pc.dictionary_encode(table["conv_id"].combine_chunks())
+        # null conv_id rows (outside the input contract but shippable by
+        # a raw fragment) become the "" key — deterministic, never a
+        # NaN-index crash; null roles are neither user nor assistant
+        # (fill_null keeps the comparison a plain bool array — a null in
+        # pc.equal otherwise yields an OBJECT array that crashes `&`)
+        conv = table["conv_id"].combine_chunks()
+        if conv.null_count:
+            conv = conv.fill_null("")
+        enc = pc.dictionary_encode(conv)
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         names = np.asarray(enc.dictionary.to_pylist(), dtype=object)
         role = table["role"]
-        is_u = pc.equal(role, "user").to_numpy(zero_copy_only=False)
-        is_a = pc.equal(role, "assistant").to_numpy(zero_copy_only=False)
+        is_u = pc.fill_null(pc.equal(role, "user"), False).to_numpy(
+            zero_copy_only=False)
+        is_a = pc.fill_null(pc.equal(role, "assistant"), False).to_numpy(
+            zero_copy_only=False)
         return ts, idx, codes, names, is_u, is_a
+
+    def _map_names(self, names: np.ndarray, idx: np.ndarray) -> np.ndarray:
+        """Vectorized lookup of batch conv names against the persistent
+        ``self._names`` index, appending the new ones; validates the
+        dup-pack bounds (conv codes < 2^29, 0 ≤ turn_idx < 2^34 — a
+        negative idx would smear sign bits over the code field and alias
+        distinct keys). Shared by the dedup / absence / join engines."""
+        g = self._names.get_indexer(names) if len(names) else \
+            np.empty(0, np.int64)
+        miss = g == -1
+        if miss.any():
+            start = len(self._names)
+            self._names = self._names.append(pd.Index(names[miss]))
+            g[miss] = np.arange(start, start + int(miss.sum()))
+        if len(self._names) >= (1 << 29):
+            raise ValueError("conv cardinality exceeds dup-pack bounds")
+        if len(idx) and (int(idx.min()) < 0 or int(idx.max()) >= (1 << 34)):
+            raise ValueError("turn_idx exceeds dup-pack bounds")
+        return g
+
+    def _compact_names(self, live_codes: list[np.ndarray]) -> list:
+        """Rebuild ``self._names`` from the codes still referenced by
+        state (the index otherwise grows with stream-LIFETIME distinct
+        convs — the dict-based design evicted quiet convs with their
+        state, and the horizon-bounded claim must stay true). Returns
+        the remap arrays: new_code = searchsorted(live, old_code).
+        Call when len(_names) outgrows the live set by 4x."""
+        live = (np.unique(np.concatenate(live_codes)) if live_codes
+                else np.empty(0, np.int64))
+        self._names = pd.Index(np.asarray(self._names, dtype=object)[live])
+        return [np.searchsorted(live, c) for c in live_codes]
 
     def _route_late_rows(self, table: pa.Table, ts: np.ndarray,
                          wid: np.ndarray, late_mask: np.ndarray) -> None:
@@ -767,6 +808,21 @@ class DedupShardCore(ShardActorBase):
     def _restore_core(self, core) -> None:
         if len(core) == 5 and core[0] == "fast":
             _, self._names, self._k, self._t, self._evict_mark = core
+        elif self._fast and core[0]:
+            # checkpoint written by the pre-columnar code (same config
+            # tuple, generic dict state): MIGRATE it — restoring into
+            # the unused dict would silently re-accept every
+            # previously-seen key on resume
+            seen, self._evict_mark = core
+            names, idxs, ts = zip(*((c, i, t) for (c, i), t
+                                    in seen.items()))
+            uniq = pd.Index(pd.unique(np.asarray(names, dtype=object)))
+            self._names = uniq
+            g = uniq.get_indexer(np.asarray(names, dtype=object))
+            key = (g.astype(np.int64) << 34) | np.asarray(idxs, np.int64)
+            o = np.argsort(key)
+            self._k = key[o]
+            self._t = np.asarray(ts, np.int64)[o]
         else:
             self.seen, self._evict_mark = core
 
@@ -783,24 +839,15 @@ class DedupShardCore(ShardActorBase):
             if self._fast:
                 idx = table["turn_idx"].to_numpy(
                     zero_copy_only=False).astype(np.int64)
-                enc = pc.dictionary_encode(
-                    table["conv_id"].combine_chunks())
+                conv = table["conv_id"].combine_chunks()
+                if conv.null_count:
+                    conv = conv.fill_null("")
+                enc = pc.dictionary_encode(conv)
                 codes = enc.indices.to_numpy(
                     zero_copy_only=False).astype(np.int64)
                 names = np.asarray(enc.dictionary.to_pylist(),
                                    dtype=object)
-                g = self._names.get_indexer(names) if len(names) else \
-                    np.empty(0, np.int64)
-                miss = g == -1
-                if miss.any():
-                    start = len(self._names)
-                    self._names = self._names.append(
-                        pd.Index(names[miss]))
-                    g[miss] = np.arange(start, start + int(miss.sum()))
-                if (len(self._names) >= (1 << 29)
-                        or (len(idx) and (idx.min() < 0
-                                          or idx.max() >= (1 << 34)))):
-                    raise ValueError("key exceeds dedup pack bounds")
+                g = self._map_names(names, idx)
                 key = (g[codes] << 34) | idx
                 first = np.zeros(n, bool)
                 first[np.unique(key, return_index=True)[1]] = True
@@ -831,6 +878,14 @@ class DedupShardCore(ShardActorBase):
                 if self._fast:
                     m = self._t > horizon
                     self._k, self._t = self._k[m], self._t[m]
+                    # name-index compaction: without it the index grows
+                    # with stream-lifetime distinct convs (the dict
+                    # design evicted quiet convs with their state); the
+                    # rank remap is monotone so _k stays sorted
+                    if len(self._names) > max(1024, 4 * len(self._k)):
+                        lo = self._k & ((1 << 34) - 1)
+                        [c2] = self._compact_names([self._k >> 34])
+                        self._k = (c2 << 34) | lo
                 else:
                     self.seen = {k: t for k, t in self.seen.items()
                                  if t > horizon}
@@ -1746,8 +1801,7 @@ def _range_exists(d_code: np.ndarray, d_ts: np.ndarray,
     span = top - base + 2
     if len(un) * span >= (1 << 62):
         for i in range(n_q):
-            seg = sub_ts[np.flatnonzero(sub_cc == qc[i])] \
-                if lens[qc[i]] else sub_ts[:0]
+            seg = d_ts[lo_c[qc[i]]:hi_c[qc[i]]]   # O(1) slice per query
             lo = np.searchsorted(seg, q_t[i], side="right")
             hi = np.searchsorted(seg, q_t[i] + window, side="right")
             out[i] = lo < hi
@@ -1846,16 +1900,8 @@ class AbsenceShardCore(ShardActorBase):
 
         # dense conv codes: arrow dictionary-encode factorized the batch
         # in C; vectorized lookup against the persistent name index,
-        # append only the new names
-        g_of_name = self._names.get_indexer(names) if len(names) else \
-            np.empty(0, np.int64)
-        miss = g_of_name == -1
-        if miss.any():
-            start = len(self._names)
-            self._names = self._names.append(pd.Index(names[miss]))
-            g_of_name[miss] = np.arange(start, start + int(miss.sum()))
-        if len(self._names) >= (1 << 29):
-            raise ValueError("conv cardinality exceeds dup-pack bounds")
+        # append only the new names (bounds validated in _map_names)
+        g_of_name = self._map_names(names, idx[u_rows])
         u_g = g_of_name[bcodes[u_rows]]
         a_g = g_of_name[bcodes[a_rows]]
 
@@ -1877,8 +1923,6 @@ class AbsenceShardCore(ShardActorBase):
         k_arr = idx[u_rows]
         t_arr = ts[u_rows]
         if len(u_rows):
-            if k_arr.max() >= (1 << 34):
-                raise ValueError("turn_idx exceeds dup-pack bounds")
             q_key = (u_g << 34) | k_arr
             dup_m = np.ones(len(u_rows), bool)
             dup_m[np.unique(q_key, return_index=True)[1]] = False
@@ -1968,6 +2012,17 @@ class AbsenceShardCore(ShardActorBase):
             if not m.all():
                 self._s_key = self._s_key[m]
                 self._s_ts = self._s_ts[m]
+        # name-index compaction (quiet convs' ids otherwise accumulate
+        # for stream life); the rank remap is monotone — sort orders of
+        # the assist arrays and the packed guard keys are preserved
+        live = len(self._a_code) + len(self._s_key) + len(self._p_code)
+        if len(self._names) > max(1024, 4 * live):
+            lo = self._s_key & ((1 << 34) - 1)
+            a2, s2, p2 = self._compact_names(
+                [self._a_code, self._s_key >> 34, self._p_code])
+            self._a_code = a2
+            self._s_key = (s2 << 34) | lo
+            self._p_code = p2
 
     def finalize(self) -> dict:
         """End of stream: every still-pending user turn's window closes
@@ -2132,22 +2187,12 @@ class JoinShardCore(ShardActorBase):
         # exactly the scalar oracle's regardless of role interleaving
         sel = np.flatnonzero(keep & (is_u_all | is_a_all))
         is_u = is_u_all[sel]
-        g_of_name = self._names.get_indexer(names) if len(names) else \
-            np.empty(0, np.int64)
-        miss = g_of_name == -1
-        if miss.any():
-            start = len(self._names)
-            self._names = self._names.append(pd.Index(names[miss]))
-            g_of_name[miss] = np.arange(start, start + int(miss.sum()))
-        if len(self._names) >= (1 << 29):
-            raise ValueError("conv cardinality exceeds dup-pack bounds")
+        g_of_name = self._map_names(names, idx[sel])
         g_sel = g_of_name[bcodes[sel]]
         k_sel = idx[sel]
         t_sel = ts[sel]
 
         if len(sel):
-            if k_sel.max() >= (1 << 34):
-                raise ValueError("turn_idx exceeds dup-pack bounds")
             q_key = (g_sel << 34) | k_sel
             dup_m = np.ones(len(sel), bool)
             dup_m[np.unique(q_key, return_index=True)[1]] = False
@@ -2231,6 +2276,15 @@ class JoinShardCore(ShardActorBase):
             if not m.all():
                 self._s_key = self._s_key[m]
                 self._s_ts = self._s_ts[m]
+        # name-index compaction — see AbsenceShardCore._trim
+        live = len(self._u_code) + len(self._a_code) + len(self._s_key)
+        if len(self._names) > max(1024, 4 * live):
+            lo = self._s_key & ((1 << 34) - 1)
+            u2, a2, s2 = self._compact_names(
+                [self._u_code, self._a_code, self._s_key >> 34])
+            self._u_code = u2
+            self._a_code = a2
+            self._s_key = (s2 << 34) | lo
 
     def finalize(self) -> dict:
         """End of stream: a join emits pairs as they complete, so there
