@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split": Q.q_doc_split,
         "token_counts": Q.q_token_counts,
         "token_quantiles": Q.q_token_quantiles,
+        "token_packing": Q.q_token_packing,
         "pii_scrub": Q.q_pii_scrub,
         "turn_lag": Q.q_turn_lag,
         "asof_join": Q.q_asof_join,
@@ -399,6 +400,28 @@ def oracle_sql() -> dict[str, str]:
             FROM ps, tot, cc
             WHERE cc.cum >= (ps.p * tot.n + 99) // 100
             GROUP BY ps.p""",
+        # GPT-style concatenate-and-chunk packing: exact integer window
+        # arithmetic over the global token prefix sum (engine factors the
+        # same prefix via bounded per-range partials + a driver fold)
+        "token_packing": rf"""
+            WITH tok AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '[^ \t\n\r\f\v]+'))
+                          AS BIGINT) AS n_tokens
+              FROM documents),
+            pfx AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(sum(n_tokens) OVER (
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS off
+              FROM tok)
+            SELECT doc_id, n_tokens,
+                   CAST(off // {Q.PACK_CAPACITY} AS BIGINT) AS start_bin,
+                   CAST((off + n_tokens - 1) // {Q.PACK_CAPACITY} AS BIGINT)
+                       AS end_bin,
+                   CAST(off % {Q.PACK_CAPACITY} AS BIGINT) AS bin_off
+            FROM pfx WHERE n_tokens > 0""",
         "turn_lag": f"""WITH {_T}
             SELECT conv_id, turn_idx, role,
                    COALESCE(lag(role) OVER w, '') AS prev_role,

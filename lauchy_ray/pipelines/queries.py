@@ -836,6 +836,79 @@ def q_token_quantiles(sf_dir: str):
                                         batch_size=None))
 
 
+PACK_CAPACITY = 256     # tokens per packed context window
+PACK_RANGE_W = 65536    # docs per prefix-sum range (driver holds O(ranges))
+
+
+def q_token_packing(sf_dir: str):
+    """GPT-style sequence packing (concatenate-and-chunk): lay every
+    document's whitespace tokens end-to-end in doc_id order and cut the
+    tape into fixed PACK_CAPACITY-token context windows; report each
+    doc's [start_bin, end_bin] window span and its offset inside the
+    first window. The global token offset is a distributed prefix sum —
+    the sequential dependency is factored exactly like
+    q_session_concurrency's sweep: per-batch token totals per doc_id
+    RANGE (range_id = doc_id // PACK_RANGE_W, contiguous in doc order)
+    merge into a bounded O(ranges) driver fold that yields each range's
+    entering offset in exact Python ints; the stamping pass then
+    co-locates whole ranges (group_map_by_key — a range never splits, so
+    the within-range cumsum plus its base is the exact global prefix).
+    Driver state is O(doc_count / 65536) ints — ~150k at 10^10 docs.
+    Zero-token docs occupy no tape and are dropped from the output like
+    the oracle's n_tokens > 0 filter (their offset contribution is 0)."""
+    from ..stages.bucketing import group_map_by_key
+    from ..stages.textops import WS_TOKEN_RE
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def tok(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_tokens": df["text"].str.count(WS_TOKEN_RE).astype("int64")})
+
+    counted = ds.map_batches(tok, batch_format="pandas")
+    if _cache_ok(sf_dir):
+        counted = counted.materialize()   # both phases consume it
+
+    sums = counted.map_batches(
+        lambda df: (df.assign(range_id=df["doc_id"] // PACK_RANGE_W)
+                    .groupby("range_id", sort=False)["n_tokens"].sum()
+                    .reset_index(name="s")),
+        batch_format="pandas").to_pandas()
+    base: dict[int, int] = {}
+    running = 0   # exact Python int — Σ tokens overflows nothing
+    for r, s in sums.groupby("range_id", sort=True)["s"].sum().items():
+        base[int(r)] = running
+        running += int(s)
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", kind="stable")
+        n = df["n_tokens"].to_numpy(np.int64)
+        rid = df["range_id"].to_numpy(np.int64)
+        cum = n.cumsum() - n                         # within-call prefix
+        # subtract each range's own within-call start so ranges sharing a
+        # call don't leak into each other, then add the global base
+        first = np.ones(len(df), bool)
+        first[1:] = rid[1:] != rid[:-1]
+        rstart = np.maximum.accumulate(np.where(first, cum, np.int64(0)))
+        off = (cum - rstart
+               + df["range_id"].map(base).to_numpy(np.int64))
+        keep = n > 0
+        L = PACK_CAPACITY
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64)[keep],
+            "n_tokens": n[keep],
+            "start_bin": off[keep] // L,
+            "end_bin": (off[keep] + n[keep] - 1) // L,
+            "bin_off": off[keep] % L})
+
+    ranged = counted.map_batches(
+        lambda df: df.assign(range_id=(df["doc_id"] // PACK_RANGE_W)
+                             .astype("int64")),
+        batch_format="pandas")
+    return group_map_by_key(ranged, "range_id", stamp, size_ds=ds)
+
+
 def q_distinct_users_by_type(sf_dir: str):
     """Exact grouped COUNT DISTINCT. (type, user) pair cardinality grows
     with the corpus, so the distinct runs co-located on a USER hash

@@ -594,3 +594,42 @@ def test_chunk_dedup_semantics():
     # doc4's B and A are both dups
     assert got["n_dup_chunks"].tolist() == [0, 0, 2, 2]
     assert got["dup_ratio"].tolist() == [0.0, 0.0, 1.0, 1.0]
+
+
+def test_token_packing_multi_range(tmp_path, monkeypatch):
+    """The multi-range prefix path of q_token_packing: testdata never has
+    >65536 docs, so shrink PACK_RANGE_W and check the distributed range
+    fold against a scalar global cumsum — including a zero-token doc
+    (occupies no tape, absent from output) and a gap in doc_id space."""
+    from lauchy_ray.pipelines import queries as Q
+
+    monkeypatch.setattr(Q, "PACK_RANGE_W", 5)
+    monkeypatch.setattr(Q, "PACK_CAPACITY", 16)
+    rng = np.random.default_rng(7)
+    ids = np.r_[np.arange(23), np.arange(40, 60)]     # gap across ranges
+    texts = [" ".join(f"t{j}" for j in range(int(rng.integers(0, 13))))
+             for _ in ids]
+    df = pd.DataFrame({"doc_id": ids, "text": texts,
+                       "lang": "en", "source": "s", "n_chars": 1})
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+
+    got = (Q.q_token_packing(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    # scalar reference: global cumsum in doc_id order
+    ref_rows = []
+    off = 0
+    for i, t in sorted(zip(ids, texts)):
+        n = len(t.split())
+        if n > 0:
+            ref_rows.append((i, n, off // 16, (off + n - 1) // 16,
+                             off % 16))
+        off += n
+    ref = pd.DataFrame(ref_rows, columns=["doc_id", "n_tokens",
+                                          "start_bin", "end_bin",
+                                          "bin_off"]).astype("int64")
+    pd.testing.assert_frame_equal(
+        got[ref.columns].astype("int64"), ref)
