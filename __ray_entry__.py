@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reject_summary": Q.q_reject_summary,
         "window_tumbling": Q.q_window_tumbling,
         "window_sliding": Q.q_window_sliding,
+        "window_len_quantiles": Q.q_window_len_quantiles,
         "sessionize": Q.q_sessionize,
         "session_stats": Q.q_session_stats,
         "events_daily": Q.q_events_daily,
@@ -236,6 +237,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE NOT valid) AS BIGINT) AS n_rejected
             FROM validated_full
             GROUP BY 1, 2, 3""",
+        # exact windowed disc-quantiles of text length (histogram-partial
+        # combiner on the Ray side; quantile_disc is DuckDB's disc rule:
+        # sorted(x)[ceil(q*n) - 1] — the engine mirrors it in integer math)
+        "window_len_quantiles": f"""WITH {_V}
+            SELECT epoch_us(ts) // 3600000000 AS window_id, role,
+                   CAST(count(*) FILTER (WHERE valid) AS BIGINT) AS n_valid,
+                   CAST(count(*) FILTER (WHERE NOT valid) AS BIGINT) AS n_rejected,
+                   CAST(quantile_disc(length(text), 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(length(text), 0.9) AS BIGINT) AS p90,
+                   CAST(quantile_disc(length(text), 0.99) AS BIGINT) AS p99
+            FROM validated_full
+            GROUP BY 1, 2""",
         "window_sliding": f"""WITH {_V}
             SELECT (epoch_us(ts) // 900000000) - k AS window_id, role, tool,
                    CAST(count(*) FILTER (WHERE valid) AS BIGINT) AS n_valid,

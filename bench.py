@@ -141,8 +141,9 @@ def run_streaming(paths: dict[str, str]) -> dict:
     from lauchy_ray.state.streaming import (
         run_streaming_absence, run_streaming_approx_topk,
         run_streaming_dedup, run_streaming_distinct, run_streaming_join,
-        run_streaming_patterns, run_streaming_sessions,
-        run_streaming_topk, run_streaming_window_counts)
+        run_streaming_patterns, run_streaming_quantiles,
+        run_streaming_sessions, run_streaming_topk,
+        run_streaming_window_counts)
 
     codes = sorted(pq.read_table(paths["entities"], columns=["code"])
                    ["code"].to_pylist())
@@ -182,6 +183,8 @@ def run_streaming(paths: dict[str, str]) -> dict:
         paths["turns"], gap, late, n_shards=8, validate_kwargs=vk))
     timed("cep_join", lambda: run_streaming_join(
         paths["turns"], gap, late, n_shards=8, validate_kwargs=vk))
+    timed("cep_quantiles", lambda: run_streaming_quantiles(
+        paths["turns"], hour, late, n_shards=8, validate_kwargs=vk))
 
     dd = "/tmp/lauchy_bench/stream_dedup_out"
 

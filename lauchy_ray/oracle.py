@@ -291,6 +291,58 @@ def late_rows(rows: list[dict], lateness_us: int = 5 * 60 * 1_000_000) -> list[d
     return out
 
 
+def streaming_quantiles_rows(rows: list[dict], width_us: int,
+                             lateness_us: int, n_shards: int):
+    """Single-threaded mirror of state.streaming.QuantileShardCore:
+    per-shard sequential scan in arrival order with the window engine's
+    late rule (row is late when its window already closed under the
+    shard's wm-before-row); on-time rows accumulate len(text) into the
+    (window_id, role) histogram plus a valid count. Final quantiles are
+    DuckDB's quantile_disc — smallest value with cumulative count ≥
+    ceil(q·n), ceil in integer arithmetic. ``rows`` must carry
+    ``valid``. → (cells list, late list, wms)."""
+    neg_inf = -(1 << 62)
+    wm = [neg_inf] * n_shards
+    hist: dict[tuple, dict[int, int]] = {}
+    n_valid: dict[tuple, int] = {}
+    late = []
+    for row in rows:
+        s = shard_of(row["conv_id"], n_shards)
+        wid = row["ts"] // width_us
+        if wid * width_us + width_us <= wm[s]:
+            late.append({"conv_id": row["conv_id"],
+                         "turn_idx": row["turn_idx"],
+                         "ts": row["ts"], "window_id": wid})
+        else:
+            key = (wid, row["role"])
+            h = hist.setdefault(key, {})
+            ln = len(row["text"])
+            h[ln] = h.get(ln, 0) + 1
+            if row["valid"]:
+                n_valid[key] = n_valid.get(key, 0) + 1
+        if row["ts"] - lateness_us > wm[s]:
+            wm[s] = row["ts"] - lateness_us
+    cells = []
+    for key in sorted(hist):
+        h = hist[key]
+        n = sum(h.values())
+        vals = sorted(h)
+        out = {"window_id": key[0], "role": key[1],
+               "n_valid": n_valid.get(key, 0),
+               "n_rejected": n - n_valid.get(key, 0)}
+        for name, num, den in (("p50", 1, 2), ("p90", 9, 10),
+                               ("p99", 99, 100)):
+            target = (num * n + den - 1) // den
+            cum = 0
+            for v in vals:
+                cum += h[v]
+                if cum >= target:
+                    out[name] = v
+                    break
+        cells.append(out)
+    return cells, late, wm
+
+
 def streaming_distinct_rows(rows: list[dict], width_us: int,
                             lateness_us: int, n_shards: int):
     """Single-threaded mirror of state.streaming.DistinctShardCore:

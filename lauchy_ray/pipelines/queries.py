@@ -180,6 +180,15 @@ def q_window_sliding(sf_dir: str):
     return window_counts(_validated(sf_dir), HOUR_US, Q15_US)
 
 
+def q_window_len_quantiles(sf_dir: str):
+    """EXACT tumbling-window disc-quantiles (p50/p90/p99) of text length
+    per (window, role) via histogram partials — the length domain is
+    bounded, so the shuffle moves O(windows × roles × lengths) partial
+    rows, never raw turns (same combiner shape as window_counts)."""
+    from ..stages.windows import window_len_quantiles
+    return window_len_quantiles(_validated(sf_dir), HOUR_US)
+
+
 def _ts_to_us(df: pd.DataFrame) -> pd.DataFrame:
     out = pd.DataFrame({
         "conv_id": df["conv_id"], "session_id": df["session_id"],

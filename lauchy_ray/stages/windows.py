@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Sum
 
@@ -78,6 +79,90 @@ def window_counts(validated: rd.Dataset, width_us: int = HOUR_US,
             Sum("n_rejected", alias_name="n_rejected"))
     return partials.repartition(1).map_batches(
         _merge_counts, batch_format="pyarrow", batch_size=None)
+
+
+def _partial_len_hist(batch: pa.Table, width_us: int) -> pa.Table:
+    """Per-batch (window_id, role, len) HISTOGRAM partial: exact windowed
+    quantiles shuffle one row per distinct (window, role, length), never
+    raw turns — the domain of a length column is bounded (≤ max text
+    size), so the partial cardinality is O(windows × roles × lengths)
+    regardless of stream volume. n_valid rides the same partial."""
+    ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    lens = pc.utf8_length(batch["text"]).to_numpy(zero_copy_only=False)
+    valid = batch["valid"].to_numpy(zero_copy_only=False)
+    part = pa.table({
+        "window_id": pa.array(ts // width_us, pa.int64()),
+        "role": batch["role"],
+        "len": pa.array(lens.astype(np.int64)),
+        "n": pa.array(np.ones(len(ts), np.int64)),
+        "n_valid": pa.array(valid.astype(np.int64)),
+    })
+    return pa.TableGroupBy(part, ["window_id", "role", "len"]).aggregate(
+        [("n", "sum"), ("n_valid", "sum")]).rename_columns(
+        ["window_id", "role", "len", "n", "n_valid"])
+
+
+# exact rationals: DuckDB's quantile_disc(x, q) returns
+# sorted(x)[ceil(q*n) - 1] computed EXACTLY — a float ceil(q*n) rounds
+# 0.7*10 up to 8 on IEEE doubles, so targets use integer (num, den)
+QUANTILES = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+
+def quantiles_from_hist(vals: np.ndarray, cnts: np.ndarray,
+                        qs=QUANTILES) -> dict[str, int]:
+    """quantile_disc over a SORTED value histogram: smallest value whose
+    cumulative count ≥ ceil(q·n), with the ceil in integer arithmetic."""
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    out = {}
+    for name, num, den in qs:
+        target = (num * n + den - 1) // den  # exact ceil(num*n/den)
+        out[name] = int(vals[np.searchsorted(cum, target)])
+    return out
+
+
+def _merge_len_hist(t: pa.Table) -> pa.Table:
+    """Final combine: merge histogram partials, then per (window, role)
+    compute n_valid/n_rejected and disc-quantiles from the cumulative
+    counts. Runs in ONE narrow task (input is the bounded partial set)."""
+    g = (pa.TableGroupBy(t, ["window_id", "role", "len"])
+         .aggregate([("n", "sum"), ("n_valid", "sum")])
+         .rename_columns(["window_id", "role", "len", "n", "n_valid"])
+         .sort_by([("window_id", "ascending"), ("role", "ascending"),
+                   ("len", "ascending")]))
+    wid = g["window_id"].to_numpy()
+    role = g["role"].to_numpy(zero_copy_only=False)
+    lens = g["len"].to_numpy()
+    n = g["n"].to_numpy()
+    nv = g["n_valid"].to_numpy()
+    # group boundaries over the sorted (window, role) pairs
+    change = np.flatnonzero((wid[1:] != wid[:-1]) | (role[1:] != role[:-1]))
+    starts = np.concatenate([[0], change + 1])
+    ends = np.concatenate([change + 1, [len(wid)]])
+    rows = []
+    for s, e in zip(starts, ends):
+        total = int(n[s:e].sum())
+        qv = quantiles_from_hist(lens[s:e], n[s:e])
+        rows.append({"window_id": int(wid[s]), "role": role[s],
+                     "n_valid": int(nv[s:e].sum()),
+                     "n_rejected": total - int(nv[s:e].sum()), **qv})
+    return pa.Table.from_pylist(rows) if rows else pa.table(
+        {"window_id": pa.array([], pa.int64()), "role": pa.array([], pa.string()),
+         "n_valid": pa.array([], pa.int64()), "n_rejected": pa.array([], pa.int64()),
+         "p50": pa.array([], pa.int64()), "p90": pa.array([], pa.int64()),
+         "p99": pa.array([], pa.int64())})
+
+
+def window_len_quantiles(validated: rd.Dataset,
+                         width_us: int = HOUR_US) -> rd.Dataset:
+    """Validated turns → (window_id, role, n_valid, n_rejected,
+    p50/p90/p99 of utf8 length(text)) per tumbling window — EXACT
+    quantiles at stream scale via the histogram-partial combiner (the
+    length domain is bounded, so partials are, too)."""
+    partials = validated.map_batches(
+        lambda t: _partial_len_hist(t, width_us), batch_format="pyarrow")
+    return partials.repartition(1).map_batches(
+        _merge_len_hist, batch_format="pyarrow", batch_size=None)
 
 
 def topk_rank(df, k: int):

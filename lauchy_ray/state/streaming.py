@@ -961,6 +961,218 @@ def run_streaming_dedup(input_path: str, out_dir: str,
             "watermarks": [f["watermark"] for f in finals]}
 
 
+class QuantileShardCore(ShardActorBase):
+    """Streaming EXACT windowed quantiles (10th engine): per tumbling
+    (window_id, role), the disc-quantiles of utf8 length(text) over the
+    on-time stream, plus n_valid/n_rejected — watermark-driven emission
+    with the window engine's prefix-wm late rule (batch-boundary
+    invariant).
+
+    Exactness at stream scale comes from the HISTOGRAM identity: a
+    length column's domain is bounded, so per-shard state is a packed
+    (window, role, len) → count array — O(open windows × roles ×
+    distinct lengths), never O(rows) — and shard histograms merge at
+    the driver by SUMMING counts (quantiles themselves don't merge;
+    histograms do). Conv-sharding therefore needs no co-location of a
+    window on one shard: each closed cell ships its compact histogram
+    and the driver computes the global disc-quantile from the merged
+    cumulative counts (exactly DuckDB's quantile_disc: smallest value
+    with cum ≥ ceil(q·n), integer arithmetic).
+
+    State layout (all flat sorted int64 arrays, merged per batch with
+    one argsort + reduceat — no per-cell Python in ingest):
+      _h_key = (wid << 28) | (rcode << 20) | len  → _h_cnt
+      _v_key = (wid << 8)  | rcode               → _v_cnt  (valid rows)
+    wid is the top field, so CLOSED cells (wid ≤ wm//width − 1) are a
+    PREFIX of the sorted arrays — closure is two searchsorted cuts.
+    """
+
+    MAX_LEN = (1 << 20) - 1   # pack bound: text length field is 20 bits
+
+    def __init__(self, width_us: int, lateness_us: int,
+                 checkpoint_path: str | None = None):
+        self.width = int(width_us)
+        self.lateness = int(lateness_us)
+        self._roles = pd.Index([], dtype=object)
+        self._h_key = np.empty(0, np.int64)
+        self._h_cnt = np.empty(0, np.int64)
+        self._v_key = np.empty(0, np.int64)
+        self._v_cnt = np.empty(0, np.int64)
+        self._init_shard_state(
+            checkpoint_path, ("quantile", self.width, self.lateness))
+
+    def _core_state(self):
+        return (self._roles, self._h_key, self._h_cnt,
+                self._v_key, self._v_cnt)
+
+    def _restore_core(self, core) -> None:
+        (self._roles, self._h_key, self._h_cnt,
+         self._v_key, self._v_cnt) = core
+
+    @staticmethod
+    def _merge_sorted(key_state, cnt_state, key_new, cnt_new):
+        """Merge (key → count) pairs into the sorted state arrays:
+        concat + stable argsort + collapse equal keys with reduceat."""
+        k2 = np.concatenate([key_state, key_new])
+        c2 = np.concatenate([cnt_state, cnt_new])
+        o = np.argsort(k2, kind="stable")
+        k2 = k2[o]
+        c2 = c2[o]
+        first = np.empty(len(k2), bool)
+        first[0] = True
+        np.not_equal(k2[1:], k2[:-1], out=first[1:])
+        idx = np.flatnonzero(first)
+        return k2[idx], np.add.reduceat(c2, idx)
+
+    def ingest(self, table: pa.Table, seq: int | None = None) -> int:
+        if self._skip_replay(table, seq):
+            return 0
+        ts = table["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cm, prefix_wm = self._prefix_watermark(ts)
+        wid = ts // self.width
+        late_mask = wid * self.width + self.width <= prefix_wm
+        self._route_late_rows(table, ts, wid, late_mask)
+        keep = np.flatnonzero(~late_mask)
+        if len(keep):
+            # arrow-native decode: dictionary_encode factorizes role in
+            # C; utf8_length is one C kernel over the whole batch
+            enc = pc.dictionary_encode(
+                pc.fill_null(table["role"].combine_chunks(), ""))
+            rnames = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+            g = self._roles.get_indexer(rnames) if len(rnames) else \
+                np.empty(0, np.int64)
+            miss = g == -1
+            if miss.any():
+                start = len(self._roles)
+                self._roles = self._roles.append(pd.Index(rnames[miss]))
+                g[miss] = np.arange(start, start + int(miss.sum()))
+            if len(self._roles) >= (1 << 8):
+                raise ValueError("role cardinality exceeds pack bounds")
+            rcode = g[enc.indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)[keep]]
+            lens = pc.fill_null(pc.utf8_length(table["text"]), 0).to_numpy(
+                zero_copy_only=False).astype(np.int64)[keep]
+            w_k = wid[keep]
+            if int(w_k.min()) < 0 or int(w_k.max()) >= (1 << 35):
+                raise ValueError("window_id exceeds pack bounds")
+            if int(lens.max(initial=0)) > self.MAX_LEN:
+                raise ValueError("text length exceeds pack bounds")
+            hkey = (w_k << 28) | (rcode << 20) | lens
+            u, c = np.unique(hkey, return_counts=True)
+            self._h_key, self._h_cnt = self._merge_sorted(
+                self._h_key, self._h_cnt, u, c)
+            valid = table["valid"].to_numpy(zero_copy_only=False)[keep]
+            if valid.any():
+                vkey = ((w_k << 8) | rcode)[valid]
+                u, c = np.unique(vkey, return_counts=True)
+                self._v_key, self._v_cnt = self._merge_sorted(
+                    self._v_key, self._v_cnt, u, c)
+        self._advance_and_commit(cm[-1], seq)
+        return table.num_rows
+
+    def _flush_prefix(self, w_bound: int) -> None:
+        """Emit every cell with wid ≤ w_bound (a sorted-array prefix)."""
+        hpos = int(np.searchsorted(self._h_key, (w_bound + 1) << 28))
+        if not hpos:
+            return
+        vpos = int(np.searchsorted(self._v_key, (w_bound + 1) << 8))
+        vmap = {int(k): int(c) for k, c in
+                zip(self._v_key[:vpos], self._v_cnt[:vpos])}
+        hk = self._h_key[:hpos]
+        hc = self._h_cnt[:hpos]
+        cell = hk >> 20                      # (wid << 8) | rcode
+        change = np.flatnonzero(cell[1:] != cell[:-1])
+        starts = np.concatenate([[0], change + 1])
+        ends = np.concatenate([change + 1, [len(hk)]])
+        for s, e in zip(starts, ends):
+            ck = int(cell[s])
+            self.emitted.append({
+                "window_id": ck >> 8,
+                "role": self._roles[ck & 0xFF],
+                "n_valid": vmap.get(ck, 0),
+                "vals": (hk[s:e] & 0xFFFFF).astype(np.int64),
+                "cnts": hc[s:e].copy()})
+        self._h_key = self._h_key[hpos:]
+        self._h_cnt = self._h_cnt[hpos:]
+        self._v_key = self._v_key[vpos:]
+        self._v_cnt = self._v_cnt[vpos:]
+
+    def _emit_closed(self) -> None:
+        # closed ⇔ wid·width + width ≤ wm ⇔ wid ≤ wm//width − 1 (floor
+        # division is exact for negative wm too)
+        self._flush_prefix(self.wm // self.width - 1)
+
+    def finalize(self) -> dict:
+        self._flush_prefix(1 << 35)          # wm → ∞: flush all open cells
+        hist_emitted, hist_late = self._read_deltas()
+        return {"emitted": hist_emitted + self.emitted,
+                "late": hist_late + self.late, "watermark": self.wm}
+
+
+QuantileShardActor = ray.remote(QuantileShardCore)
+
+
+def run_streaming_quantiles(input_path: str, width_us: int,
+                            lateness_us: int = 5 * 60 * 1_000_000,
+                            n_shards: int = 8,
+                            validate_kwargs: dict | None = None,
+                            max_pending: int = 4,
+                            checkpoint_dir: str | None = None):
+    """Streaming exact windowed length-quantiles over the fragment
+    stream. Shard cells merge by SUMMING their histograms; the global
+    disc-quantile is computed from the merged cumulative counts.
+    → (quantiles DataFrame, late DataFrame, watermarks)."""
+    from ..stages.windows import quantiles_from_hist
+    fragments = list_fragments(input_path)
+    meta = {"kind": "quantile", "width_us": width_us,
+            "lateness_us": lateness_us, "n_shards": n_shards}
+    _guard_checkpoint_dir(checkpoint_dir, meta, fragments)
+    actors = [QuantileShardActor.remote(
+        width_us, lateness_us,
+        os.path.join(checkpoint_dir, f"shard-{s}.ckpt") if checkpoint_dir
+        else None)
+        for s in range(n_shards)]
+    finals = _pump_fragments(actors, fragments, n_shards,
+                             validate_kwargs, max_pending)
+    cells = [c for f in finals for c in f["emitted"]]
+    late = [row for f in finals for row in f["late"]]
+    cols = ["window_id", "role", "n_valid", "n_rejected",
+            "p50", "p90", "p99"]
+    rows = []
+    if cells:
+        # merge shard histograms per (window, role): flatten every cell
+        # to (wid, role, len, cnt, n_valid) rows, one pandas groupby
+        flat = pd.DataFrame({
+            "window_id": np.repeat([c["window_id"] for c in cells],
+                                   [len(c["vals"]) for c in cells]),
+            "role": np.repeat(np.asarray([c["role"] for c in cells],
+                                         dtype=object),
+                              [len(c["vals"]) for c in cells]),
+            "len": np.concatenate([c["vals"] for c in cells]),
+            "cnt": np.concatenate([c["cnts"] for c in cells]),
+        })
+        nv = (pd.DataFrame([(c["window_id"], c["role"], c["n_valid"])
+                            for c in cells],
+                           columns=["window_id", "role", "n_valid"])
+              .groupby(["window_id", "role"], sort=True)["n_valid"].sum())
+        merged = (flat.groupby(["window_id", "role", "len"], sort=True)
+                  ["cnt"].sum().reset_index())
+        for (w, r), grp in merged.groupby(["window_id", "role"], sort=True):
+            vals = grp["len"].to_numpy()
+            cnts = grp["cnt"].to_numpy()
+            total = int(cnts.sum())
+            n_valid = int(nv.loc[(w, r)])
+            rows.append({"window_id": int(w), "role": r,
+                         "n_valid": n_valid, "n_rejected": total - n_valid,
+                         **quantiles_from_hist(vals, cnts)})
+    out = pd.DataFrame(rows, columns=cols) if rows else \
+        pd.DataFrame(columns=cols)
+    late_df = (pd.DataFrame(late) if late else
+               pd.DataFrame(columns=["conv_id", "turn_idx", "ts",
+                                     "window_id"]))
+    return out, late_df, [f["watermark"] for f in finals]
+
+
 def _shard_tables(table: pa.Table, n_shards: int) -> dict[int, pa.Table]:
     """Split one fragment by conv shard. crc32 runs once per DISTINCT
     conv_id — arrow dictionary_encode factorizes in C, so only the
