@@ -22,6 +22,7 @@ from typing import Any
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from lauchy_ray.events_bridge import validated_cte, turns_cte  # noqa: E402
+from lauchy_ray.stages.dsir import dsir_sql as _dsir_sql  # noqa: E402
 from lauchy_ray.pipelines import queries as Q  # noqa: E402
 from lauchy_ray.rules import rules_sql_cte  # noqa: E402
 from lauchy_ray.stages.dedup_near import (  # noqa: E402
@@ -116,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam": Q.q_decontam,
         "doc_chunks": Q.q_doc_chunks,
         "tf_idf": Q.q_tf_idf,
+        "dsir_select": Q.q_dsir_select,
         "doc_repetition": Q.q_doc_repetition,
         "user_running_value": Q.q_user_running_value,
         "users_intersect": Q.q_users_intersect,
@@ -852,6 +854,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE u.cid = 0
                OR (u.cid - 1) * {Q.CHUNK_STRIDE} + {Q.CHUNK_TOKENS} < n""",
         # tf·ln(N/df) with libm ln on both engines (math.log, not np.log)
+        # DSIR importance-weighted selection — the quantized-log integer
+        # weight makes the per-doc fold order-independent across engines
+        "dsir_select": _dsir_sql(),
         "tf_idf": rf"""
             WITH toks AS (
               SELECT doc_id,

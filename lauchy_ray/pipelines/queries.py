@@ -2540,6 +2540,19 @@ def q_tf_idf(sf_dir: str):
         size_ds=ds)
 
 
+def q_dsir_select(sf_dir: str):
+    """DSIR-style data selection (Xie et al. 2023): importance weight
+    per doc from add-1 unigram LMs of the target slice (lang='en') vs
+    the whole corpus, quantized logs so the per-doc fold is an exact
+    integer sum; global top-200 by (weight DESC, doc_id). Two
+    term/doc-bucketed shuffles over (term, doc) partials — never raw
+    tokens — then the partial-top-k merge."""
+    from ..stages.dsir import dsir_weights
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    return dsir_weights(ds)
+
+
 def q_doc_repetition(sf_dir: str):
     """Intra-document REPETITION ratio (boilerplate/loop detector, a
     standard corpus-quality signal): 1 − distinct/total over the doc's
