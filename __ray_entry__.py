@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": Q.q_pivot_events,
         "top_terms": Q.q_top_terms,
         "stratified_sample": Q.q_stratified_sample,
+        "mixture_sample": Q.q_mixture_sample,
         "cms_user_counts": Q.q_cms_user_counts,
         "building_orders_bloom": Q.q_building_orders_bloom,
         "user_value_outer": Q.q_user_value_outer,
@@ -801,6 +802,9 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN '{lang}' THEN {pct}"
             for lang, pct in sorted(Q.STRATA_PCT.items())) + f"""
                   ELSE {Q.STRATA_DEFAULT_PCT} END""",
+        # temperature-mixture resampling: quantized-sqrt weights + integer
+        # hash threshold, bit-identical on both engines
+        "mixture_sample": Q.mixture_sample_sql(),
         # Count-Min sketch counters re-derived bit-for-bit (md5-60 cells)
         "cms_user_counts": cms_sql(),
         # bloom-filter semi join ≡ plain IN-subquery semi join (the bloom

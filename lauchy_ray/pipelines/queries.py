@@ -2209,6 +2209,72 @@ def q_stratified_sample(sf_dir: str):
     return ds.map_batches(pick, batch_format="pandas")
 
 
+MIX_D = 1_000_000          # hash-threshold denominator (keep-rate grain)
+MIX_SQRT_SCALE = 1e9       # sqrt quantization (exact integer Σ over domains)
+
+
+def q_mixture_sample(sf_dir: str):
+    """Temperature-based domain-mixture resampling (the multilingual /
+    multi-source rebalancing move: sample domain i ∝ c_i^α with α = 0.5,
+    i.e. temperature τ = 2): per-source keep rate
+    r_i = min(1, T·q_i / c_i) with q_i = √c_i / Σ√c_j and T = half the
+    corpus, applied as a deterministic md5-60 hash threshold so the pick
+    is a pure function of doc_id — reproducible across runs, resumes and
+    cluster sizes.
+
+    EXACTNESS: √c is quantized to int (floor(√c·1e9 + 0.5)) before the
+    cross-domain Σ, and the threshold floor((T·s_i·D) / (S·c_i)) is pure
+    integer arithmetic — both engines agree bit-for-bit (the dsir
+    quantized-log discipline). Two passes: a bounded per-source count
+    (partial + tiny merge), then one stateless filter map."""
+    import math
+
+    from ..stages.dedup_near import md5_60
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    counts = _grouped_counts(ds, ["source"]).to_pandas()
+    c = {s: int(n) for s, n in zip(counts["source"], counts["n"])}
+    target = sum(c.values()) // 2
+    sq = {s: math.floor(math.sqrt(float(v)) * MIX_SQRT_SCALE + 0.5)
+          for s, v in c.items()}
+    big_s = sum(sq.values())
+    thr = {s: min(MIX_D, (target * sq[s] * MIX_D) // (big_s * c[s]))
+           for s in c}  # python ints: no int64 overflow on T·s·D
+    thr_ref = ray.put(thr)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(thr_ref)
+        h = np.fromiter((md5_60(str(i)) % MIX_D for i in df["doc_id"]),
+                        dtype=np.int64, count=len(df))
+        lim = df["source"].map(t).fillna(0).to_numpy(np.int64)
+        return df[h < lim]
+
+    return ds.map_batches(pick, batch_format="pandas")
+
+
+def mixture_sample_sql(docs_rel: str = "documents") -> str:
+    """DuckDB oracle for q_mixture_sample: same quantized-√ mixture
+    weights, same integer threshold (HUGEINT guards the T·s·D product),
+    same md5-60 row hash."""
+    return f"""
+        WITH c AS (SELECT source, count(*) AS c FROM {docs_rel} GROUP BY 1),
+        s AS (SELECT source, c,
+                     CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1e9 + 0.5)
+                       AS BIGINT) AS sq
+              FROM c),
+        tot AS (SELECT CAST(sum(sq) AS BIGINT) AS big_s,
+                       CAST(sum(c) AS BIGINT) // 2 AS target
+                FROM s),
+        thr AS (SELECT source,
+                       least(CAST({MIX_D} AS HUGEINT),
+                             (CAST(target AS HUGEINT) * sq * {MIX_D})
+                               // (CAST(big_s AS HUGEINT) * c)) AS thr
+                FROM s, tot)
+        SELECT doc_id, source FROM {docs_rel} JOIN thr USING (source)
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % {MIX_D} < thr"""
+
+
 def q_cms_user_counts(sf_dir: str):
     """Count-Min sketch of per-user event frequencies — an APPROXIMATE
     heavy-hitter primitive with an EXACT SQL oracle (stages/sketches

@@ -633,3 +633,33 @@ def test_token_packing_multi_range(tmp_path, monkeypatch):
                                           "bin_off"]).astype("int64")
     pd.testing.assert_frame_equal(
         got[ref.columns].astype("int64"), ref)
+
+
+def test_mixture_sample_rebalances_domains(tmp_path):
+    """Temperature-0.5 mixture: the dominant source is downsampled harder
+    than rare sources (keep-rate ratio follows 1/sqrt(c) up to the cap),
+    and the pick is a pure function of doc_id (rerun-identical)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lauchy_ray.pipelines.queries import q_mixture_sample
+
+    rows = []
+    for i in range(3000):
+        rows.append({"doc_id": i, "text": "x", "lang": "en",
+                     "source": "big", "n_chars": 1})
+    for i in range(3000, 3300):
+        rows.append({"doc_id": i, "text": "x", "lang": "en",
+                     "source": "small", "n_chars": 1})
+    sf = str(tmp_path / "mix")
+    import os
+    os.makedirs(sf)
+    pq.write_table(pa.Table.from_pylist(rows), f"{sf}/documents.parquet")
+    out = q_mixture_sample(sf).to_pandas()
+    got = out.groupby("source").size()
+    keep_big = got.get("big", 0) / 3000
+    keep_small = got.get("small", 0) / 300
+    # alpha=0.5: keep-rate ratio small/big = sqrt(c_big/c_small) = sqrt(10)
+    assert keep_small > 2.0 * keep_big
+    out2 = q_mixture_sample(sf).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
