@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": Q.q_top_terms,
         "stratified_sample": Q.q_stratified_sample,
         "mixture_sample": Q.q_mixture_sample,
+        "bottomk_sample": Q.q_bottomk_sample,
+        "curriculum_bands": Q.q_curriculum_bands,
         "cms_user_counts": Q.q_cms_user_counts,
         "building_orders_bloom": Q.q_building_orders_bloom,
         "user_value_outer": Q.q_user_value_outer,
@@ -805,6 +807,18 @@ def oracle_sql() -> dict[str, str]:
         # temperature-mixture resampling: quantized-sqrt weights + integer
         # hash threshold, bit-identical on both engines
         "mixture_sample": Q.mixture_sample_sql(),
+        # per-stratum bottom-k-by-hash (deterministic reservoir / KMV)
+        "bottomk_sample": f"""
+            WITH h AS (SELECT lang, doc_id,
+                              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 15))::BIGINT AS h
+                       FROM documents),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY lang ORDER BY h, doc_id) AS pos FROM h)
+            SELECT lang, CAST(pos AS BIGINT) AS pos, doc_id, h
+            FROM r WHERE pos <= {Q.BOTTOMK_K}""",
+        # curriculum deciles: histogram thresholds + value-band assignment
+        "curriculum_bands": Q.curriculum_bands_sql(),
         # Count-Min sketch counters re-derived bit-for-bit (md5-60 cells)
         "cms_user_counts": cms_sql(),
         # bloom-filter semi join ≡ plain IN-subquery semi join (the bloom

@@ -2209,6 +2209,97 @@ def q_stratified_sample(sf_dir: str):
     return ds.map_batches(pick, batch_format="pandas")
 
 
+def q_curriculum_bands(sf_dir: str):
+    """Curriculum-ordering bands: every doc assigned a difficulty decile
+    by whitespace-token count (band d = smallest decile whose exact
+    disc-quantile threshold covers the doc — the length-based curriculum
+    schedule of curriculum-learning pipelines). Two streaming passes:
+    the bounded token-count HISTOGRAM (O(distinct lengths) shuffle rows)
+    yields the 9 thresholds with pure integer rank arithmetic, then one
+    stateless map assigns bands — no global sort, no ntile shuffle."""
+    from ..stages.textops import WS_TOKEN_RE
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.count(WS_TOKEN_RE).astype("int64").value_counts()
+        return pd.DataFrame({"v": vc.index.to_numpy(np.int64),
+                             "c": vc.to_numpy(np.int64)})
+
+    hist = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+            .groupby("v", sort=True)["c"].sum())
+    vals = hist.index.to_numpy(np.int64)
+    cum = hist.to_numpy(np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    # q_d = disc-quantile at d/10: smallest value with cum ≥ ceil(d·n/10)
+    thr = np.array([vals[np.searchsorted(cum, (d * n + 9) // 10)]
+                    for d in range(1, 10)], dtype=np.int64)
+    thr_ref = ray.put(thr)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(thr_ref)
+        n_tok = df["text"].str.count(WS_TOKEN_RE).to_numpy(np.int64)
+        band = np.searchsorted(t, n_tok, side="left") + 1
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "n_tok": n_tok,
+                             "band": band.astype(np.int64)})
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def curriculum_bands_sql(docs_rel: str = "documents") -> str:
+    """DuckDB oracle: same tokenization, quantile_disc thresholds (the
+    same ceil-rank rule), same smallest-covering-decile CASE."""
+    whens = "\n".join(
+        f"WHEN n_tok <= q{d} THEN {d}" for d in range(1, 10))
+    qcols = ", ".join(
+        f"quantile_disc(n_tok, {d/10:.1f}) AS q{d}" for d in range(1, 10))
+    return rf"""
+        WITH t AS (SELECT doc_id,
+                          len(regexp_extract_all(text, '[^ \t\n\r\f\v]+'))
+                            AS n_tok
+                   FROM {docs_rel}),
+        q AS (SELECT {qcols} FROM t)
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+               CAST(CASE {whens} ELSE 10 END AS BIGINT) AS band
+        FROM t, q"""
+
+
+BOTTOMK_K = 20
+
+
+def q_bottomk_sample(sf_dir: str):
+    """Per-language BOTTOM-K-BY-HASH sample — the deterministic
+    distributed equivalent of a per-stratum reservoir sample (uniform
+    over the stratum, fixed size k, mergeable: bottom-k of a union is
+    the bottom-k of the partial bottom-ks), and simultaneously a KMV
+    distinct-count sketch. Per batch keep each lang's k smallest
+    (md5-60(doc_id), doc_id); one tiny merge over O(batches × langs × k)
+    partials — raw rows never shuffle."""
+    from ..stages.dedup_near import md5_60
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter((md5_60(str(i)) for i in df["doc_id"]),
+                        dtype=np.int64, count=len(df))
+        out = pd.DataFrame({"lang": df["lang"], "doc_id": df["doc_id"], "h": h})
+        out = out.sort_values(["lang", "h", "doc_id"], kind="stable")
+        return out.groupby("lang", sort=False).head(BOTTOMK_K)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(["lang", "h", "doc_id"], kind="stable")
+        out = out.groupby("lang", sort=False).head(BOTTOMK_K)
+        out = out.reset_index(drop=True)
+        out["pos"] = (out.groupby("lang", sort=False).cumcount() + 1
+                      ).astype("int64")
+        return out[["lang", "pos", "doc_id", "h"]]
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(merge, batch_format="pandas", batch_size=None))
+
+
 MIX_D = 1_000_000          # hash-threshold denominator (keep-rate grain)
 MIX_SQRT_SCALE = 1e9       # sqrt quantization (exact integer Σ over domains)
 

