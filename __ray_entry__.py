@@ -40,8 +40,8 @@ from lauchy_ray.stages.sketches import cms_sql, hll_sql  # noqa: E402
 from lauchy_ray.stages.terms import (  # noqa: E402
     TFIDF_K, TOP_TERMS_K, bigram_sql, cooccur_sql)
 from lauchy_ray.stages.textops import (  # noqa: E402
-    chunk_dedup_sql, corpus_filter_sql, fingerprint_sql, lang_id_sql,
-    pii_scrub_sql)
+    chunk_dedup_sql, corpus_filter_sql, dup_span_sql, fingerprint_sql,
+    lang_id_sql, pii_scrub_sql)
 
 
 def entry() -> Any:
@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_user_by_type": Q.q_mode_user_by_type,
         "grouped_linreg": Q.q_grouped_linreg,
         "chunk_dedup": Q.q_chunk_dedup,
+        "dup_span_stats": Q.q_dup_span_stats,
         "pagerank": Q.q_pagerank,
         "cohort_retention": Q.q_cohort_retention,
         "session_concurrency": Q.q_session_concurrency,
@@ -1258,6 +1259,8 @@ def oracle_sql() -> dict[str, str]:
             FROM f""",
         # chunk-level exact dedup: identical chunking + md5-60 + rank
         "chunk_dedup": chunk_dedup_sql(),
+        # sliding-shingle cross-doc duplicated spans (same md5-60 keys)
+        "dup_span_stats": dup_span_sql(),
         # integer fixed-point PageRank: identical unrolled trajectory
         "pagerank": pagerank_sql(
             user_item_edges_sql(mod=Q.PR_EDGE_MOD), iters=5),

@@ -2209,6 +2209,17 @@ def q_stratified_sample(sf_dir: str):
     return ds.map_batches(pick, batch_format="pandas")
 
 
+def q_dup_span_stats(sf_dir: str):
+    """Cross-document duplicated-SPAN stats (sliding-shingle variant of
+    chunk_dedup — catches phase-shifted copies the non-overlapping
+    chunks miss): per doc, distinct 8-token shingles and how many appear
+    in ≥2 docs."""
+    from ..stages.textops import dup_span_stats
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return dup_span_stats(ds)
+
+
 def q_curriculum_bands(sf_dir: str):
     """Curriculum-ordering bands: every doc assigned a difficulty decile
     by whitespace-token count (band d = smallest decile whose exact

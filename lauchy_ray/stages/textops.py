@@ -456,3 +456,99 @@ SELECT doc_id,
             WHEN 2 * n_dist < n_ws THEN 'repetitive'
             ELSE '' END) = '' AS keep
 FROM sig"""
+
+
+# ------------------------------------ cross-doc duplicated-span statistics
+
+SPAN_TOKENS = 8  # sliding whitespace-token window (overlapping shingles)
+
+
+def span_rows_batch(df: pd.DataFrame, span_tokens: int = SPAN_TOKENS,
+                    text_col: str = "text") -> pd.DataFrame:
+    """Explode each doc into its DISTINCT sliding ``span_tokens``-token
+    shingle hashes — the overlapping-window sibling of chunk_rows_batch
+    and the signal behind exact-substring dedup (Lee et al., ACL 2022):
+    a shingle present in ≥2 docs marks a byte-exact duplicated span that
+    non-overlapping chunks can miss when the copy is phase-shifted.
+    md5-60 keys are the SQL-computable primitive, so both engines group
+    identically, collisions included."""
+    ws_re = re.compile(WS_TOKEN_RE)
+    doc_ids: list[int] = []
+    hashes: list[int] = []
+    for doc_id, text in zip(df["doc_id"], df[text_col]):
+        toks = ws_re.findall(text)
+        seen: set[int] = set()
+        for i in range(len(toks) - span_tokens + 1):
+            span = " ".join(toks[i:i + span_tokens])
+            seen.add(int(hashlib.md5(span.encode()).hexdigest()[:15], 16))
+        doc_ids.extend([doc_id] * len(seen))
+        hashes.extend(sorted(seen))
+    return pd.DataFrame({
+        "doc_id": np.asarray(doc_ids, np.int64),
+        "span_h": np.asarray(hashes, np.int64),
+    })
+
+
+def _span_share_partials(df: pd.DataFrame) -> pd.DataFrame:
+    """Per span-hash bucket (all docs of a hash co-located): nd = docs
+    per shingle, folded straight to per-doc partial counts — output is
+    O(docs-in-bucket) rows, never the occurrence list."""
+    nd = df.groupby("span_h", sort=False)["doc_id"].transform("nunique")
+    part = pd.DataFrame({"doc_id": df["doc_id"],
+                         "shared": (nd >= 2).astype("int64")})
+    g = part.groupby("doc_id", sort=False)["shared"].agg(["count", "sum"])
+    g = g.reset_index()
+    g.columns = ["doc_id", "n_spans", "n_shared"]
+    return g.astype({"doc_id": "int64", "n_spans": "int64",
+                     "n_shared": "int64"})
+
+
+def _span_share_fold(df: pd.DataFrame) -> pd.DataFrame:
+    g = (df.groupby("doc_id", sort=False)[["n_spans", "n_shared"]]
+         .sum().reset_index()
+         .astype({"doc_id": "int64", "n_spans": "int64",
+                  "n_shared": "int64"}))
+    g["shared_ratio"] = (g["n_shared"].to_numpy(np.float64)
+                         / g["n_spans"].to_numpy(np.float64))
+    return g
+
+
+def dup_span_stats(ds, span_tokens: int = SPAN_TOKENS, size_ds=None):
+    """Per-doc cross-document duplicated-span summary: (doc_id, n_spans,
+    n_shared, shared_ratio) over DISTINCT sliding shingles. Two bucketed
+    passes (hash-keyed share counts, doc-keyed fold), both moving one
+    row per distinct (shingle, doc) — the tf_idf shuffle shape."""
+    from .bucketing import group_map_by_key
+    spans = ds.map_batches(
+        lambda df: span_rows_batch(df, span_tokens), batch_format="pandas")
+    partials = group_map_by_key(spans, "span_h", _span_share_partials,
+                                size_ds=size_ds if size_ds is not None else ds)
+    return group_map_by_key(partials, "doc_id", _span_share_fold,
+                            size_ds=size_ds if size_ds is not None else ds)
+
+
+def dup_span_sql(span_tokens: int = SPAN_TOKENS,
+                 docs_rel: str = "documents") -> str:
+    """DuckDB oracle for :func:`dup_span_stats` — identical tokenization,
+    1-based inclusive slices rebuild the same sliding shingles, md5-60
+    the same keys; docs shorter than the window are absent on both
+    sides."""
+    w = span_tokens - 1
+    return rf"""
+WITH tok AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS toks
+  FROM {docs_rel}),
+sp AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(array_to_string(toks[i:i+{w}], ' ')), 1, 15))
+           ::BIGINT AS span_h
+  FROM tok, unnest(range(1, len(toks) - {w} + 1)) AS t(i)),
+cnt AS (SELECT span_h, count(DISTINCT doc_id) AS nd FROM sp GROUP BY 1),
+agg AS (SELECT doc_id, count(*) AS n_spans,
+               coalesce(count(*) FILTER (WHERE nd >= 2), 0) AS n_shared
+        FROM sp JOIN cnt USING (span_h) GROUP BY doc_id)
+SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(n_shared AS DOUBLE) / n_spans AS shared_ratio
+FROM agg"""

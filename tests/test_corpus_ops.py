@@ -150,3 +150,24 @@ def test_bigram_partial_doc_boundaries():
     got = dict(zip(zip(out["w1"], out["w2"]), out["n12"]))
     assert got == {("a", "b"): 3, ("b", "c"): 1, ("c", "a"): 1,
                    ("b", "a"): 1}
+
+
+def test_dup_span_catches_phase_shifted_copy():
+    """A copy offset by ONE token (phase-shifted) defeats non-overlapping
+    chunk dedup but must light up the sliding-span detector."""
+    import pandas as pd
+    import ray.data as rd
+
+    from lauchy_ray.stages.textops import dup_span_stats
+
+    base = " ".join(f"w{i}" for i in range(40))
+    shifted = "pre " + base          # same 40-token run, phase-shifted
+    unique = " ".join(f"u{i}" for i in range(40))
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [base, shifted, unique]}))
+    out = dup_span_stats(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_shared"] == out.loc[1, "n_spans"]  # fully covered
+    assert out.loc[2, "n_shared"] == out.loc[1, "n_spans"]  # the shared run
+    assert out.loc[3, "n_shared"] == 0
+    assert out.loc[3, "shared_ratio"] == 0.0
