@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling": Q.q_window_tumbling,
         "window_sliding": Q.q_window_sliding,
         "window_len_quantiles": Q.q_window_len_quantiles,
+        "window_sample": Q.q_window_sample,
         "sessionize": Q.q_sessionize,
         "session_stats": Q.q_session_stats,
         "events_daily": Q.q_events_daily,
@@ -255,6 +256,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(length(text), 0.99) AS BIGINT) AS p99
             FROM validated_full
             GROUP BY 1, 2""",
+        # per-window deterministic bottom-k sample (md5-60 conv hash XOR
+        # bounded Knuth idx mix — both < 2^48, overflow-free both engines)
+        "window_sample": f"""WITH {_V},
+            h AS (SELECT DISTINCT  -- set semantics over (window, conv, idx):
+                         -- at-least-once duplicate turns take ONE slot
+                         epoch_us(ts) // 3600000000 AS window_id, conv_id,
+                         CAST(turn_idx AS BIGINT) AS turn_idx,
+                         xor(('0x' || substr(md5(conv_id), 1, 15))::BIGINT,
+                             ((turn_idx % 65536) * 2654435761) % 4294967296)
+                           AS h
+                  FROM validated_full),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY window_id
+                    ORDER BY h, conv_id, turn_idx) AS pos FROM h)
+            SELECT window_id, CAST(pos AS BIGINT) AS pos, conv_id,
+                   turn_idx, h
+            FROM r WHERE pos <= 5""",
         "window_sliding": f"""WITH {_V}
             SELECT (epoch_us(ts) // 900000000) - k AS window_id, role, tool,
                    CAST(count(*) FILTER (WHERE valid) AS BIGINT) AS n_valid,

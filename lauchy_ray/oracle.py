@@ -343,6 +343,42 @@ def streaming_quantiles_rows(rows: list[dict], width_us: int,
     return cells, late, wm
 
 
+def streaming_sample_rows(rows: list[dict], width_us: int, k: int,
+                          lateness_us: int, n_shards: int):
+    """Single-threaded mirror of state.streaming.SampleShardCore: the
+    per-shard late rule classifies rows; the sample itself is a pure
+    function of the on-time row SET (bottom-k by the total order
+    (h, conv_id, turn_idx) per window — mergeable, so per-shard
+    truncation cannot change the global answer). h = md5-60(conv) XOR
+    ((idx % 65536)·KNUTH) % 2^32. → (sample list, late list, wms)."""
+    import hashlib
+    neg_inf = -(1 << 62)
+    wm = [neg_inf] * n_shards
+    ontime: dict[int, set] = {}
+    late = []
+    for row in rows:
+        s = shard_of(row["conv_id"], n_shards)
+        wid = row["ts"] // width_us
+        if wid * width_us + width_us <= wm[s]:
+            late.append({"conv_id": row["conv_id"],
+                         "turn_idx": row["turn_idx"],
+                         "ts": row["ts"], "window_id": wid})
+        else:
+            h = (int(hashlib.md5(row["conv_id"].encode())
+                     .hexdigest()[:15], 16)
+                 ^ (((row["turn_idx"] % 65536) * 2654435761) % 4294967296))
+            ontime.setdefault(wid, set()).add(
+                (h, row["conv_id"], row["turn_idx"]))
+        if row["ts"] - lateness_us > wm[s]:
+            wm[s] = row["ts"] - lateness_us
+    sample = []
+    for wid in sorted(ontime):
+        for pos, (h, conv, idx) in enumerate(sorted(ontime[wid])[:k], 1):
+            sample.append({"window_id": wid, "pos": pos, "conv_id": conv,
+                           "turn_idx": idx, "h": h})
+    return sample, late, wm
+
+
 def streaming_distinct_rows(rows: list[dict], width_us: int,
                             lateness_us: int, n_shards: int):
     """Single-threaded mirror of state.streaming.DistinctShardCore:

@@ -180,6 +180,14 @@ def q_window_sliding(sf_dir: str):
     return window_counts(_validated(sf_dir), HOUR_US, Q15_US)
 
 
+def q_window_sample(sf_dir: str):
+    """Per-window deterministic bottom-k sample of the validated stream
+    (uniform fixed-size pick per tumbling hour, mergeable and a pure
+    function of the data — the windowed form of reservoir sampling)."""
+    from ..stages.windows import window_sample
+    return window_sample(_validated(sf_dir), HOUR_US)
+
+
 def q_window_len_quantiles(sf_dir: str):
     """EXACT tumbling-window disc-quantiles (p50/p90/p99) of text length
     per (window, role) via histogram partials — the length domain is

@@ -165,6 +165,84 @@ def window_len_quantiles(validated: rd.Dataset,
         _merge_len_hist, batch_format="pyarrow", batch_size=None)
 
 
+# ----------------------------- windowed deterministic bottom-k sampling
+
+SAMPLE_K = 5
+SAMPLE_KNUTH = 2654435761
+
+
+def sample_row_hash(conv_ids: np.ndarray, turn_idx: np.ndarray,
+                    h_cache: dict | None = None) -> np.ndarray:
+    """Deterministic per-turn sample hash, SQL-computable:
+    md5-60(conv_id) XOR ((turn_idx % 65536) · KNUTH) % 2^32. md5 runs
+    once per DISTINCT conv (reuse ``h_cache`` across batches — convs
+    repeat heavily); the idx mix stays < 2^48 so neither numpy int64
+    nor DuckDB BIGINT can overflow (a raw idx·KNUTH product would wrap
+    silently in numpy and error in DuckDB)."""
+    import hashlib
+    if h_cache is None:
+        h_cache = {}
+    uniq, inv = np.unique(np.asarray(conv_ids, dtype=object),
+                          return_inverse=True)
+    hu = np.fromiter(
+        (h_cache.get(c) if c in h_cache else h_cache.setdefault(
+            c, int(hashlib.md5(str(c).encode()).hexdigest()[:15], 16))
+         for c in uniq), dtype=np.int64, count=len(uniq))
+    mix = ((turn_idx.astype(np.int64) % 65536) * SAMPLE_KNUTH) % 4294967296
+    return hu[inv] ^ mix
+
+
+def _bottomk_per_window(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    # SET semantics over (window, conv, idx): the stream's at-least-once
+    # duplicate turns must not occupy two sample slots (the streaming
+    # engine dedupes the same way, and the SQL oracle SELECTs DISTINCT)
+    out = df.sort_values(["window_id", "h", "conv_id", "turn_idx"],
+                         kind="stable")
+    out = out.drop_duplicates(["window_id", "conv_id", "turn_idx"])
+    return out.groupby("window_id", sort=False).head(k)
+
+
+def _partial_window_sample(t: pa.Table, width_us: int,
+                           k: int) -> pd.DataFrame:
+    # pyarrow in: the int64 cast is unambiguously MICROSECONDS (a pandas
+    # datetime64 astype would be ns and shift every window id)
+    ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    conv = t["conv_id"].to_pandas().to_numpy()
+    idx = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    part = pd.DataFrame({
+        "window_id": ts // width_us,
+        "conv_id": conv,
+        "turn_idx": idx,
+        "h": sample_row_hash(conv, idx),
+    })
+    return _bottomk_per_window(part, k)
+
+
+def _merge_window_sample(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    out = _bottomk_per_window(df, k).reset_index(drop=True)
+    out = out.sort_values(["window_id", "h", "conv_id", "turn_idx"],
+                          kind="stable").reset_index(drop=True)
+    out["pos"] = (out.groupby("window_id", sort=False).cumcount() + 1
+                  ).astype("int64")
+    return out[["window_id", "pos", "conv_id", "turn_idx", "h"]]
+
+
+def window_sample(validated: rd.Dataset, width_us: int = HOUR_US,
+                  k: int = SAMPLE_K) -> rd.Dataset:
+    """Per tumbling window, the k rows with the smallest deterministic
+    hash — a uniform fixed-size sample per window that is MERGEABLE
+    (bottom-k of a union = bottom-k of partial bottom-ks) and a pure
+    function of the data: reruns, resumes and any cluster size agree.
+    Per-batch partials keep k rows per (window, batch); the merge is one
+    narrow task over O(batches × windows × k) rows."""
+    partials = validated.map_batches(
+        lambda t: _partial_window_sample(t, width_us, k),
+        batch_format="pyarrow")
+    return partials.repartition(1).map_batches(
+        lambda df: _merge_window_sample(df, k),
+        batch_format="pandas", batch_size=None)
+
+
 def topk_rank(df, k: int):
     """Per-window top-k with the CONTRACT tiebreak (n DESC, conv_id ASC),
     rk = 1..k — shared by the batch query (q_window_topk_convs) and the

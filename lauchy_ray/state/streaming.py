@@ -1109,6 +1109,209 @@ class QuantileShardCore(ShardActorBase):
                 "late": hist_late + self.late, "watermark": self.wm}
 
 
+class SampleShardCore(ShardActorBase):
+    """Streaming per-window deterministic BOTTOM-K SAMPLE (11th engine):
+    per tumbling window, the k rows with the smallest SQL-computable
+    hash (md5-60(conv) XOR bounded Knuth idx mix) under the window
+    engine's prefix-wm late rule — the watermark-driven form of
+    reservoir sampling, with the reservoir replaced by a mergeable
+    bottom-k set so reruns, resumes and any shard count pick the SAME
+    rows.
+
+    Mergeability: (h, conv_id, turn_idx) is a TOTAL order over distinct
+    turns, so per-shard state can truncate to exactly k rows per open
+    window and the driver's merge (bottom-k of the shard bottom-ks) is
+    the global bottom-k. At-least-once duplicate arrivals of a (window,
+    conv, idx) row are dropped by exact-row dedup inside the merge —
+    set semantics, no separate dup-guard state needed.
+
+    Per-batch cost is vectorized: one hash per DISTINCT conv (cached in
+    ``_name_h`` for the shard's lifetime alongside the name index), a
+    cheap (wid, h)-lexsort bottom-k cut with boundary-tie carry, and
+    only the tiny survivor set (≤ open_windows × ~2k rows) pays the
+    exact object-key tiebreak sort on conv NAMES (the SQL ORDER BY
+    collation — conv codes are shard-local and would misorder the
+    2^-60 cross-conv hash ties)."""
+
+    def __init__(self, width_us: int, k: int, lateness_us: int,
+                 checkpoint_path: str | None = None):
+        self.width = int(width_us)
+        self.k = int(k)
+        self.lateness = int(lateness_us)
+        self._names = pd.Index([], dtype=object)
+        self._name_h = np.empty(0, np.int64)
+        self._s_wid = np.empty(0, np.int64)
+        self._s_h = np.empty(0, np.int64)
+        self._s_code = np.empty(0, np.int64)
+        self._s_idx = np.empty(0, np.int64)
+        self._init_shard_state(
+            checkpoint_path, ("sample", self.width, self.k, self.lateness))
+
+    def _core_state(self):
+        return (self._names, self._name_h, self._s_wid, self._s_h,
+                self._s_code, self._s_idx)
+
+    def _restore_core(self, core) -> None:
+        (self._names, self._name_h, self._s_wid, self._s_h,
+         self._s_code, self._s_idx) = core
+
+    def ingest(self, table: pa.Table, seq: int | None = None) -> int:
+        import hashlib
+        if self._skip_replay(table, seq):
+            return 0
+        ts, idx, bcodes, names, _, _ = self._decode_batch(table)
+        cm, prefix_wm = self._prefix_watermark(ts)
+        wid = ts // self.width
+        late_mask = wid * self.width + self.width <= prefix_wm
+        self._route_late_rows(table, ts, wid, late_mask)
+        keep = np.flatnonzero(~late_mask)
+        if len(keep):
+            g_of_name = self._map_names(names, idx[keep])
+            new_n = len(self._names) - len(self._name_h)
+            if new_n:  # md5 once per NEW conv, cached for the shard's life
+                fresh = np.fromiter(
+                    (int(hashlib.md5(str(c).encode()).hexdigest()[:15], 16)
+                     for c in self._names[len(self._name_h):]),
+                    dtype=np.int64, count=new_n)
+                self._name_h = np.concatenate([self._name_h, fresh])
+            g = g_of_name[bcodes[keep]]
+            k_arr = idx[keep]
+            h = self._name_h[g] ^ (((k_arr % 65536) * 2654435761)
+                                   % 4294967296)
+            # candidates = state ∪ batch; cheap (wid, h) cut to ≤ k rows
+            # per window WITH boundary-h ties carried (exact tiebreak on
+            # names happens only on the survivors)
+            c_wid = np.concatenate([self._s_wid, wid[keep]])
+            c_h = np.concatenate([self._s_h, h])
+            c_code = np.concatenate([self._s_code, g])
+            c_idx = np.concatenate([self._s_idx, k_arr])
+            # exact-row dedup FIRST (at-least-once arrivals): duplicate
+            # rows inflate the rank cut below and could evict a
+            # legitimate top-k row (caught by the shard-invariance test)
+            o = np.lexsort((c_idx, c_code, c_wid))
+            c_wid, c_h, c_code, c_idx = c_wid[o], c_h[o], c_code[o], c_idx[o]
+            dup0 = np.concatenate([[False],
+                                   (c_wid[1:] == c_wid[:-1])
+                                   & (c_code[1:] == c_code[:-1])
+                                   & (c_idx[1:] == c_idx[:-1])])
+            if dup0.any():
+                c_wid, c_h, c_code, c_idx = (c_wid[~dup0], c_h[~dup0],
+                                             c_code[~dup0], c_idx[~dup0])
+            o = np.lexsort((c_h, c_wid))
+            c_wid, c_h, c_code, c_idx = c_wid[o], c_h[o], c_code[o], c_idx[o]
+            starts = np.flatnonzero(np.concatenate(
+                [[True], c_wid[1:] != c_wid[:-1]]))
+            rank = np.arange(len(c_wid)) - np.repeat(
+                starts, np.diff(np.concatenate([starts, [len(c_wid)]])))
+            kth_pos = np.minimum(starts + self.k - 1, np.concatenate(
+                [starts[1:], [len(c_wid)]]) - 1)
+            kth_h = np.repeat(c_h[kth_pos], np.diff(np.concatenate(
+                [starts, [len(c_wid)]])))
+            cut = (rank < self.k) | (c_h <= kth_h)
+            c_wid, c_h, c_code, c_idx = (c_wid[cut], c_h[cut],
+                                         c_code[cut], c_idx[cut])
+            # exact-row dedup (at-least-once arrivals) + NAME tiebreak,
+            # on the tiny survivor set only
+            nm = np.asarray(self._names, dtype=object)[c_code]
+            o = np.lexsort((c_idx, nm, c_h, c_wid))
+            c_wid, c_h, c_code, c_idx, nm = (c_wid[o], c_h[o], c_code[o],
+                                             c_idx[o], nm[o])
+            dup = np.concatenate([[False],
+                                  (c_wid[1:] == c_wid[:-1])
+                                  & (c_code[1:] == c_code[:-1])
+                                  & (c_idx[1:] == c_idx[:-1])])
+            c_wid, c_h, c_code, c_idx = (c_wid[~dup], c_h[~dup],
+                                         c_code[~dup], c_idx[~dup])
+            starts = np.flatnonzero(np.concatenate(
+                [[True], c_wid[1:] != c_wid[:-1]]))
+            rank = np.arange(len(c_wid)) - np.repeat(
+                starts, np.diff(np.concatenate([starts, [len(c_wid)]])))
+            fin = rank < self.k
+            self._s_wid = c_wid[fin]
+            self._s_h = c_h[fin]
+            self._s_code = c_code[fin]
+            self._s_idx = c_idx[fin]
+        self._advance_and_commit(cm[-1], seq)
+        self._trim_names()
+        return table.num_rows
+
+    def _flush_prefix(self, w_bound: int) -> None:
+        pos = int(np.searchsorted(self._s_wid, w_bound + 1))
+        if not pos:
+            return
+        names = np.asarray(self._names, dtype=object)[self._s_code[:pos]]
+        self.emitted.append({
+            "window_id": self._s_wid[:pos].copy(),
+            "conv_id": names,
+            "turn_idx": self._s_idx[:pos].copy(),
+            "h": self._s_h[:pos].copy()})
+        self._s_wid = self._s_wid[pos:]
+        self._s_h = self._s_h[pos:]
+        self._s_code = self._s_code[pos:]
+        self._s_idx = self._s_idx[pos:]
+
+    def _emit_closed(self) -> None:
+        self._flush_prefix(self.wm // self.width - 1)
+
+    def _trim_names(self) -> None:
+        # the hash cache rides the name index; compact both when the
+        # index outgrows the live state 4x (the join engine's rule)
+        if len(self._names) > max(1024, 4 * len(self._s_code)):
+            live = np.unique(self._s_code)
+            self._name_h = self._name_h[live]
+            (self._s_code,) = self._compact_names([self._s_code])
+
+    def finalize(self) -> dict:
+        self._flush_prefix(1 << 62)
+        hist_emitted, hist_late = self._read_deltas()
+        return {"emitted": hist_emitted + self.emitted,
+                "late": hist_late + self.late, "watermark": self.wm}
+
+
+SampleShardActor = ray.remote(SampleShardCore)
+
+
+def run_streaming_sample(input_path: str, width_us: int, k: int = 5,
+                         lateness_us: int = 5 * 60 * 1_000_000,
+                         n_shards: int = 8,
+                         validate_kwargs: dict | None = None,
+                         max_pending: int = 4,
+                         checkpoint_dir: str | None = None):
+    """Streaming per-window deterministic bottom-k sample.
+    → (sample DataFrame (window_id, pos, conv_id, turn_idx, h),
+       late DataFrame, watermarks)."""
+    fragments = list_fragments(input_path)
+    meta = {"kind": "sample", "width_us": width_us, "k": k,
+            "lateness_us": lateness_us, "n_shards": n_shards}
+    _guard_checkpoint_dir(checkpoint_dir, meta, fragments)
+    actors = [SampleShardActor.remote(
+        width_us, k, lateness_us,
+        os.path.join(checkpoint_dir, f"shard-{s}.ckpt") if checkpoint_dir
+        else None)
+        for s in range(n_shards)]
+    finals = _pump_fragments(actors, fragments, n_shards,
+                             validate_kwargs, max_pending)
+    blocks = [b for f in finals for b in f["emitted"]]
+    late = [row for f in finals for row in f["late"]]
+    cols = ["window_id", "pos", "conv_id", "turn_idx", "h"]
+    if blocks:
+        flat = pd.concat([pd.DataFrame(b) for b in blocks],
+                         ignore_index=True)
+        flat = flat.sort_values(["window_id", "h", "conv_id", "turn_idx"],
+                                kind="stable")
+        out = flat.groupby("window_id", sort=True).head(k).reset_index(
+            drop=True)
+        out["pos"] = (out.groupby("window_id", sort=False).cumcount() + 1
+                      ).astype("int64")
+        out = out[cols]
+    else:
+        out = pd.DataFrame(columns=cols)
+    late_df = (pd.DataFrame(late) if late else
+               pd.DataFrame(columns=["conv_id", "turn_idx", "ts",
+                                     "window_id"]))
+    return out, late_df, [f["watermark"] for f in finals]
+
+
 QuantileShardActor = ray.remote(QuantileShardCore)
 
 
