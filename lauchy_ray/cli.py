@@ -158,6 +158,28 @@ def main(argv: list[str] | None = None) -> int:
     tk.add_argument("--shards", type=int, default=8)
     tk.add_argument("--checkpoint-dir", default=None)
 
+    sq = sub.add_parser("stream-quantiles", parents=[common],
+                        help="streaming exact windowed text-length "
+                             "quantiles (p50/p90/p99 per window×role, "
+                             "histogram-merge shards), exactly-once")
+    sq.add_argument("--input", required=True)
+    sq.add_argument("--out", required=True)
+    sq.add_argument("--width-min", type=int, default=60)
+    sq.add_argument("--lateness-min", type=int, default=5)
+    sq.add_argument("--shards", type=int, default=8)
+    sq.add_argument("--checkpoint-dir", default=None)
+
+    sm = sub.add_parser("stream-sample", parents=[common],
+                        help="streaming per-window deterministic bottom-k "
+                             "sample (mergeable reservoir), exactly-once")
+    sm.add_argument("--input", required=True)
+    sm.add_argument("--out", required=True)
+    sm.add_argument("--width-min", type=int, default=60)
+    sm.add_argument("--k", type=int, default=5)
+    sm.add_argument("--lateness-min", type=int, default=5)
+    sm.add_argument("--shards", type=int, default=8)
+    sm.add_argument("--checkpoint-dir", default=None)
+
     nd = sub.add_parser("dedup-docs", parents=[common],
                         help="near-dup cluster assignment (doc_id, rep_id, "
                              "keep) written to a parquet sink — the LINEAR "
@@ -372,6 +394,40 @@ def main(argv: list[str] | None = None) -> int:
             pq.write_table(pa.Table.from_pandas(late),
                            os.path.join(args.out, "late.parquet"))
             print(json.dumps({"out": args.out, "pairs": len(pairs),
+                              "late_rows": len(late),
+                              "watermarks": [int(w) for w in wms]}))
+        elif args.cmd == "stream-quantiles":
+            import os
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from .state.streaming import run_streaming_quantiles
+            qdf, late, wms = run_streaming_quantiles(
+                args.input, args.width_min * 60 * 1_000_000,
+                lateness_us=args.lateness_min * 60 * 1_000_000,
+                n_shards=args.shards, checkpoint_dir=args.checkpoint_dir)
+            os.makedirs(args.out, exist_ok=True)
+            pq.write_table(pa.Table.from_pandas(qdf),
+                           os.path.join(args.out, "quantiles.parquet"))
+            pq.write_table(pa.Table.from_pandas(late),
+                           os.path.join(args.out, "late.parquet"))
+            print(json.dumps({"out": args.out, "cells": len(qdf),
+                              "late_rows": len(late),
+                              "watermarks": [int(w) for w in wms]}))
+        elif args.cmd == "stream-sample":
+            import os
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from .state.streaming import run_streaming_sample
+            smp, late, wms = run_streaming_sample(
+                args.input, args.width_min * 60 * 1_000_000, args.k,
+                lateness_us=args.lateness_min * 60 * 1_000_000,
+                n_shards=args.shards, checkpoint_dir=args.checkpoint_dir)
+            os.makedirs(args.out, exist_ok=True)
+            pq.write_table(pa.Table.from_pandas(smp),
+                           os.path.join(args.out, "sample.parquet"))
+            pq.write_table(pa.Table.from_pandas(late),
+                           os.path.join(args.out, "late.parquet"))
+            print(json.dumps({"out": args.out, "rows": len(smp),
                               "late_rows": len(late),
                               "watermarks": [int(w) for w in wms]}))
         elif args.cmd == "stream-topk":
