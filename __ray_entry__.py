@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cep_absence": Q.q_cep_absence,
         "turn_absence": Q.q_turn_absence,
         "response_pairs": Q.q_response_pairs,
+        "preference_pairs": Q.q_preference_pairs,
         "order_count_dist": Q.q_order_count_dist,
         "large_orders": Q.q_large_orders,
         "promo_revenue": Q.q_promo_revenue,
@@ -604,6 +605,34 @@ def oracle_sql() -> dict[str, str]:
                       + {Q.ABSENCE_W_US})""",
         # interval join over the turns bridge — the batch face of the
         # streaming JoinShardCore engine (the complement of turn_absence)
+        # RLHF preference-pair mining: fastest exchange = chosen, slowest
+        # = rejected, only conversations with >= 2 response pairs
+        "preference_pairs": f"""WITH {_T},
+            p AS (SELECT u.conv_id, u.turn_idx AS u_idx,
+                         a.turn_idx AS a_idx,
+                         epoch_us(a.ts) - epoch_us(u.ts) AS gap_us
+                  FROM turns u JOIN turns a
+                    ON a.conv_id = u.conv_id
+                   AND u.role = 'user' AND a.role = 'assistant'
+                   AND epoch_us(a.ts) > epoch_us(u.ts)
+                   AND epoch_us(a.ts) <= epoch_us(u.ts) + {Q.ABSENCE_W_US}),
+            r AS (SELECT *,
+                         row_number() OVER (PARTITION BY conv_id
+                           ORDER BY gap_us, u_idx, a_idx) AS rn_a,
+                         row_number() OVER (PARTITION BY conv_id
+                           ORDER BY gap_us DESC, u_idx DESC, a_idx DESC)
+                           AS rn_d,
+                         count(*) OVER (PARTITION BY conv_id) AS n_pairs
+                  FROM p)
+            SELECT c.conv_id,
+                   CAST(c.u_idx AS BIGINT) AS chosen_u_idx,
+                   CAST(c.a_idx AS BIGINT) AS chosen_a_idx,
+                   CAST(d.u_idx AS BIGINT) AS rejected_u_idx,
+                   CAST(d.a_idx AS BIGINT) AS rejected_a_idx,
+                   CAST(c.n_pairs AS BIGINT) AS n_pairs
+            FROM (SELECT * FROM r WHERE rn_a = 1) c
+            JOIN (SELECT * FROM r WHERE rn_d = 1) d USING (conv_id)
+            WHERE c.n_pairs >= 2""",
         "response_pairs": f"""WITH {_T}
             SELECT u.conv_id, u.turn_idx AS u_idx, a.turn_idx AS a_idx,
                    epoch_us(a.ts) - epoch_us(u.ts) AS gap_us

@@ -4312,6 +4312,49 @@ def q_response_pairs(sf_dir: str):
                             "conv_id", pairs, size_ds=_events(sf_dir))
 
 
+def q_preference_pairs(sf_dir: str):
+    """RLHF-style preference-pair mining over the response-pair join:
+    for every conversation with ≥ 2 (user, assistant) response pairs,
+    chosen = the fastest exchange, rejected = the slowest (the latency-
+    preference heuristic — a stand-in for a reward signal; the pairing
+    SHAPE is the deliverable). One conv-bucketed vectorized pass over
+    the pair stream: group boundaries by shifted-key compare, first/
+    last row per group — no Python loop over groups."""
+    from ..stages.bucketing import group_map_by_key
+    pairs = q_response_pairs(sf_dir)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "gap_us", "u_idx", "a_idx"],
+                            kind="stable")
+        conv = df["conv_id"].to_numpy(dtype=object)
+        u = df["u_idx"].to_numpy(np.int64)
+        a = df["a_idx"].to_numpy(np.int64)
+        n = len(df)
+        if not n:
+            return pd.DataFrame({
+                "conv_id": pd.Series(dtype=object),
+                "chosen_u_idx": pd.Series(dtype="int64"),
+                "chosen_a_idx": pd.Series(dtype="int64"),
+                "rejected_u_idx": pd.Series(dtype="int64"),
+                "rejected_a_idx": pd.Series(dtype="int64"),
+                "n_pairs": pd.Series(dtype="int64")})
+        first = np.concatenate([[True], conv[1:] != conv[:-1]])
+        starts = np.flatnonzero(first)
+        ends = np.concatenate([starts[1:], [n]])
+        sizes = ends - starts
+        m = sizes >= 2
+        return pd.DataFrame({
+            "conv_id": conv[starts[m]],
+            "chosen_u_idx": u[starts[m]],
+            "chosen_a_idx": a[starts[m]],
+            "rejected_u_idx": u[ends[m] - 1],
+            "rejected_a_idx": a[ends[m] - 1],
+            "n_pairs": sizes[m].astype(np.int64)})
+
+    return group_map_by_key(pairs, "conv_id", fold,
+                            size_ds=_events(sf_dir))
+
+
 def q_embed_quantize(sf_dir: str):
     """Scalar int8-style quantization of the embedding corpus (the ANN
     compression step): per-dimension [min, max] from one bounded pass,
