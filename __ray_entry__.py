@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_revenue": Q.q_q6_revenue,
         "label_dim_stats": Q.q_label_dim_stats,
         "cross_source_dups": Q.q_cross_source_dups,
+        "leakage_safe_split": Q.q_leakage_safe_split,
         "hourly_seasonality": Q.q_hourly_seasonality,
         "user_activity_span": Q.q_user_activity_span,
         "events_weekly": Q.q_events_weekly,
@@ -509,6 +510,14 @@ def oracle_sql() -> dict[str, str]:
         # LINEAR cluster-assignment contract: recursive-CTE connected
         # components over the same pair relations (rep_id = min doc_id)
         "minhash_clusters": minhash_clusters_sql(threshold=0.9),
+        # cluster-rep hash split: near-dups never straddle train/test
+        "leakage_safe_split": f"""
+            WITH c AS ({minhash_clusters_sql(threshold=0.9)})
+            SELECT doc_id, rep_id,
+                   CASE WHEN ('0x' || substr(md5(CAST(rep_id AS VARCHAR)),
+                                             1, 15))::BIGINT % 100 < 90
+                        THEN 'train' ELSE 'test' END AS split
+            FROM c""",
         "simhash_clusters": simhash_clusters_sql(max_hamming=3),
         # function-word vote re-derived from the same _LANG_PROFILES constant
         "lang_id": lang_id_sql(),

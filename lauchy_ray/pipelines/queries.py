@@ -1066,6 +1066,27 @@ def q_minhash_clusters(sf_dir: str):
     return cluster_assignments(_docs_text(sf_dir), rep_pairs, multi)
 
 
+def q_leakage_safe_split(sf_dir: str):
+    """Contamination-aware train/test split: the split is a pure
+    function of the NEAR-DUP CLUSTER REPRESENTATIVE (md5-60(rep_id) %
+    100, 90/10), so near-duplicate documents can never straddle the
+    split — the leakage mode a naive per-doc hash split has (a test doc
+    whose near-copy sits in train). Composes the linear (doc_id,
+    rep_id) cluster contract with one stateless assignment map."""
+    from ..stages.dedup_near import md5_60
+    clusters = q_minhash_clusters(sf_dir)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter((md5_60(str(r)) % 100 for r in df["rep_id"]),
+                        dtype=np.int64, count=len(df))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "rep_id": df["rep_id"].astype("int64"),
+            "split": np.where(h < 90, "train", "test")})
+
+    return clusters.map_batches(assign, batch_format="pandas")
+
+
 def q_cross_source_dups(sf_dir: str):
     """Cross-SOURCE duplicate contamination (the provenance audit a
     multi-crawl corpus merge runs): for every pair of sources, the
