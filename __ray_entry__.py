@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from lauchy_ray.events_bridge import validated_cte, turns_cte  # noqa: E402
 from lauchy_ray.stages.dsir import dsir_sql as _dsir_sql  # noqa: E402
+from lauchy_ray.stages.terms import lm_doc_scores_sql  # noqa: E402
 from lauchy_ray.pipelines import queries as Q  # noqa: E402
 from lauchy_ray.rules import rules_sql_cte  # noqa: E402
 from lauchy_ray.stages.dedup_near import (  # noqa: E402
@@ -159,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_linreg": Q.q_grouped_linreg,
         "chunk_dedup": Q.q_chunk_dedup,
         "dup_span_stats": Q.q_dup_span_stats,
+        "lm_doc_scores": Q.q_lm_doc_scores,
         "pagerank": Q.q_pagerank,
         "cohort_retention": Q.q_cohort_retention,
         "session_concurrency": Q.q_session_concurrency,
@@ -1317,6 +1319,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_dedup": chunk_dedup_sql(),
         # sliding-shingle cross-doc duplicated spans (same md5-60 keys)
         "dup_span_stats": dup_span_sql(),
+        # bigram-LM doc log-likelihood (quantized-log integer fold)
+        "lm_doc_scores": lm_doc_scores_sql(),
         # integer fixed-point PageRank: identical unrolled trajectory
         "pagerank": pagerank_sql(
             user_item_edges_sql(mod=Q.PR_EDGE_MOD), iters=5),

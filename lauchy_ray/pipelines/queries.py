@@ -2238,6 +2238,17 @@ def q_stratified_sample(sf_dir: str):
     return ds.map_batches(pick, batch_format="pandas")
 
 
+def q_lm_doc_scores(sf_dir: str):
+    """CCNet/KenLM-style LM quality scoring: each doc's log-likelihood
+    under the corpus's own add-1 bigram LM, as an exact integer
+    (quantized-log fold — the dsir discipline). Low scores flag
+    gibberish / boilerplate for the corpus quality gate."""
+    from ..stages.terms import lm_doc_scores
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return lm_doc_scores(ds)
+
+
 def q_dup_span_stats(sf_dir: str):
     """Cross-document duplicated-SPAN stats (sliding-shingle variant of
     chunk_dedup — catches phase-shifted copies the non-overlapping

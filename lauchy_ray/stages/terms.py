@@ -247,3 +247,123 @@ pairs AS (SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
             ON a.doc_id = b.doc_id
            AND b.i > a.i AND b.i <= a.i + {window})
 SELECT w1, w2, count(*) AS n FROM pairs GROUP BY 1, 2"""
+
+
+# ------------------------------------------- bigram-LM document scoring
+
+LM_LOG_SCALE = 1e12
+
+
+def bigram_doc_partial(df: pd.DataFrame,
+                       text_col: str = "text") -> pd.DataFrame:
+    """One batch → (doc_id, w1, w2, cnt) adjacent-bigram partials (the
+    per-doc sibling of bigram_partial; same vectorized shape — doc
+    boundaries masked by end index, one groupby)."""
+    toks = df[text_col].str.findall(WS_TOKEN_RE)
+    lens = toks.str.len().to_numpy(np.int64)
+    nz = lens > 0
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "w1": pd.Series(dtype=object),
+                          "w2": pd.Series(dtype=object),
+                          "cnt": pd.Series(dtype="int64")})
+    if nz.sum() == 0 or lens.sum() < 2:
+        return empty
+    flat = np.concatenate(toks.to_numpy()[nz])
+    lens_nz = lens[nz]
+    ids = df["doc_id"].to_numpy(np.int64)[nz]
+    valid = np.ones(len(flat) - 1, dtype=bool)
+    ends = np.cumsum(lens_nz) - 1
+    valid[ends[:-1]] = False
+    doc_of = np.repeat(ids, lens_nz)[:-1][valid]
+    pairs = pd.DataFrame({"doc_id": doc_of, "w1": flat[:-1][valid],
+                          "w2": flat[1:][valid]})
+    g = (pairs.groupby(["doc_id", "w1", "w2"], sort=False).size()
+         .reset_index(name="cnt"))
+    g["cnt"] = g["cnt"].astype("int64")
+    return g
+
+
+def lm_attach_counts(df: pd.DataFrame) -> pd.DataFrame:
+    """One w1 bucket: every (w1, ·) row is here, so the global bigram
+    count n12, the context total n1 = Σ_w2 n12, and the distinct-bigram
+    first-flags (Σ first = B, the smoothing denominator's vocabulary
+    term) are all exact in one pass."""
+    out = df[["doc_id", "cnt"]].copy()
+    out["n12"] = (df.groupby(["w1", "w2"], sort=False)["cnt"]
+                  .transform("sum").astype("int64"))
+    out["n1"] = (df.groupby("w1", sort=False)["cnt"]
+                 .transform("sum").astype("int64"))
+    out["first"] = (~df.duplicated(["w1", "w2"])).astype("int64")
+    return out
+
+
+def lm_doc_fold(df: pd.DataFrame, b: int) -> pd.DataFrame:
+    """One doc bucket: integer log-prob fold. Add-1-smoothed bigram LM
+    p(w2|w1) = (n12 + 1) / (n1 + B) with B = distinct-bigram count;
+    the log is QUANTIZED to int64 (floor(ln·1e12 + 0.5), one libm call
+    per DISTINCT (n12, n1) pair) so the per-doc sum is exact integer
+    arithmetic — order-independent across engines (the dsir
+    discipline). Score ≈ doc log-likelihood under the corpus LM — the
+    CCNet/KenLM quality-filter signal."""
+    import math
+    n12 = df["n12"].to_numpy(np.int64)
+    n1 = df["n1"].to_numpy(np.int64)
+    if (len(n1) and int(n1.max()) >= (1 << 31)) or b >= (1 << 31):
+        raise ValueError("bigram counts exceed the quantization pack bound")
+    packed = (n12 << 31) | n1
+    uniq, inv = np.unique(packed, return_inverse=True)
+    qs = np.fromiter(
+        (math.floor(math.log((int(p >> 31) + 1.0) / (int(p & ((1 << 31) - 1))
+                                                     + b))
+                    * LM_LOG_SCALE + 0.5) for p in uniq),
+        dtype=np.int64, count=len(uniq))
+    cnt = df["cnt"].to_numpy(np.int64)
+    part = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                         "n_big": cnt, "lp": cnt * qs[inv]})
+    g = part.groupby("doc_id", sort=False).agg(
+        n_big=("n_big", "sum"), lp_scaled=("lp", "sum")).reset_index()
+    return g.astype({"doc_id": "int64", "n_big": "int64",
+                     "lp_scaled": "int64"})
+
+
+def lm_doc_scores(docs, size_ds=None):
+    """documents Dataset (doc_id, text) → (doc_id, n_big, lp_scaled):
+    per-doc log-likelihood under the corpus's own add-1 bigram LM.
+    Two bucketed shuffles (w1-keyed count attach, doc-keyed fold), one
+    row per distinct (doc, bigram) — never raw tokens."""
+    from .bucketing import group_map_by_key
+    size_ds = size_ds if size_ds is not None else docs
+    parts = docs.map_batches(bigram_doc_partial, batch_format="pandas")
+    pairs = group_map_by_key(parts, "w1", lm_attach_counts,
+                             size_ds=size_ds).materialize()
+    b = int(pairs.map_batches(
+        lambda df: pd.DataFrame({"b": [int(df["first"].sum())]}),
+        batch_format="pandas").to_pandas()["b"].sum())
+    return group_map_by_key(pairs.drop_columns(["first"]), "doc_id",
+                            lambda g: lm_doc_fold(g, b), size_ds=size_ds)
+
+
+def lm_doc_scores_sql(docs_rel: str = "documents") -> str:
+    """DuckDB oracle for :func:`lm_doc_scores` — identical tokenization
+    and bigram construction (the bigram_sql slicing rules), identical
+    quantized-log integer fold."""
+    return rf"""
+WITH lsts AS (SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\f\v]+')
+                       AS lst
+              FROM {docs_rel}),
+z AS (SELECT doc_id,
+             unnest(list_zip(lst[1:len(lst)-1], lst[2:len(lst)])) AS pr
+      FROM lsts WHERE len(lst) >= 2),
+bg AS (SELECT doc_id, pr[1] AS w1, pr[2] AS w2, count(*) AS cnt
+       FROM z GROUP BY 1, 2, 3),
+gl AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS n12
+       FROM bg GROUP BY 1, 2),
+n1t AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM gl GROUP BY 1),
+scal AS (SELECT CAST(count(*) AS BIGINT) AS b FROM gl),
+q AS (SELECT w1, w2,
+             CAST(floor(ln((n12 + 1.0) / (n1 + b)) * 1e12 + 0.5)
+               AS BIGINT) AS ql
+      FROM gl JOIN n1t USING (w1), scal)
+SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_big,
+       CAST(sum(cnt * ql) AS BIGINT) AS lp_scaled
+FROM bg JOIN q USING (w1, w2) GROUP BY doc_id"""

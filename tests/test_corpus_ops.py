@@ -171,3 +171,23 @@ def test_dup_span_catches_phase_shifted_copy():
     assert out.loc[2, "n_shared"] == out.loc[1, "n_spans"]  # the shared run
     assert out.loc[3, "n_shared"] == 0
     assert out.loc[3, "shared_ratio"] == 0.0
+
+
+def test_lm_doc_scores_flags_gibberish():
+    """A doc of corpus-typical bigrams must outscore (higher loglik per
+    bigram) a doc of bigrams never seen elsewhere."""
+    import pandas as pd
+    import ray.data as rd
+
+    from lauchy_ray.stages.terms import lm_doc_scores
+
+    common = "the cat sat on the mat"
+    rows = [{"doc_id": i, "text": common} for i in range(10)]
+    rows.append({"doc_id": 100, "text": common})
+    rows.append({"doc_id": 101, "text": "zx qv pl mw ke ru"})
+    out = lm_doc_scores(rd.from_pandas(pd.DataFrame(rows))).to_pandas()
+    o = out.set_index("doc_id")
+    per_common = o.loc[100, "lp_scaled"] / o.loc[100, "n_big"]
+    per_gibber = o.loc[101, "lp_scaled"] / o.loc[101, "n_big"]
+    assert per_common > per_gibber
+    assert o.loc[100, "n_big"] == 5 and o.loc[101, "n_big"] == 5
