@@ -2,6 +2,7 @@
 the distributed engine and the pure-Python oracle must agree exactly."""
 
 import pandas as pd
+import numpy as np
 import pyarrow as pa
 import ray.data as rd
 from hypothesis import HealthCheck, given, settings
@@ -191,3 +192,123 @@ def test_near_dup_clusters_equal_pair_components(base, dup_idx):
     got = dict(zip(clusters["doc_id"].astype(int),
                    clusters["rep_id"].astype(int)))
     assert got == exp
+
+
+# ------------------------------- round-4 engines: quantiles + sample
+
+_qrow = st.tuples(
+    st.sampled_from(["CA", "CB", "CC"]),          # conv
+    st.integers(0, 1000),                          # ts
+    st.sampled_from(["user", "tool"]),             # role
+    st.integers(0, 12),                            # text length
+)
+
+
+def _to_qtable(rows, valid_mod=3):
+    return pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array(list(range(len(rows))), pa.int32()),
+        "role": pa.array([r[2] for r in rows]),
+        "tool": pa.array(["TOOL_X"] * len(rows)),
+        "text": pa.array(["x" * r[3] for r in rows]),
+        "valid": pa.array([i % valid_mod != 0 for i in range(len(rows))]),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })
+
+
+@settings(max_examples=40, deadline=None)
+@given(rows=st.lists(_qrow, min_size=1, max_size=80),
+       n_batches=st.integers(1, 4),
+       width=st.sampled_from([16, 64]),
+       lateness=st.sampled_from([0, 32]))
+def test_quantile_core_matches_oracle_property(rows, n_batches, width,
+                                               lateness):
+    """QuantileShardCore's packed-histogram state must equal the
+    row-at-a-time oracle for any arrival order, batching, width and
+    lateness (single shard)."""
+    from lauchy_ray import oracle as O
+    from lauchy_ray.state.streaming import QuantileShardCore
+
+    core = QuantileShardCore(width, lateness)
+    bounds = [round(i * len(rows) / n_batches) for i in range(n_batches + 1)]
+    for b in range(n_batches):
+        chunk = rows[bounds[b]:bounds[b + 1]]
+        if chunk:
+            core.ingest(_to_qtable(chunk[:]))
+    got = core.finalize()
+
+    # the table builder numbers turn_idx AND the valid flag per BATCH —
+    # build the oracle rows with the same per-batch indices
+    dict_rows = []
+    for b in range(n_batches):
+        chunk = rows[bounds[b]:bounds[b + 1]]
+        for j, r in enumerate(chunk):
+            dict_rows.append({"conv_id": r[0], "turn_idx": j, "ts": r[1],
+                              "role": r[2], "text": "x" * r[3],
+                              "valid": j % 3 != 0})
+    exp_cells, exp_late, _ = O.streaming_quantiles_rows(
+        dict_rows, width, lateness, 1)
+
+    # engine emits per-shard histograms; roll them into final cells
+    from lauchy_ray.stages.windows import quantiles_from_hist
+    acc, nval = {}, {}
+    for c in got["emitted"]:
+        k = (c["window_id"], c["role"])
+        h = acc.setdefault(k, {})
+        for v, n in zip(np.asarray(c["vals"]).tolist(),
+                        np.asarray(c["cnts"]).tolist()):
+            h[v] = h.get(v, 0) + n
+        nval[k] = nval.get(k, 0) + c["n_valid"]
+    got_cells = {}
+    for k, h in acc.items():
+        vals = np.array(sorted(h))
+        cnts = np.array([h[v] for v in vals.tolist()])
+        q = quantiles_from_hist(vals, cnts)
+        got_cells[k] = (nval[k], int(cnts.sum()) - nval[k],
+                        q["p50"], q["p90"], q["p99"])
+    exp_map = {(e["window_id"], e["role"]):
+               (e["n_valid"], e["n_rejected"], e["p50"], e["p90"], e["p99"])
+               for e in exp_cells}
+    assert got_cells == exp_map
+    assert len(got["late"]) == len(exp_late)
+
+
+@settings(max_examples=40, deadline=None)
+@given(rows=st.lists(_qrow, min_size=1, max_size=80),
+       n_batches=st.integers(1, 4),
+       width=st.sampled_from([16, 64]),
+       k=st.sampled_from([1, 3]),
+       lateness=st.sampled_from([0, 32]))
+def test_sample_core_matches_oracle_property(rows, n_batches, width, k,
+                                             lateness):
+    """SampleShardCore's mergeable bottom-k must equal the oracle's
+    global bottom-k over on-time rows for any batching."""
+    from lauchy_ray import oracle as O
+    from lauchy_ray.state.streaming import SampleShardCore
+
+    core = SampleShardCore(width, k, lateness)
+    bounds = [round(i * len(rows) / n_batches) for i in range(n_batches + 1)]
+    pos = 0
+    dict_rows = []
+    for b in range(n_batches):
+        chunk = rows[bounds[b]:bounds[b + 1]]
+        if chunk:
+            core.ingest(_to_qtable(chunk))
+            for j, r in enumerate(chunk):
+                dict_rows.append({"conv_id": r[0], "turn_idx": j,
+                                  "ts": r[1]})
+    got = core.finalize()
+    exp_rows, exp_late, _ = O.streaming_sample_rows(
+        dict_rows, width, k, lateness, 1)
+
+    got_set = set()
+    for b in got["emitted"]:
+        for w, c, i, h in zip(np.asarray(b["window_id"]).tolist(),
+                              list(b["conv_id"]),
+                              np.asarray(b["turn_idx"]).tolist(),
+                              np.asarray(b["h"]).tolist()):
+            got_set.add((w, c, i, h))
+    exp_set = {(e["window_id"], e["conv_id"], e["turn_idx"], e["h"])
+               for e in exp_rows}
+    assert got_set == exp_set
+    assert len(got["late"]) == len(exp_late)
