@@ -180,6 +180,16 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--shards", type=int, default=8)
     sm.add_argument("--checkpoint-dir", default=None)
 
+    su = sub.add_parser("stream-upsert", parents=[common],
+                        help="streaming upsert / KTable compaction: latest "
+                             "version per (conv, turn) by (ts, arrival), "
+                             "late corrections routed, exactly-once")
+    su.add_argument("--input", required=True)
+    su.add_argument("--out", required=True)
+    su.add_argument("--lateness-min", type=int, default=5)
+    su.add_argument("--shards", type=int, default=8)
+    su.add_argument("--checkpoint-dir", default=None)
+
     nd = sub.add_parser("dedup-docs", parents=[common],
                         help="near-dup cluster assignment (doc_id, rep_id, "
                              "keep) written to a parquet sink — the LINEAR "
@@ -428,6 +438,23 @@ def main(argv: list[str] | None = None) -> int:
             pq.write_table(pa.Table.from_pandas(late),
                            os.path.join(args.out, "late.parquet"))
             print(json.dumps({"out": args.out, "rows": len(smp),
+                              "late_rows": len(late),
+                              "watermarks": [int(w) for w in wms]}))
+        elif args.cmd == "stream-upsert":
+            import os
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from .state.streaming import run_streaming_upsert
+            up, late, wms = run_streaming_upsert(
+                args.input,
+                lateness_us=args.lateness_min * 60 * 1_000_000,
+                n_shards=args.shards, checkpoint_dir=args.checkpoint_dir)
+            os.makedirs(args.out, exist_ok=True)
+            pq.write_table(pa.Table.from_pandas(up),
+                           os.path.join(args.out, "latest.parquet"))
+            pq.write_table(pa.Table.from_pandas(late),
+                           os.path.join(args.out, "late.parquet"))
+            print(json.dumps({"out": args.out, "keys": len(up),
                               "late_rows": len(late),
                               "watermarks": [int(w) for w in wms]}))
         elif args.cmd == "stream-topk":

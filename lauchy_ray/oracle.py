@@ -343,6 +343,34 @@ def streaming_quantiles_rows(rows: list[dict], width_us: int,
     return cells, late, wm
 
 
+def streaming_upsert_rows(rows: list[dict], lateness_us: int,
+                          n_shards: int):
+    """Single-threaded mirror of state.streaming.UpsertShardCore:
+    per-shard arrival scan; a row is late when ts ≤ the shard's
+    wm-before-row; otherwise it REPLACES the stored version of its
+    (conv_id, turn_idx) key iff its ts ≥ the stored ts (equal ts →
+    later arrival wins). → (latest rows, late list, wms)."""
+    neg_inf = -(1 << 62)
+    wm = [neg_inf] * n_shards
+    latest: dict[tuple, tuple] = {}
+    late = []
+    for row in rows:
+        s = shard_of(row["conv_id"], n_shards)
+        if row["ts"] <= wm[s]:
+            late.append({"conv_id": row["conv_id"],
+                         "turn_idx": row["turn_idx"], "ts": row["ts"]})
+        else:
+            key = (row["conv_id"], row["turn_idx"])
+            cur = latest.get(key)
+            if cur is None or row["ts"] >= cur[0]:
+                latest[key] = (row["ts"], row["valid"])
+        if row["ts"] - lateness_us > wm[s]:
+            wm[s] = row["ts"] - lateness_us
+    out = [{"conv_id": k[0], "turn_idx": k[1], "ts": v[0], "valid": v[1]}
+           for k, v in sorted(latest.items())]
+    return out, late, wm
+
+
 def streaming_sample_rows(rows: list[dict], width_us: int, k: int,
                           lateness_us: int, n_shards: int):
     """Single-threaded mirror of state.streaming.SampleShardCore: the

@@ -1268,6 +1268,125 @@ class SampleShardCore(ShardActorBase):
                 "late": hist_late + self.late, "watermark": self.wm}
 
 
+class UpsertShardCore(ShardActorBase):
+    """Streaming UPSERT / compaction (12th engine) — the KTable /
+    compacted-topic face of the reference's own framework (Kafka
+    Streams materializes exactly this): maintain the LATEST version per
+    key (conv_id, turn_idx) under last-writer-wins by (ts, arrival
+    order), discard corrections older than the watermark (route late —
+    the "too late to correct" rule), emit the compacted table at
+    finalize.
+
+    Versions (at-least-once redeliveries AND genuine corrections with a
+    newer ts) fold per batch in ONE pass: lexsort by (key, ts, position)
+    and keep the last row per key — arrival position is the tiebreak at
+    equal ts, exactly the scalar oracle's replace-if-ts-geq rule. State
+    is a sorted packed key array + parallel (ts, valid) — O(distinct
+    keys), the inherent size of a materialized view (unlike the
+    horizon-bounded CEP engines; same class as the dedup engine's
+    retention-free mode). Merges are vectorized two-array folds."""
+
+    def __init__(self, lateness_us: int,
+                 checkpoint_path: str | None = None):
+        self.lateness = int(lateness_us)
+        self._names = pd.Index([], dtype=object)
+        self._k = np.empty(0, np.int64)      # (gcode << 34) | turn_idx
+        self._t = np.empty(0, np.int64)      # version ts
+        self._v = np.empty(0, bool)          # valid flag of the version
+        self._seq_no = np.empty(0, np.int64)  # arrival ordinal (tiebreak)
+        self._arrivals = 0
+        self._init_shard_state(checkpoint_path, ("upsert", self.lateness))
+
+    def _core_state(self):
+        return (self._names, self._k, self._t, self._v, self._seq_no,
+                self._arrivals)
+
+    def _restore_core(self, core) -> None:
+        (self._names, self._k, self._t, self._v, self._seq_no,
+         self._arrivals) = core
+
+    def ingest(self, table: pa.Table, seq: int | None = None) -> int:
+        if self._skip_replay(table, seq):
+            return 0
+        ts, idx, bcodes, names, _, _ = self._decode_batch(table)
+        cm, prefix_wm = self._prefix_watermark(ts)
+        late_m = ts <= prefix_wm
+        for i in np.flatnonzero(late_m):
+            self.late.append({"conv_id": names[bcodes[i]],
+                              "turn_idx": int(idx[i]), "ts": int(ts[i])})
+        keep = np.flatnonzero(~late_m)
+        if len(keep):
+            g_of_name = self._map_names(names, idx[keep])
+            g = g_of_name[bcodes[keep]]
+            key_b = (g << 34) | idx[keep]
+            ts_b = ts[keep]
+            valid = table["valid"].to_numpy(zero_copy_only=False)[keep]
+            pos_b = self._arrivals + np.arange(len(keep), dtype=np.int64)
+            self._arrivals += len(keep)
+            k2 = np.concatenate([self._k, key_b])
+            t2 = np.concatenate([self._t, ts_b])
+            v2 = np.concatenate([self._v, valid])
+            p2 = np.concatenate([self._seq_no, pos_b])
+            # last-writer-wins: sort (key, ts, arrival) and keep the
+            # LAST row of each key run — state rows carry their original
+            # arrival ordinal so replay folds identically
+            o = np.lexsort((p2, t2, k2))
+            k2, t2, v2, p2 = k2[o], t2[o], v2[o], p2[o]
+            last = np.concatenate([k2[1:] != k2[:-1], [True]])
+            self._k, self._t, self._v, self._seq_no = (
+                k2[last], t2[last], v2[last], p2[last])
+        if int(cm[-1]) > self.wm:
+            self.wm = int(cm[-1])
+        if seq is not None:
+            self.seq = seq
+            self._checkpoint()
+        return table.num_rows
+
+    def finalize(self) -> dict:
+        names = np.asarray(self._names, dtype=object)[self._k >> 34]
+        block = {"conv_id": names,
+                 "turn_idx": (self._k & ((1 << 34) - 1)).astype(np.int64),
+                 "ts": self._t.copy(),
+                 "valid": self._v.copy()}
+        hist_emitted, hist_late = self._read_deltas()
+        emitted = hist_emitted + ([block] if len(self._k) else [])
+        return {"emitted": emitted, "late": hist_late + self.late,
+                "watermark": self.wm, "state_keys": len(self._k)}
+
+
+UpsertShardActor = ray.remote(UpsertShardCore)
+
+
+def run_streaming_upsert(input_path: str,
+                         lateness_us: int = 5 * 60 * 1_000_000,
+                         n_shards: int = 8,
+                         validate_kwargs: dict | None = None,
+                         max_pending: int = 4,
+                         checkpoint_dir: str | None = None):
+    """Streaming upsert / compacted materialized view over the fragment
+    stream. → (latest-version DataFrame (conv_id, turn_idx, ts, valid),
+    late DataFrame, watermarks)."""
+    fragments = list_fragments(input_path)
+    meta = {"kind": "upsert", "lateness_us": lateness_us,
+            "n_shards": n_shards}
+    _guard_checkpoint_dir(checkpoint_dir, meta, fragments)
+    actors = [UpsertShardActor.remote(
+        lateness_us,
+        os.path.join(checkpoint_dir, f"shard-{s}.ckpt") if checkpoint_dir
+        else None)
+        for s in range(n_shards)]
+    finals = _pump_fragments(actors, fragments, n_shards,
+                             validate_kwargs, max_pending)
+    blocks = [b for f in finals for b in f["emitted"]]
+    late = [row for f in finals for row in f["late"]]
+    cols = ["conv_id", "turn_idx", "ts", "valid"]
+    out = (pd.concat([pd.DataFrame(b) for b in blocks], ignore_index=True)
+           [cols] if blocks else pd.DataFrame(columns=cols))
+    late_df = (pd.DataFrame(late) if late else
+               pd.DataFrame(columns=["conv_id", "turn_idx", "ts"]))
+    return out, late_df, [f["watermark"] for f in finals]
+
+
 SampleShardActor = ray.remote(SampleShardCore)
 
 
