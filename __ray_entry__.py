@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": Q.q_mixture_sample,
         "bottomk_sample": Q.q_bottomk_sample,
         "curriculum_bands": Q.q_curriculum_bands,
+        "context_cut": Q.q_context_cut,
         "cms_user_counts": Q.q_cms_user_counts,
         "building_orders_bloom": Q.q_building_orders_bloom,
         "user_value_outer": Q.q_user_value_outer,
@@ -878,6 +879,24 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE pos <= {Q.BOTTOMK_K}""",
         # curriculum deciles: histogram thresholds + value-band assignment
         "curriculum_bands": Q.curriculum_bands_sql(),
+        # per-conv context-window cut: whole turns fitting a token budget
+        "context_cut": f"""WITH {_T},
+            t AS (SELECT conv_id, turn_idx,
+                         coalesce(len(regexp_extract_all(
+                             text, '[^ \t\n\r\f\v]+')), 0) AS tok
+                  FROM turns),
+            r AS (SELECT conv_id, turn_idx, tok,
+                         sum(tok) OVER (PARTITION BY conv_id
+                           ORDER BY turn_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                           ROW) AS run
+                  FROM t)
+            SELECT conv_id,
+                   CAST(count(*) FILTER (WHERE run <= {Q.CTX_BUDGET})
+                     AS BIGINT) AS n_turns_fit,
+                   CAST(coalesce(max(run) FILTER (WHERE run <= {Q.CTX_BUDGET}),
+                                 0) AS BIGINT) AS tok_used
+            FROM r GROUP BY conv_id""",
         # Count-Min sketch counters re-derived bit-for-bit (md5-60 cells)
         "cms_user_counts": cms_sql(),
         # bloom-filter semi join ≡ plain IN-subquery semi join (the bloom

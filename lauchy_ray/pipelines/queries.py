@@ -2260,6 +2260,51 @@ def q_dup_span_stats(sf_dir: str):
     return dup_span_stats(ds)
 
 
+CTX_BUDGET = 64  # whitespace-token context-window budget per conversation
+
+
+def q_context_cut(sf_dir: str):
+    """Per-conversation CONTEXT-WINDOW CUT (the SFT example-truncation
+    primitive): walking turns in (turn_idx) order, how many whole turns
+    fit in a CTX_BUDGET-token window, and the tokens used at the cut.
+    One conv-bucketed vectorized pass: grouped cumsum (global cumsum
+    minus per-group offset), then count of prefix rows under budget."""
+    from ..stages.bucketing import group_map_by_key
+    from ..stages.textops import WS_TOKEN_RE
+    turns = _turns(sf_dir)
+
+    def cut(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+        conv = df["conv_id"].to_numpy(dtype=object)
+        # NULL text (the bridge's null-props arm) counts 0 tokens on
+        # both engines (oracle: coalesce(len(...), 0))
+        tok = (df["text"].str.count(WS_TOKEN_RE).fillna(0)
+               .astype("int64").to_numpy())
+        n = len(df)
+        if not n:
+            return pd.DataFrame({"conv_id": pd.Series(dtype=object),
+                                 "n_turns_fit": pd.Series(dtype="int64"),
+                                 "tok_used": pd.Series(dtype="int64")})
+        first = np.concatenate([[True], conv[1:] != conv[:-1]])
+        starts = np.flatnonzero(first)
+        g_cs = np.cumsum(tok)
+        base = np.repeat(np.concatenate([[0], g_cs[starts[1:] - 1]]),
+                         np.diff(np.concatenate([starts, [n]])))
+        run = g_cs - base                       # per-conv running tokens
+        fit = run <= CTX_BUDGET
+        sizes = np.diff(np.concatenate([starts, [n]]))
+        # within a conv, `fit` is a monotone prefix (run is
+        # non-decreasing), so the count of fits IS the cut point
+        n_fit = np.add.reduceat(fit.astype(np.int64), starts)
+        used = np.where(n_fit > 0, run[np.minimum(
+            starts + n_fit - 1, n - 1)], 0)
+        return pd.DataFrame({"conv_id": conv[starts],
+                             "n_turns_fit": n_fit.astype(np.int64),
+                             "tok_used": used.astype(np.int64)})
+
+    return group_map_by_key(turns, "conv_id", cut, size_ds=_events(sf_dir))
+
+
 def q_curriculum_bands(sf_dir: str):
     """Curriculum-ordering bands: every doc assigned a difficulty decile
     by whitespace-token count (band d = smallest decile whose exact
