@@ -1323,18 +1323,37 @@ class UpsertShardCore(ShardActorBase):
             valid = table["valid"].to_numpy(zero_copy_only=False)[keep]
             pos_b = self._arrivals + np.arange(len(keep), dtype=np.int64)
             self._arrivals += len(keep)
-            k2 = np.concatenate([self._k, key_b])
-            t2 = np.concatenate([self._t, ts_b])
-            v2 = np.concatenate([self._v, valid])
-            p2 = np.concatenate([self._seq_no, pos_b])
-            # last-writer-wins: sort (key, ts, arrival) and keep the
-            # LAST row of each key run — state rows carry their original
-            # arrival ordinal so replay folds identically
-            o = np.lexsort((p2, t2, k2))
-            k2, t2, v2, p2 = k2[o], t2[o], v2[o], p2[o]
-            last = np.concatenate([k2[1:] != k2[:-1], [True]])
-            self._k, self._t, self._v, self._seq_no = (
-                k2[last], t2[last], v2[last], p2[last])
+            # last-writer-wins in two steps, NEVER re-sorting the state
+            # (a full (state+batch) lexsort made the engine O(K log K)
+            # per micro-batch — 14 s on the 8M bench vs ~3 s siblings):
+            # 1. fold the BATCH to one winner per key (sort batch only);
+            o = np.lexsort((pos_b, ts_b, key_b))
+            kb, tb, vb, pb = key_b[o], ts_b[o], valid[o], pos_b[o]
+            last = np.concatenate([kb[1:] != kb[:-1], [True]])
+            kb, tb, vb, pb = kb[last], tb[last], vb[last], pb[last]
+            # 2. merge into the key-sorted state: in-place replace for
+            # existing keys (batch wins iff ts ≥ stored — its arrival
+            # ordinal is always newer), one np.insert for new keys.
+            if len(self._k):
+                ins = np.searchsorted(self._k, kb)
+                ins_c = np.minimum(ins, len(self._k) - 1)
+                exist = self._k[ins_c] == kb
+            else:
+                ins = np.zeros(len(kb), np.int64)
+                ins_c = ins
+                exist = np.zeros(len(kb), bool)
+            upd = exist & (tb >= self._t[ins_c]) if len(self._k) else exist
+            if upd.any():
+                idxs = ins_c[upd]
+                self._t[idxs] = tb[upd]
+                self._v[idxs] = vb[upd]
+                self._seq_no[idxs] = pb[upd]
+            new = ~exist
+            if new.any():
+                self._k = np.insert(self._k, ins[new], kb[new])
+                self._t = np.insert(self._t, ins[new], tb[new])
+                self._v = np.insert(self._v, ins[new], vb[new])
+                self._seq_no = np.insert(self._seq_no, ins[new], pb[new])
         if int(cm[-1]) > self.wm:
             self.wm = int(cm[-1])
         if seq is not None:
