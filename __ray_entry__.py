@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_weighted_sample": Q.q_token_weighted_sample,
         "role_transitions": Q.q_role_transitions,
         "value_quartiles_by_type": Q.q_value_quartiles_by_type,
+        "value_winsorized": Q.q_value_winsorized,
         "interval_join": Q.q_interval_join,
         # normalize / densify / argmax widening (round 3)
         "user_last_event": Q.q_user_last_event,
@@ -1112,6 +1113,38 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY prev_role, role""",
         # grouped exact quantiles — the token_quantiles integer-ceil-rank
         # convention, partitioned by event_type
+        # winsorized per-type stats: thresholds AND clamped sum from the
+        # same bounded cents histogram, integer arithmetic throughout
+        "value_winsorized": """
+            WITH c AS (SELECT event_type,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                       FROM events),
+            hist AS (SELECT event_type, v, count(*) AS cnt
+                     FROM c GROUP BY event_type, v),
+            cc AS (SELECT event_type, v,
+                          sum(cnt) OVER (PARTITION BY event_type
+                                         ORDER BY v) AS cum
+                   FROM hist),
+            tot AS (SELECT event_type, count(*) AS n
+                    FROM c GROUP BY event_type),
+            q AS (SELECT cc.event_type,
+                         min(CASE WHEN cum >= (5 * n + 99) // 100
+                                  THEN v END) AS lo,
+                         min(CASE WHEN cum >= (95 * n + 99) // 100
+                                  THEN v END) AS hi
+                  FROM cc JOIN tot USING (event_type)
+                  GROUP BY cc.event_type)
+            SELECT c.event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(q.lo AS BIGINT) AS lo_cents,
+                   CAST(q.hi AS BIGINT) AS hi_cents,
+                   CAST(coalesce(count(*) FILTER (WHERE c.v < q.lo), 0)
+                     AS BIGINT) AS n_clamped_lo,
+                   CAST(coalesce(count(*) FILTER (WHERE c.v > q.hi), 0)
+                     AS BIGINT) AS n_clamped_hi,
+                   CAST(sum(least(greatest(c.v, q.lo), q.hi)) AS BIGINT)
+                     AS sum_winsorized_cents
+            FROM c JOIN q USING (event_type)
+            GROUP BY c.event_type, q.lo, q.hi""",
         "value_quartiles_by_type": """
             WITH c AS (SELECT event_type,
                               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v

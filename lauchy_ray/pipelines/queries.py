@@ -3193,6 +3193,44 @@ def _hist_rank_select(df: pd.DataFrame, ps: list[int]) -> pd.DataFrame:
         .astype({"p": "int64", "cents": "int64"})
 
 
+def q_value_winsorized(sf_dir: str):
+    """Grouped WINSORIZED statistics (the feature-cleaning clamp before
+    model training): per event_type, clamp integer cents to the exact
+    [p5, p95] disc-quantiles and report the clamped sum + clamp counts.
+    Every figure — thresholds AND the winsorized sum — derives from the
+    ONE bounded (type, cents) histogram (sum_w = Σ clamp(v)·count), so
+    the whole op is a single streaming pass + a single-task select; no
+    second scan, no float anywhere."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df.groupby(["event_type", "v"], sort=True)["c"].sum()
+             .reset_index())
+        rows = []
+        for et, grp in h.groupby("event_type", sort=True):
+            v = grp["v"].to_numpy(np.int64)
+            c = grp["c"].to_numpy(np.int64)
+            cum = np.cumsum(c)
+            n = int(cum[-1])
+            lo = int(v[np.searchsorted(cum, (5 * n + 99) // 100)])
+            hi = int(v[np.searchsorted(cum, (95 * n + 99) // 100)])
+            clamped = np.clip(v, lo, hi)
+            rows.append((et, n, lo, hi,
+                         int(c[v < lo].sum()), int(c[v > hi].sum()),
+                         int((clamped * c).sum())))
+        return pd.DataFrame(rows, columns=[
+            "event_type", "n", "lo_cents", "hi_cents", "n_clamped_lo",
+            "n_clamped_hi", "sum_winsorized_cents"]).astype(
+            {k: "int64" for k in ("n", "lo_cents", "hi_cents",
+                                  "n_clamped_lo", "n_clamped_hi",
+                                  "sum_winsorized_cents")})
+
+    return (ds.map_batches(_cents_hist_partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(finish, batch_format="pandas", batch_size=None))
+
+
 def q_value_quartiles_by_type(sf_dir: str):
     """Grouped EXACT quantiles: p25/p50/p75 of integer event cents per
     event_type — the shared histogram combiner + one single-task
