@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedup": Q.q_chunk_dedup,
         "dup_span_stats": Q.q_dup_span_stats,
         "lm_doc_scores": Q.q_lm_doc_scores,
+        "length_gini": Q.q_length_gini,
         "pagerank": Q.q_pagerank,
         "cohort_retention": Q.q_cohort_retention,
         "session_concurrency": Q.q_session_concurrency,
@@ -1373,6 +1374,20 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_stats": dup_span_sql(),
         # bigram-LM doc log-likelihood (quantized-log integer fold)
         "lm_doc_scores": lm_doc_scores_sql(),
+        # per-lang length Gini: exact integer rank identity; one division
+        "length_gini": """
+            WITH r AS (SELECT lang, n_chars,
+                              row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars) AS rn,
+                              count(*) OVER (PARTITION BY lang) AS n
+                       FROM documents)
+            SELECT lang, CAST(any_value(n) AS BIGINT) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(sum((2 * rn - n - 1) * n_chars) AS BIGINT)
+                     AS gini_num,
+                   CAST(sum((2 * rn - n - 1) * n_chars) AS DOUBLE)
+                     / (any_value(n) * sum(n_chars)) AS gini
+            FROM r GROUP BY lang""",
         # integer fixed-point PageRank: identical unrolled trajectory
         "pagerank": pagerank_sql(
             user_item_edges_sql(mod=Q.PR_EDGE_MOD), iters=5),

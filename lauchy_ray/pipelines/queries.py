@@ -2249,6 +2249,48 @@ def q_lm_doc_scores(sf_dir: str):
     return lm_doc_scores(ds)
 
 
+def q_length_gini(sf_dir: str):
+    """Per-language GINI concentration of document lengths (the corpus-
+    balance diagnostic: is one crawl dominating the bytes?). Exact
+    integer numerator via the sorted-rank identity
+    G = Σ(2i − n − 1)·x_i / (n·Σx) — tie order cancels, so any stable
+    sort agrees with SQL's row_number. One lang-bucketed vectorized
+    pass; the only float is the single final division, IEEE-identical
+    on both engines."""
+    from ..stages.bucketing import group_map_by_key
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "n_chars"], kind="stable")
+        lang = df["lang"].to_numpy(dtype=object)
+        x = df["n_chars"].to_numpy(np.int64)
+        n_all = len(df)
+        if not n_all:
+            return pd.DataFrame({"lang": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64"),
+                                 "total_chars": pd.Series(dtype="int64"),
+                                 "gini_num": pd.Series(dtype="int64"),
+                                 "gini": pd.Series(dtype="float64")})
+        first = np.concatenate([[True], lang[1:] != lang[:-1]])
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.concatenate([starts, [n_all]]))
+        # per-group 1-based rank: global index − group start + 1
+        rank = np.arange(n_all) - np.repeat(starts, sizes) + 1
+        n_of = np.repeat(sizes, sizes)
+        coef = 2 * rank - n_of - 1
+        num = np.add.reduceat(coef * x, starts)
+        tot = np.add.reduceat(x, starts)
+        gini = num.astype(np.float64) / (sizes * tot)
+        return pd.DataFrame({"lang": lang[starts],
+                             "n": sizes.astype(np.int64),
+                             "total_chars": tot.astype(np.int64),
+                             "gini_num": num.astype(np.int64),
+                             "gini": gini})
+
+    return group_map_by_key(ds, "lang", fold)
+
+
 def q_dup_span_stats(sf_dir: str):
     """Cross-document duplicated-SPAN stats (sliding-shingle variant of
     chunk_dedup — catches phase-shifted copies the non-overlapping
