@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "role_transitions": Q.q_role_transitions,
         "value_quartiles_by_type": Q.q_value_quartiles_by_type,
         "value_winsorized": Q.q_value_winsorized,
+        "value_entropy_by_type": Q.q_value_entropy_by_type,
         "interval_join": Q.q_interval_join,
         # normalize / densify / argmax widening (round 3)
         "user_last_event": Q.q_user_last_event,
@@ -1114,6 +1115,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY prev_role, role""",
         # grouped exact quantiles — the token_quantiles integer-ceil-rank
         # convention, partitioned by event_type
+        # per-type value entropy: quantized-log integer fold (1e9 scale —
+        # n*ln(n)*1e9 stays in int64 where numpy would wrap at 1e12)
+        "value_entropy_by_type": """
+            WITH c AS (SELECT event_type,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                       FROM events),
+            hist AS (SELECT event_type, v, count(*) AS cnt
+                     FROM c GROUP BY event_type, v),
+            tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+                    FROM hist GROUP BY event_type)
+            SELECT h.event_type, any_value(t.n) AS n,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(-sum(h.cnt * CAST(floor(
+                       ln(CAST(h.cnt AS DOUBLE) / t.n) * 1e9 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS h_scaled
+            FROM hist h JOIN tot t USING (event_type)
+            GROUP BY h.event_type""",
         # winsorized per-type stats: thresholds AND clamped sum from the
         # same bounded cents histogram, integer arithmetic throughout
         "value_winsorized": """

@@ -3235,6 +3235,44 @@ def _hist_rank_select(df: pd.DataFrame, ps: list[int]) -> pd.DataFrame:
         .astype({"p": "int64", "cents": "int64"})
 
 
+def q_value_entropy_by_type(sf_dir: str):
+    """Per-type Shannon entropy of the cents-value distribution (the
+    diversity/degeneracy diagnostic — a collapsed feature has H → 0),
+    as an EXACT integer: H_scaled = −Σ_v c_v · QL(c_v / n) with
+    QL(x) = floor(ln(x)·1e9 + 0.5) — the dsir quantized-log discipline,
+    one libm ln per DISTINCT (count, n) pair, so the fold is
+    order-independent across engines. Scale 1e9 (not the dsir 1e12):
+    |H_scaled| ≤ n·ln(n)·scale, so int64 holds up to ~6e8 rows per type
+    (1e12 would wrap silently at ~6e5 while DuckDB's HUGEINT kept
+    going). Derived entirely from the one bounded (type, cents)
+    histogram. True H (nats) = H_scaled / (n·1e9)."""
+    import math
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df.groupby(["event_type", "v"], sort=True)["c"].sum()
+             .reset_index())
+        rows = []
+        for et, grp in h.groupby("event_type", sort=True):
+            c = grp["c"].to_numpy(np.int64)
+            n = int(c.sum())
+            if n >= (1 << 29):   # keep n·ln(n)·1e9 inside int64
+                raise ValueError("per-type count exceeds entropy bound")
+            uniq, inv = np.unique(c, return_inverse=True)
+            ql = np.fromiter(
+                (math.floor(math.log(int(u) / n) * 1e9 + 0.5)
+                 for u in uniq), dtype=np.int64, count=len(uniq))
+            rows.append((et, n, len(c), int(-(c * ql[inv]).sum())))
+        return pd.DataFrame(rows, columns=[
+            "event_type", "n", "n_distinct", "h_scaled"]).astype(
+            {"n": "int64", "n_distinct": "int64", "h_scaled": "int64"})
+
+    return (ds.map_batches(_cents_hist_partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(finish, batch_format="pandas", batch_size=None))
+
+
 def q_value_winsorized(sf_dir: str):
     """Grouped WINSORIZED statistics (the feature-cleaning clamp before
     model training): per event_type, clamp integer cents to the exact
