@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_sliding": Q.q_window_sliding,
         "window_len_quantiles": Q.q_window_len_quantiles,
         "window_sample": Q.q_window_sample,
+        "window_hll_users": Q.q_window_hll_users,
         "sessionize": Q.q_sessionize,
         "session_stats": Q.q_session_stats,
         "events_daily": Q.q_events_daily,
@@ -213,6 +214,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 _V = validated_cte()  # shared WITH-body: turns + rules + validated_full
+
+
+def _window_hll_sql() -> str:
+    """hll_sql over (window_id, conv_id) derived from the turns CTE —
+    splice the turns WITH-body ahead of the sketch's own CTE chain."""
+    body = hll_sql(
+        table="(SELECT epoch_us(ts) // 3600000000 AS window_id, conv_id "
+              "FROM turns) tw",
+        key_col="window_id", value_col="conv_id").lstrip()
+    assert body.startswith("WITH ")
+    return "WITH " + _T + ", " + body[len("WITH "):]
 _T = turns_cte()
 # shared sessionization CTE chain (gap split per conv, stable tiebreaks)
 _SESS = f"""{_T},
@@ -370,6 +382,8 @@ def oracle_sql() -> dict[str, str]:
         # HyperLogLog with a bit-for-bit oracle: the approximate sketch is
         # deterministic, so even the ESTIMATE is value-checked (sketches.py
         # documents the ln/float-parity preconditions)
+        # windowed HLL: same bit-exact sketch keyed by computed window_id
+        "window_hll_users": _window_hll_sql(),
         "hll_users": hll_sql(),
         "events_by_type": """
             SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value

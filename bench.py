@@ -144,7 +144,7 @@ def run_streaming(paths: dict[str, str]) -> dict:
         run_streaming_patterns, run_streaming_quantiles,
         run_streaming_sample, run_streaming_sessions,
         run_streaming_topk, run_streaming_upsert,
-        run_streaming_window_counts)
+        run_streaming_window_counts, run_streaming_window_hll)
 
     codes = sorted(pq.read_table(paths["entities"], columns=["code"])
                    ["code"].to_pylist())
@@ -190,6 +190,8 @@ def run_streaming(paths: dict[str, str]) -> dict:
         paths["turns"], hour, 5, late, n_shards=8, validate_kwargs=vk))
     timed("cep_upsert", lambda: run_streaming_upsert(
         paths["turns"], late, n_shards=8, validate_kwargs=vk))
+    timed("cep_hll", lambda: run_streaming_window_hll(
+        paths["turns"], hour, late, n_shards=8, validate_kwargs=vk))
 
     dd = "/tmp/lauchy_bench/stream_dedup_out"
 

@@ -343,6 +343,47 @@ def streaming_quantiles_rows(rows: list[dict], width_us: int,
     return cells, late, wm
 
 
+def streaming_hll_rows(rows: list[dict], width_us: int, lateness_us: int,
+                       n_shards: int):
+    """Single-threaded mirror of state.streaming.HllShardCore: the
+    per-shard late rule classifies rows; registers are a pure function
+    of the on-time row set (max merges are shard-agnostic), estimated
+    with the bit-exact sketch (stages/sketches). → (estimates list,
+    late list, wms)."""
+    import pandas as pd
+
+    from .stages.dedup_near import md5_60
+    from .stages.sketches import HLL_REM_BITS, hll_merge_registers, hll_rho
+    neg_inf = -(1 << 62)
+    wm = [neg_inf] * n_shards
+    regs: dict[tuple, int] = {}
+    late = []
+    for row in rows:
+        s = shard_of(row["conv_id"], n_shards)
+        wid = row["ts"] // width_us
+        if wid * width_us + width_us <= wm[s]:
+            late.append({"conv_id": row["conv_id"],
+                         "turn_idx": row["turn_idx"],
+                         "ts": row["ts"], "window_id": wid})
+        else:
+            h = md5_60(str(row["conv_id"]))
+            key = (wid, h >> HLL_REM_BITS)
+            rho = hll_rho(h)
+            if regs.get(key, 0) < rho:
+                regs[key] = rho
+        if row["ts"] - lateness_us > wm[s]:
+            wm[s] = row["ts"] - lateness_us
+    if regs:
+        df = pd.DataFrame([(k[0], k[1], v) for k, v in regs.items()],
+                          columns=["window_id", "bucket", "rho"])
+        est = hll_merge_registers(df, "window_id")
+        out = [{"window_id": int(w), "est_users": int(e)}
+               for w, e in zip(est["window_id"], est["est_users"])]
+    else:
+        out = []
+    return out, late, wm
+
+
 def streaming_upsert_rows(rows: list[dict], lateness_us: int,
                           n_shards: int):
     """Single-threaded mirror of state.streaming.UpsertShardCore:

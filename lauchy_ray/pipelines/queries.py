@@ -180,6 +180,30 @@ def q_window_sliding(sf_dir: str):
     return window_counts(_validated(sf_dir), HOUR_US, Q15_US)
 
 
+def q_window_hll_users(sf_dir: str):
+    """Per-tumbling-window APPROXIMATE distinct conversations via the
+    bit-exact HLL sketch (the bounded-memory scale path next to the
+    exact windowed distinct: registers per window are ≤ m=1024 rows
+    regardless of conv cardinality, and merges are elementwise max).
+    The approximation itself is deterministic — the SQL oracle
+    re-derives every register and both estimator branches."""
+    from ..stages.sketches import hll_merge_registers, hll_register_partial
+    turns = _turns(sf_dir)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "window_id": (df["ts"].astype("datetime64[us]")
+                          .astype("int64") // HOUR_US),
+            "conv_id": df["conv_id"]})
+
+    parts = turns.map_batches(project, batch_format="pandas").map_batches(
+        lambda df: hll_register_partial(df, "window_id", "conv_id"),
+        batch_format="pandas")
+    return parts.repartition(1).map_batches(
+        lambda df: hll_merge_registers(df, "window_id"),
+        batch_format="pandas", batch_size=None)
+
+
 def q_window_sample(sf_dir: str):
     """Per-window deterministic bottom-k sample of the validated stream
     (uniform fixed-size pick per tumbling hour, mergeable and a pure

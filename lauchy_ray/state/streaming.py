@@ -43,6 +43,8 @@ import ray
 from ..oracle import shard_of
 from ..pipelines.validate import _drop_null_text
 from ..sources.stream import list_fragments
+from ..stages.dedup_near import md5_60
+from ..stages.sketches import HLL_REM_BITS, hll_rho
 from ..stages.validator import Validator
 from ..stages.windows import topk_rank
 from .sink import _atomic_write
@@ -1266,6 +1268,152 @@ class SampleShardCore(ShardActorBase):
         hist_emitted, hist_late = self._read_deltas()
         return {"emitted": hist_emitted + self.emitted,
                 "late": hist_late + self.late, "watermark": self.wm}
+
+
+class HllShardCore(ShardActorBase):
+    """Streaming WINDOWED HLL cardinality (13th engine): approximate
+    distinct conversations per tumbling window with per-shard state
+    BOUNDED at m=1024 registers per open window — the scale path next
+    to the exact DistinctShardCore (whose per-window conv sets grow
+    with cardinality). Registers use the repo's bit-exact md5-60 HLL
+    (stages/sketches): the approximation is deterministic, shard
+    registers merge by elementwise max at the driver, and the estimate
+    (including the linear-counting branch) re-derives exactly in the
+    scalar oracle.
+
+    State: sorted packed (wid << 10 | bucket) keys + rho maxima, merged
+    per batch with the upsert engine's searchsorted update-max + insert
+    fold (no state re-sort). Per-conv hash/bucket/rho are cached for
+    the shard's lifetime alongside the name index — md5 runs once per
+    distinct conv. Late rule: the window engine's prefix-wm closure."""
+
+    def __init__(self, width_us: int, lateness_us: int,
+                 checkpoint_path: str | None = None):
+        self.width = int(width_us)
+        self.lateness = int(lateness_us)
+        self._names = pd.Index([], dtype=object)
+        self._name_b = np.empty(0, np.int64)   # conv → HLL bucket
+        self._name_r = np.empty(0, np.int64)   # conv → rho
+        self._k = np.empty(0, np.int64)        # (wid << 10) | bucket
+        self._rho = np.empty(0, np.int64)
+        self._init_shard_state(
+            checkpoint_path, ("hll", self.width, self.lateness))
+
+    def _core_state(self):
+        return (self._names, self._name_b, self._name_r,
+                self._k, self._rho)
+
+    def _restore_core(self, core) -> None:
+        (self._names, self._name_b, self._name_r,
+         self._k, self._rho) = core
+
+    def ingest(self, table: pa.Table, seq: int | None = None) -> int:
+        if self._skip_replay(table, seq):
+            return 0
+        ts, idx, bcodes, names, _, _ = self._decode_batch(table)
+        cm, prefix_wm = self._prefix_watermark(ts)
+        wid = ts // self.width
+        late_mask = wid * self.width + self.width <= prefix_wm
+        self._route_late_rows(table, ts, wid, late_mask)
+        keep = np.flatnonzero(~late_mask)
+        if len(keep):
+            g_of_name = self._map_names(names, idx[keep])
+            new_n = len(self._names) - len(self._name_b)
+            if new_n:
+                hs = [md5_60(str(c))
+                      for c in self._names[len(self._name_b):]]
+                self._name_b = np.concatenate(
+                    [self._name_b,
+                     np.array([h >> HLL_REM_BITS for h in hs], np.int64)])
+                self._name_r = np.concatenate(
+                    [self._name_r,
+                     np.array([hll_rho(h) for h in hs], np.int64)])
+            g = g_of_name[bcodes[keep]]
+            w_k = wid[keep]
+            if int(w_k.min()) < 0 or int(w_k.max()) >= (1 << 52):
+                raise ValueError("window_id exceeds pack bounds")
+            pk = (w_k << 10) | self._name_b[g]
+            rho = self._name_r[g]
+            # batch fold: max rho per packed key (sort, take last)
+            o = np.lexsort((rho, pk))
+            pk, rho = pk[o], rho[o]
+            last = np.concatenate([pk[1:] != pk[:-1], [True]])
+            pk, rho = pk[last], rho[last]
+            # merge: in-place max for existing registers, insert new
+            if len(self._k):
+                ins = np.searchsorted(self._k, pk)
+                ins_c = np.minimum(ins, len(self._k) - 1)
+                exist = self._k[ins_c] == pk
+                upd = exist & (rho > self._rho[ins_c])
+                if upd.any():
+                    self._rho[ins_c[upd]] = rho[upd]
+            else:
+                ins = np.zeros(len(pk), np.int64)
+                exist = np.zeros(len(pk), bool)
+            new = ~exist
+            if new.any():
+                self._k = np.insert(self._k, ins[new], pk[new])
+                self._rho = np.insert(self._rho, ins[new], rho[new])
+        self._advance_and_commit(cm[-1], seq)
+        return table.num_rows
+
+    def _flush_prefix(self, w_bound: int) -> None:
+        pos = int(np.searchsorted(self._k, (w_bound + 1) << 10))
+        if not pos:
+            return
+        self.emitted.append({"window_id": (self._k[:pos] >> 10),
+                             "bucket": (self._k[:pos] & 0x3FF),
+                             "rho": self._rho[:pos].copy()})
+        self._k = self._k[pos:]
+        self._rho = self._rho[pos:]
+
+    def _emit_closed(self) -> None:
+        self._flush_prefix(self.wm // self.width - 1)
+
+    def finalize(self) -> dict:
+        self._flush_prefix(1 << 52)
+        hist_emitted, hist_late = self._read_deltas()
+        return {"emitted": hist_emitted + self.emitted,
+                "late": hist_late + self.late, "watermark": self.wm}
+
+
+HllShardActor = ray.remote(HllShardCore)
+
+
+def run_streaming_window_hll(input_path: str, width_us: int,
+                             lateness_us: int = 5 * 60 * 1_000_000,
+                             n_shards: int = 8,
+                             validate_kwargs: dict | None = None,
+                             max_pending: int = 4,
+                             checkpoint_dir: str | None = None):
+    """Streaming windowed HLL distinct-conversation estimates.
+    → (estimates DataFrame (window_id, est_users), late DataFrame,
+    watermarks)."""
+    from ..stages.sketches import hll_merge_registers
+    fragments = list_fragments(input_path)
+    meta = {"kind": "hll", "width_us": width_us,
+            "lateness_us": lateness_us, "n_shards": n_shards}
+    _guard_checkpoint_dir(checkpoint_dir, meta, fragments)
+    actors = [HllShardActor.remote(
+        width_us, lateness_us,
+        os.path.join(checkpoint_dir, f"shard-{s}.ckpt") if checkpoint_dir
+        else None)
+        for s in range(n_shards)]
+    finals = _pump_fragments(actors, fragments, n_shards,
+                             validate_kwargs, max_pending)
+    blocks = [b for f in finals for b in f["emitted"]]
+    late = [row for f in finals for row in f["late"]]
+    if blocks:
+        regs = pd.concat([pd.DataFrame(b) for b in blocks],
+                         ignore_index=True)
+        out = hll_merge_registers(regs, "window_id")
+        out.columns = ["window_id", "est_users"]
+    else:
+        out = pd.DataFrame(columns=["window_id", "est_users"])
+    late_df = (pd.DataFrame(late) if late else
+               pd.DataFrame(columns=["conv_id", "turn_idx", "ts",
+                                     "window_id"]))
+    return out, late_df, [f["watermark"] for f in finals]
 
 
 class UpsertShardCore(ShardActorBase):
