@@ -190,6 +190,17 @@ def main(argv: list[str] | None = None) -> int:
     su.add_argument("--shards", type=int, default=8)
     su.add_argument("--checkpoint-dir", default=None)
 
+    sh = sub.add_parser("stream-hll", parents=[common],
+                        help="streaming windowed HLL distinct-conversation "
+                             "estimates (1024 bounded registers per open "
+                             "window), exactly-once")
+    sh.add_argument("--input", required=True)
+    sh.add_argument("--out", required=True)
+    sh.add_argument("--width-min", type=int, default=60)
+    sh.add_argument("--lateness-min", type=int, default=5)
+    sh.add_argument("--shards", type=int, default=8)
+    sh.add_argument("--checkpoint-dir", default=None)
+
     nd = sub.add_parser("dedup-docs", parents=[common],
                         help="near-dup cluster assignment (doc_id, rep_id, "
                              "keep) written to a parquet sink — the LINEAR "
@@ -455,6 +466,23 @@ def main(argv: list[str] | None = None) -> int:
             pq.write_table(pa.Table.from_pandas(late),
                            os.path.join(args.out, "late.parquet"))
             print(json.dumps({"out": args.out, "keys": len(up),
+                              "late_rows": len(late),
+                              "watermarks": [int(w) for w in wms]}))
+        elif args.cmd == "stream-hll":
+            import os
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from .state.streaming import run_streaming_window_hll
+            est, late, wms = run_streaming_window_hll(
+                args.input, args.width_min * 60 * 1_000_000,
+                lateness_us=args.lateness_min * 60 * 1_000_000,
+                n_shards=args.shards, checkpoint_dir=args.checkpoint_dir)
+            os.makedirs(args.out, exist_ok=True)
+            pq.write_table(pa.Table.from_pandas(est),
+                           os.path.join(args.out, "estimates.parquet"))
+            pq.write_table(pa.Table.from_pandas(late),
+                           os.path.join(args.out, "late.parquet"))
+            print(json.dumps({"out": args.out, "windows": len(est),
                               "late_rows": len(late),
                               "watermarks": [int(w) for w in wms]}))
         elif args.cmd == "stream-topk":
