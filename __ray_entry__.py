@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_dim_stats": Q.q_label_dim_stats,
         "cross_source_dups": Q.q_cross_source_dups,
         "leakage_safe_split": Q.q_leakage_safe_split,
+        "cluster_weights": Q.q_cluster_weights,
         "hourly_seasonality": Q.q_hourly_seasonality,
         "user_activity_span": Q.q_user_activity_span,
         "events_weekly": Q.q_events_weekly,
@@ -530,6 +531,11 @@ def oracle_sql() -> dict[str, str]:
         # LINEAR cluster-assignment contract: recursive-CTE connected
         # components over the same pair relations (rep_id = min doc_id)
         "minhash_clusters": minhash_clusters_sql(threshold=0.9),
+        # dedup multiplicity weights: loss weight per kept representative
+        "cluster_weights": f"""
+            WITH c AS ({minhash_clusters_sql(threshold=0.9)})
+            SELECT rep_id, CAST(count(*) AS BIGINT) AS cluster_size
+            FROM c GROUP BY rep_id""",
         # cluster-rep hash split: near-dups never straddle train/test
         "leakage_safe_split": f"""
             WITH c AS ({minhash_clusters_sql(threshold=0.9)})

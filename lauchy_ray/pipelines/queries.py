@@ -1111,6 +1111,30 @@ def q_leakage_safe_split(sf_dir: str):
     return clusters.map_batches(assign, batch_format="pandas")
 
 
+def q_cluster_weights(sf_dir: str):
+    """Dedup MULTIPLICITY weights: one row per near-dup cluster
+    representative with its cluster size — the "train on unique docs
+    but weight the loss by how often the content occurred" distribution
+    a deduped corpus needs to stay unbiased. One bounded fold over the
+    linear (doc_id, rep_id) cluster contract."""
+    clusters = q_minhash_clusters(sf_dir)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("rep_id", sort=False).size()
+             .reset_index(name="cluster_size"))
+        return g.astype({"rep_id": "int64", "cluster_size": "int64"})
+
+    # rep-keyed partial per batch + one narrow merge: cardinality is
+    # O(clusters), bounded by distinct reps, never corpus size
+    return (clusters.map_batches(fold, batch_format="pandas")
+            .repartition(1)
+            .map_batches(lambda df: df.groupby("rep_id", sort=True)
+                         ["cluster_size"].sum().reset_index()
+                         .astype({"rep_id": "int64",
+                                  "cluster_size": "int64"}),
+                         batch_format="pandas", batch_size=None))
+
+
 def q_cross_source_dups(sf_dir: str):
     """Cross-SOURCE duplicate contamination (the provenance audit a
     multi-crawl corpus merge runs): for every pair of sources, the
