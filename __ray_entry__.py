@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": Q.q_lang_confusion,
         "late_ship_orders": Q.q_late_ship_orders,
         "q6_revenue": Q.q_q6_revenue,
+        "q10_returned_customers": Q.q_q10_returned_customers,
         "label_dim_stats": Q.q_label_dim_stats,
         "cross_source_dups": Q.q_cross_source_dups,
         "leakage_safe_split": Q.q_leakage_safe_split,
@@ -1326,6 +1327,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT window_id, conv_id, n, rk FROM r
             WHERE rk <= {Q.WINDOW_TOPK_K}""",
         # TPC-H Q5 shape: five-way join, revenue per same-nation pair
+        # TPC-H Q10 shape: exact 1e-4-dollar returned revenue per customer
+        "q10_returned_customers": f"""
+            SELECT c_custkey, any_value(c_name) AS c_name,
+                   any_value(n_name) AS n_name,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)
+                            * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                          AS BIGINT))) AS BIGINT)
+                     AS revenue_e4,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem, orders, customer, nation
+            WHERE l_returnflag = 'R'
+              AND o_orderkey = l_orderkey
+              AND c_custkey = o_custkey
+              AND n_nationkey = c_nationkey
+            GROUP BY c_custkey
+            ORDER BY revenue_e4 DESC, c_custkey
+            LIMIT {Q.Q10_K}""",
         "q5_region_revenue": f"""
             SELECT n_name,
                    round(sum(l_extendedprice * (1 - l_discount)), 2)

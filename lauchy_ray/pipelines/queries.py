@@ -3757,6 +3757,81 @@ def _np_lookup(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray,
     return out
 
 
+Q10_K = 20
+
+
+def q_q10_returned_customers(sf_dir: str):
+    """TPC-H Q10 shape: top-20 customers by revenue LOST to returned
+    items (l_returnflag = 'R'), with name and nation. Exact 1e-4-dollar
+    integers (the q6 convention). Scale plan: the o_orderkey→o_custkey
+    map and the customer/nation dims are size-gated broadcasts; the
+    fact table streams through ONE map_batches with a vectorized
+    lookup + per-batch customer partial sums; the merge handles
+    O(customers) partial rows, never lineitems."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    opath = f"{sf_dir}/orders.parquet"
+    cpath = f"{sf_dir}/customer.parquet"
+    if (os.path.getsize(opath) > BROADCAST_DIM_BYTES
+            or os.path.getsize(cpath) > BROADCAST_DIM_BYTES):
+        raise ValueError(
+            "order/customer maps above the broadcast gate: route via "
+            "hash_inner_join (q5's over-gate plan)")
+    orders = pq.read_table(opath, columns=["o_orderkey", "o_custkey"]) \
+        .sort_by("o_orderkey")
+    ref = ray.put((orders["o_orderkey"].to_numpy(),
+                   orders["o_custkey"].to_numpy()))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_returnflag",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ok, oc = ray.get(ref)
+        m = pc.equal(t["l_returnflag"], "R").to_numpy(zero_copy_only=False)
+        if not m.any():
+            return pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                                 "rev": pd.Series(dtype="int64"),
+                                 "n_items": pd.Series(dtype="int64")})
+        cust = _np_lookup(ok, oc, t["l_orderkey"].to_numpy()[m])
+        pc_ = np.floor(t["l_extendedprice"].to_numpy()[m] * 100.0
+                       + 0.5).astype(np.int64)
+        du = np.floor(t["l_discount"].to_numpy()[m] * 100.0
+                      + 0.5).astype(np.int64)
+        g = (pd.DataFrame({"c_custkey": cust, "rev": pc_ * (100 - du)})
+             .groupby("c_custkey", sort=False)["rev"].agg(["sum", "size"])
+             .reset_index())
+        g.columns = ["c_custkey", "rev", "n_items"]
+        return g.astype({"c_custkey": "int64", "rev": "int64",
+                         "n_items": "int64"})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("c_custkey", sort=False)[["rev", "n_items"]]
+             .sum().reset_index())
+        g = g.sort_values(["rev", "c_custkey"], ascending=[False, True],
+                          kind="stable").head(Q10_K)
+        cus = pq.read_table(cpath, columns=["c_custkey", "c_name",
+                                            "c_nationkey"]).to_pandas()
+        nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                            columns=["n_nationkey", "n_name"]).to_pandas()
+        g = g.merge(cus, on="c_custkey").merge(
+            nat, left_on="c_nationkey", right_on="n_nationkey")
+        g = g.sort_values(["rev", "c_custkey"], ascending=[False, True],
+                          kind="stable")
+        return pd.DataFrame({
+            "c_custkey": g["c_custkey"].astype("int64"),
+            "c_name": g["c_name"],
+            "n_name": g["n_name"],
+            "revenue_e4": g["rev"].astype("int64"),
+            "n_items": g["n_items"].astype("int64")})
+
+    return (li.map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(merge, batch_format="pandas", batch_size=None))
+
+
 def q_q5_region_revenue(sf_dir: str):
     """TPC-H Q5 shape: revenue per nation for one region, where the
     supplying and purchasing nations coincide — a FIVE-way join
