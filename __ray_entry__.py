@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_ship_orders": Q.q_late_ship_orders,
         "q6_revenue": Q.q_q6_revenue,
         "q10_returned_customers": Q.q_q10_returned_customers,
+        "user_rfm": Q.q_user_rfm,
         "label_dim_stats": Q.q_label_dim_stats,
         "cross_source_dups": Q.q_cross_source_dups,
         "leakage_safe_split": Q.q_leakage_safe_split,
@@ -1327,6 +1328,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT window_id, conv_id, n, rk FROM r
             WHERE rk <= {Q.WINDOW_TOPK_K}""",
         # TPC-H Q5 shape: five-way join, revenue per same-nation pair
+        # RFM quartile segmentation: disc-quantile thresholds (ceil-rank)
+        "user_rfm": """
+            WITH u AS (SELECT user_id,
+                              max(epoch_us(ts)) // 86400000000 AS last_day,
+                              CAST(count(*) AS BIGINT) AS f,
+                              CAST(sum(CAST(floor(value * 100 + 0.5)
+                                            AS BIGINT)) AS BIGINT) AS m
+                       FROM events GROUP BY user_id),
+            g AS (SELECT max(last_day) AS gmax FROM u),
+            u2 AS (SELECT user_id,
+                          CAST(gmax - last_day AS BIGINT) AS r_days, f, m
+                   FROM u, g),
+            q AS (SELECT quantile_disc(r_days, 0.25) AS r1,
+                         quantile_disc(r_days, 0.5) AS r2,
+                         quantile_disc(r_days, 0.75) AS r3,
+                         quantile_disc(f, 0.25) AS f1,
+                         quantile_disc(f, 0.5) AS f2,
+                         quantile_disc(f, 0.75) AS f3,
+                         quantile_disc(m, 0.25) AS m1,
+                         quantile_disc(m, 0.5) AS m2,
+                         quantile_disc(m, 0.75) AS m3
+                  FROM u2)
+            SELECT user_id, r_days, f, m,
+                   CAST(CASE WHEN r_days <= r1 THEN 1
+                             WHEN r_days <= r2 THEN 2
+                             WHEN r_days <= r3 THEN 3
+                             ELSE 4 END AS BIGINT) AS r_band,
+                   CAST(CASE WHEN f <= f1 THEN 1 WHEN f <= f2 THEN 2
+                             WHEN f <= f3 THEN 3 ELSE 4 END AS BIGINT)
+                     AS f_band,
+                   CAST(CASE WHEN m <= m1 THEN 1 WHEN m <= m2 THEN 2
+                             WHEN m <= m3 THEN 3 ELSE 4 END AS BIGINT)
+                     AS m_band
+            FROM u2, q""",
         # TPC-H Q10 shape: exact 1e-4-dollar returned revenue per customer
         "q10_returned_customers": f"""
             SELECT c_custkey, any_value(c_name) AS c_name,

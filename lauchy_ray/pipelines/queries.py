@@ -3757,6 +3757,79 @@ def _np_lookup(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray,
     return out
 
 
+def q_user_rfm(sf_dir: str):
+    """RFM segmentation (the classic behavioural-cohort face): per user
+    recency (days since last event vs the corpus max), frequency and
+    monetary (exact cents), each banded 1-4 by the exact disc-quartiles
+    of the per-user distribution (integer ceil-rank — the
+    curriculum_bands convention). One user-bucketed fold to O(users)
+    rows, tiny threshold histograms, one stateless band map."""
+    from ..stages.bucketing import group_map_by_key
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["ts"].astype("datetime64[us]").astype("int64") // DAY_US)
+        cents = np.floor(df["value"].to_numpy(np.float64) * 100.0
+                         + 0.5).astype(np.int64)
+        g = (pd.DataFrame({"user_id": df["user_id"].astype("int64"),
+                           "day": day, "m": cents})
+             .groupby("user_id", sort=False)
+             .agg(last_day=("day", "max"), f=("day", "size"),
+                  m=("m", "sum")).reset_index())
+        return g.astype({"user_id": "int64", "last_day": "int64",
+                         "f": "int64", "m": "int64"})
+
+    users = group_map_by_key(ds, "user_id", fold).materialize()
+
+    # thresholds from (value, count) HISTOGRAMS of the three measures —
+    # O(distinct values) on the driver, never O(users)
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in ("last_day", "f", "m"):
+            vc = df[c].value_counts()
+            frames.append(pd.DataFrame({
+                "measure": c, "v": vc.index.to_numpy(np.int64),
+                "c": vc.to_numpy(np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    hists = (users.map_batches(hist_partial, batch_format="pandas")
+             .to_pandas().groupby(["measure", "v"], sort=True)["c"].sum())
+
+    def quartiles_of(measure: str, transform=None) -> np.ndarray:
+        g = hists.loc[measure]
+        v = g.index.to_numpy(np.int64)
+        c = g.to_numpy(np.int64)
+        if transform is not None:       # r_days = gmax − last_day flips
+            v = transform(v)[::-1]      # the axis; counts reverse with it
+            c = c[::-1]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        return np.array([int(v[np.searchsorted(cum, (p * n + 99) // 100)])
+                         for p in (25, 50, 75)], dtype=np.int64)
+
+    gmax = int(hists.loc["last_day"].index.max())
+    thr = {"r_days": quartiles_of("last_day", lambda v: gmax - v),
+           "f": quartiles_of("f"), "m": quartiles_of("m")}
+    thr_ref = ray.put((gmax, thr))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        gm, t = ray.get(thr_ref)
+        out = pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "r_days": (gm - df["last_day"]).astype("int64"),
+            "f": df["f"].astype("int64"),
+            "m": df["m"].astype("int64")})
+        for c, bname in (("r_days", "r_band"), ("f", "f_band"),
+                         ("m", "m_band")):
+            out[bname] = (np.searchsorted(
+                t[c], out[c].to_numpy(np.int64), side="left") + 1
+            ).astype(np.int64)
+        return out
+
+    return users.map_batches(assign, batch_format="pandas")
+
+
 Q10_K = 20
 
 
