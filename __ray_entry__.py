@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_revenue": Q.q_q6_revenue,
         "q10_returned_customers": Q.q_q10_returned_customers,
         "user_rfm": Q.q_user_rfm,
+        "q19_brand_revenue": Q.q_q19_brand_revenue,
         "label_dim_stats": Q.q_label_dim_stats,
         "cross_source_dups": Q.q_cross_source_dups,
         "leakage_safe_split": Q.q_leakage_safe_split,
@@ -1328,6 +1329,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT window_id, conv_id, n, rk FROM r
             WHERE rk <= {Q.WINDOW_TOPK_K}""",
         # TPC-H Q5 shape: five-way join, revenue per same-nation pair
+        # TPC-H Q19 shape: OR-of-ANDs predicate join, exact integer revenue
+        "q19_brand_revenue": """
+            SELECT CAST(COALESCE(sum(
+                     CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                   AS BIGINT))), 0) AS BIGINT)
+                     AS revenue_e4,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity >= 1 AND l_quantity <= 11) OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity >= 10 AND l_quantity <= 20) OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity >= 20 AND l_quantity <= 30)""",
         # RFM quartile segmentation: disc-quantile thresholds (ceil-rank)
         "user_rfm": """
             WITH u AS (SELECT user_id,

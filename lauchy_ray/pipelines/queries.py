@@ -3757,6 +3757,66 @@ def _np_lookup(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray,
     return out
 
 
+Q19_ARMS = (("Brand#1", 1, 10, 1, 11), ("Brand#2", 1, 20, 10, 20),
+            ("Brand#3", 1, 30, 20, 30))  # (brand, size_lo/hi, qty_lo/hi)
+
+
+def q_q19_brand_revenue(sf_dir: str):
+    """TPC-H Q19 shape (disjunctive predicate join): revenue from
+    lineitems matching ANY of three (brand, size-range, qty-range)
+    condition arms — the OR-of-ANDs pushdown pattern. The part side is
+    reduced to a size-gated broadcast of (partkey → arm-eligibility
+    bitmask); the fact table streams through one vectorized pass where
+    each arm is a mask AND between the looked-up part bits and the
+    local quantity range. Exact 1e-4-dollar integers (q6 convention)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    ppath = f"{sf_dir}/part.parquet"
+    if os.path.getsize(ppath) > BROADCAST_DIM_BYTES:
+        raise ValueError("part map above the broadcast gate: route via "
+                         "hash_inner_join")
+    part = pq.read_table(ppath, columns=["p_partkey", "p_brand", "p_size"]) \
+        .sort_by("p_partkey")
+    pk = part["p_partkey"].to_numpy()
+    brand = part["p_brand"].to_numpy(zero_copy_only=False)
+    size = part["p_size"].to_numpy()
+    bits = np.zeros(len(pk), np.int64)
+    for i, (b, slo, shi, _, _) in enumerate(Q19_ARMS):
+        bits |= ((brand == b) & (size >= slo) & (size <= shi)) << i
+    ref = ray.put((pk, bits))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        keys, pbits = ray.get(ref)
+        # default=0, NOT -1: an orphan partkey would otherwise read as
+        # all-bits-set and match every arm
+        lb = _np_lookup(keys, pbits, t["l_partkey"].to_numpy(), default=0)
+        qty = t["l_quantity"].to_numpy()
+        m = np.zeros(len(lb), bool)
+        for i, (_, _, _, qlo, qhi) in enumerate(Q19_ARMS):
+            m |= ((lb & (1 << i)) > 0) & (qty >= qlo) & (qty <= qhi)
+        pc_ = np.floor(t["l_extendedprice"].to_numpy()[m] * 100.0
+                       + 0.5).astype(np.int64)
+        du = np.floor(t["l_discount"].to_numpy()[m] * 100.0
+                      + 0.5).astype(np.int64)
+        return pd.DataFrame({"revenue_e4": [int((pc_ * (100 - du)).sum())],
+                             "n_items": [int(m.sum())]})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "revenue_e4": [int(df["revenue_e4"].sum())],
+            "n_items": [int(df["n_items"].sum())]}).astype("int64")
+
+    return (li.map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(merge, batch_format="pandas", batch_size=None))
+
+
 def q_user_rfm(sf_dir: str):
     """RFM segmentation (the classic behavioural-cohort face): per user
     recency (days since last event vs the corpus max), frequency and
