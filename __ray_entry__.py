@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_customers": Q.q_q10_returned_customers,
         "user_rfm": Q.q_user_rfm,
         "q19_brand_revenue": Q.q_q19_brand_revenue,
+        "spike_days": Q.q_spike_days,
         "label_dim_stats": Q.q_label_dim_stats,
         "cross_source_dups": Q.q_cross_source_dups,
         "leakage_safe_split": Q.q_leakage_safe_split,
@@ -1329,6 +1330,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT window_id, conv_id, n, rk FROM r
             WHERE rk <= {Q.WINDOW_TOPK_K}""",
         # TPC-H Q5 shape: five-way join, revenue per same-nation pair
+        # spike days: count >= exact p90 disc-quantile of daily volume
+        "spike_days": """
+            WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day_id,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+            q AS (SELECT quantile_disc(n, 0.9) AS p90 FROM d)
+            SELECT day_id, n, CAST(p90 AS BIGINT) AS p90_n
+            FROM d, q WHERE n >= p90""",
         # TPC-H Q19 shape: OR-of-ANDs predicate join, exact integer revenue
         "q19_brand_revenue": """
             SELECT CAST(COALESCE(sum(

@@ -3757,6 +3757,36 @@ def _np_lookup(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray,
     return out
 
 
+def q_spike_days(sf_dir: str):
+    """Volume-anomaly detection: the BUSIEST days — those at or above
+    the exact p90 disc-quantile of daily event counts (the robust,
+    float-free spike rule: a mean+3σ needs float moments; the quantile
+    threshold is pure integer arithmetic on both engines, and ≥ p90 is
+    non-empty by construction — the max day always qualifies). One
+    bounded (day → count) fold, then an O(days) threshold pass."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = (df["ts"].astype("datetime64[us]").astype("int64")
+              // DAY_US).value_counts()
+        return pd.DataFrame({"day_id": vc.index.to_numpy(np.int64),
+                             "n": vc.to_numpy(np.int64)})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("day_id", sort=True)["n"].sum().reset_index())
+        counts = np.sort(g["n"].to_numpy(np.int64))
+        nd = len(counts)
+        p90 = int(counts[(90 * nd + 99) // 100 - 1])  # disc, ceil-rank
+        out = g[g["n"] >= p90].copy()
+        out["p90_n"] = np.int64(p90)
+        return out.astype({"day_id": "int64", "n": "int64",
+                           "p90_n": "int64"})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(finish, batch_format="pandas", batch_size=None))
+
+
 Q19_ARMS = (("Brand#1", 1, 10, 1, 11), ("Brand#2", 1, 20, 10, 20),
             ("Brand#3", 1, 30, 20, 30))  # (brand, size_lo/hi, qty_lo/hi)
 
