@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_rfm": Q.q_user_rfm,
         "q19_brand_revenue": Q.q_q19_brand_revenue,
         "spike_days": Q.q_spike_days,
+        "conv_scorecard": Q.q_conv_scorecard,
         "label_dim_stats": Q.q_label_dim_stats,
         "cross_source_dups": Q.q_cross_source_dups,
         "leakage_safe_split": Q.q_leakage_safe_split,
@@ -1330,6 +1331,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT window_id, conv_id, n, rk FROM r
             WHERE rk <= {Q.WINDOW_TOPK_K}""",
         # TPC-H Q5 shape: five-way join, revenue per same-nation pair
+        # per-conversation health scorecard over the validated stream
+        "conv_scorecard": f"""WITH {_V}
+            SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(count(*) FILTER (WHERE valid) AS BIGINT)
+                     AS n_valid,
+                   CAST(count(*) FILTER (WHERE valid) AS DOUBLE)
+                     / count(*) AS valid_ratio,
+                   CAST(count(DISTINCT role) AS BIGINT) AS n_roles
+            FROM validated_full GROUP BY conv_id""",
         # spike days: count >= exact p90 disc-quantile of daily volume
         "spike_days": """
             WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day_id,

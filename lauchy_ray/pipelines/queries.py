@@ -3757,6 +3757,29 @@ def _np_lookup(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray,
     return out
 
 
+def q_conv_scorecard(sf_dir: str):
+    """Per-conversation HEALTH scorecard (the conversation-level quality
+    gate an SFT-data pipeline filters on): turn count, valid count,
+    validity ratio and role diversity, in one conv-bucketed vectorized
+    fold over the validated stream. The ratio is the only float — one
+    IEEE division, identical on both engines."""
+    from ..stages.bucketing import group_map_by_key
+    vds = _validated(sf_dir)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("conv_id", sort=False)
+             .agg(n_turns=("valid", "size"), n_valid=("valid", "sum"),
+                  n_roles=("role", "nunique")).reset_index())
+        g = g.astype({"n_turns": "int64", "n_valid": "int64",
+                      "n_roles": "int64"})
+        g["valid_ratio"] = (g["n_valid"].to_numpy(np.float64)
+                            / g["n_turns"].to_numpy(np.float64))
+        return g[["conv_id", "n_turns", "n_valid", "valid_ratio",
+                  "n_roles"]]
+
+    return group_map_by_key(vds, "conv_id", fold, size_ds=_events(sf_dir))
+
+
 def q_spike_days(sf_dir: str):
     """Volume-anomaly detection: the BUSIEST days — those at or above
     the exact p90 disc-quantile of daily event counts (the robust,
