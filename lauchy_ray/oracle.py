@@ -314,7 +314,10 @@ def streaming_quantiles_rows(rows: list[dict], width_us: int,
                          "turn_idx": row["turn_idx"],
                          "ts": row["ts"], "window_id": wid})
         else:
-            key = (wid, row["role"])
+            # the engine's _decode fill_nulls role to "" (out-of-contract
+            # rows must route deterministically); mirror it here so a
+            # null-role fragment row lands in the same (window, role) cell
+            key = (wid, row["role"] if row["role"] is not None else "")
             h = hist.setdefault(key, {})
             ln = len(row["text"])
             h[ln] = h.get(ln, 0) + 1

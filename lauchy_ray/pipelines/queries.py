@@ -3305,7 +3305,9 @@ def q_value_entropy_by_type(sf_dir: str):
         for et, grp in h.groupby("event_type", sort=True):
             c = grp["c"].to_numpy(np.int64)
             n = int(c.sum())
-            if n >= (1 << 29):   # keep n·ln(n)·1e9 inside int64
+            if n >= (1 << 28):   # keep n·ln(n)·1e9 inside int64: at
+                # n = 2^28, n·ln(n)·1e9 ≈ 5.2e18 < 2^63−1; 2^29 would
+                # already wrap in the all-distinct worst case (~1.08e19)
                 raise ValueError("per-type count exceeds entropy bound")
             uniq, inv = np.unique(c, return_inverse=True)
             ql = np.fromiter(

@@ -93,8 +93,20 @@ def dsir_doc_weight(df: pd.DataFrame, t_t: int, t_r: int, v: int
     q_t = quant(df["c_t"].to_numpy(np.int64), den_t)
     q_r = quant(df["c_r"].to_numpy(np.int64), den_r)
     cnt = df["cnt"].to_numpy(np.int64)
+    dq = q_t - q_r
+    # raise-before-wrap (the lm_doc_fold pack-guard discipline): at the
+    # 1e12 scale |q_t − q_r| can reach ~3e13, so a ~3e5-token doc's
+    # integer fold would silently wrap int64 while the DuckDB oracle's
+    # HUGEINT stays exact. The float abs-sum bounds every int64 partial
+    # sum of the real fold, so ≤ 2^62 guarantees no wrap anywhere.
+    chk = (pd.Series(np.abs(dq).astype(np.float64) * cnt)
+           .groupby(df["doc_id"].to_numpy(np.int64), sort=False).sum())
+    if len(chk) and float(chk.max()) > float(1 << 62):
+        raise ValueError("per-doc dsir weight exceeds the int64 "
+                         "quantized-log bound — lower LOG_SCALE or "
+                         "split the doc")
     part = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
-                         "n_tok": cnt, "w": cnt * (q_t - q_r)})
+                         "n_tok": cnt, "w": cnt * dq})
     g = part.groupby("doc_id", sort=False).agg(
         n_tok=("n_tok", "sum"), weight_scaled=("w", "sum")).reset_index()
     g["n_tok"] = g["n_tok"].astype("int64")

@@ -318,8 +318,18 @@ def lm_doc_fold(df: pd.DataFrame, b: int) -> pd.DataFrame:
                     * LM_LOG_SCALE + 0.5) for p in uniq),
         dtype=np.int64, count=len(uniq))
     cnt = df["cnt"].to_numpy(np.int64)
+    lq = qs[inv]
+    # raise-before-wrap: |quantized log| ≤ ~3e13 at the 1e12 scale, so a
+    # ~3e5-bigram doc could wrap the int64 fold. Float abs-sum bounds
+    # every int64 partial sum (same guard as dsir_doc_weight).
+    chk = (pd.Series(np.abs(lq).astype(np.float64) * cnt)
+           .groupby(df["doc_id"].to_numpy(np.int64), sort=False).sum())
+    if len(chk) and float(chk.max()) > float(1 << 62):
+        raise ValueError("per-doc LM log-prob exceeds the int64 "
+                         "quantized-log bound — lower LM_LOG_SCALE or "
+                         "split the doc")
     part = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
-                         "n_big": cnt, "lp": cnt * qs[inv]})
+                         "n_big": cnt, "lp": cnt * lq})
     g = part.groupby("doc_id", sort=False).agg(
         n_big=("n_big", "sum"), lp_scaled=("lp", "sum")).reset_index()
     return g.astype({"doc_id": "int64", "n_big": "int64",

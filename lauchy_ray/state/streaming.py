@@ -1073,11 +1073,19 @@ class QuantileShardCore(ShardActorBase):
         return table.num_rows
 
     def _flush_prefix(self, w_bound: int) -> None:
-        """Emit every cell with wid ≤ w_bound (a sorted-array prefix)."""
-        hpos = int(np.searchsorted(self._h_key, (w_bound + 1) << 28))
+        """Emit every cell with wid ≤ w_bound (a sorted-array prefix).
+        Ingest enforces wid < 2^35, so w_bound ≥ 2^35 − 1 means "flush
+        everything" — taken literally, the probe (w_bound + 1) << 28
+        would exceed int64 (numpy ≥ 2.0 raises OverflowError on the
+        oversized Python int; 1.26 happens to accept it)."""
+        if w_bound >= (1 << 35) - 1:
+            hpos = len(self._h_key)
+            vpos = len(self._v_key)
+        else:
+            hpos = int(np.searchsorted(self._h_key, (w_bound + 1) << 28))
+            vpos = int(np.searchsorted(self._v_key, (w_bound + 1) << 8))
         if not hpos:
             return
-        vpos = int(np.searchsorted(self._v_key, (w_bound + 1) << 8))
         vmap = {int(k): int(c) for k, c in
                 zip(self._v_key[:vpos], self._v_cnt[:vpos])}
         hk = self._h_key[:hpos]
@@ -1105,7 +1113,7 @@ class QuantileShardCore(ShardActorBase):
         self._flush_prefix(self.wm // self.width - 1)
 
     def finalize(self) -> dict:
-        self._flush_prefix(1 << 35)          # wm → ∞: flush all open cells
+        self._flush_prefix((1 << 35) - 1)    # wm → ∞: flush all open cells
         hist_emitted, hist_late = self._read_deltas()
         return {"emitted": hist_emitted + self.emitted,
                 "late": hist_late + self.late, "watermark": self.wm}

@@ -195,3 +195,37 @@ def test_streaming_quantiles_slicing_invariance(fixture_dir, streamed_q):
     got = pd.DataFrame(rows).sort_values(KEY).reset_index(drop=True)
     exp = qdf_ref.sort_values(KEY).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[COLS], exp[COLS], check_dtype=False)
+
+
+def test_streaming_quantiles_null_role_routes_as_empty():
+    """Out-of-contract null-role rows: the engine fill_nulls role to ""
+    at decode; the scalar oracle mirrors that, so both sides land a
+    null-role row in the SAME (window, role="") cell (ADVICE r4)."""
+    from lauchy_ray.state.streaming import QuantileShardCore
+
+    core = QuantileShardCore(HOUR_US, 0, None)
+    t = pa.table({
+        "conv_id": pa.array(["c1", "c1", "c1"]),
+        "turn_idx": pa.array([0, 1, 2], pa.int64()),
+        "role": pa.array(["user", None, None]),
+        "text": pa.array(["abc", "defgh", "xy"]),
+        "tool": pa.array(["", "", ""]),
+        "ts": pa.array([10, 20, 30], pa.int64()),
+        "valid": pa.array([True, True, False]),
+    })
+    core.ingest(t, None)
+    cells = core.finalize()["emitted"]
+    rows = [{"conv_id": "c1", "turn_idx": i, "role": r, "text": x,
+             "ts": s, "valid": v}
+            for i, r, x, s, v in [(0, "user", "abc", 10, True),
+                                  (1, None, "defgh", 20, True),
+                                  (2, None, "xy", 30, False)]]
+    exp_cells, _, _ = oracle.streaming_quantiles_rows(rows, HOUR_US, 0, 1)
+    got = {(c["window_id"], c["role"]): (c["n_valid"],
+                                         sorted(zip(c["vals"], c["cnts"])))
+           for c in cells}
+    exp = {(c["window_id"], c["role"]): (c["n_valid"], None)
+           for c in exp_cells}
+    assert set(got) == set(exp) == {(0, "user"), (0, "")}
+    assert got[(0, "")][0] == exp[(0, "")][0] == 1
+    assert [tuple(map(int, p)) for p in got[(0, "")][1]] == [(2, 1), (5, 1)]
