@@ -182,14 +182,32 @@ def run_streaming(paths: dict[str, str]) -> dict:
         paths["turns"], hour, 5, 64, late, n_shards=8, validate_kwargs=vk))
     timed("cep_timeout", lambda: run_streaming_absence(
         paths["turns"], gap, late, n_shards=8, validate_kwargs=vk))
+    jd = "/tmp/lauchy_bench/stream_join_out"
+
+    def clean_jd():
+        if os.path.isdir(jd):
+            shutil.rmtree(jd)
+
+    clean_jd()
+    # out_dir = the scale path: pairs spill as per-shard parquet parts,
+    # never concat'd on the driver (round-5 fix)
     timed("cep_join", lambda: run_streaming_join(
-        paths["turns"], gap, late, n_shards=8, validate_kwargs=vk))
+        paths["turns"], gap, late, n_shards=8, validate_kwargs=vk,
+        out_dir=jd), pre=clean_jd)
     timed("cep_quantiles", lambda: run_streaming_quantiles(
         paths["turns"], hour, late, n_shards=8, validate_kwargs=vk))
     timed("cep_sample", lambda: run_streaming_sample(
         paths["turns"], hour, 5, late, n_shards=8, validate_kwargs=vk))
+    ud = "/tmp/lauchy_bench/stream_upsert_out"
+
+    def clean_ud():
+        if os.path.isdir(ud):
+            shutil.rmtree(ud)
+
+    clean_ud()
     timed("cep_upsert", lambda: run_streaming_upsert(
-        paths["turns"], late, n_shards=8, validate_kwargs=vk))
+        paths["turns"], late, n_shards=8, validate_kwargs=vk,
+        out_dir=ud), pre=clean_ud)
     timed("cep_hll", lambda: run_streaming_window_hll(
         paths["turns"], hour, late, n_shards=8, validate_kwargs=vk))
 

@@ -405,16 +405,19 @@ def main(argv: list[str] | None = None) -> int:
             import pyarrow as pa
             import pyarrow.parquet as pq
             from .state.streaming import run_streaming_join
-            pairs, late, wms = run_streaming_join(
+            # scale path: shards spill pairs as parquet parts directly
+            # under out/pairs — the O(pairs) output never transits the
+            # driver; the returned Dataset is lazy (count reads footers)
+            pairs_ds, late, wms = run_streaming_join(
                 args.input, args.window_min * 60 * 1_000_000,
                 lateness_us=args.lateness_min * 60 * 1_000_000,
-                n_shards=args.shards, checkpoint_dir=args.checkpoint_dir)
+                n_shards=args.shards, checkpoint_dir=args.checkpoint_dir,
+                out_dir=os.path.join(args.out, "pairs"))
             os.makedirs(args.out, exist_ok=True)
-            pq.write_table(pa.Table.from_pandas(pairs),
-                           os.path.join(args.out, "pairs.parquet"))
             pq.write_table(pa.Table.from_pandas(late),
                            os.path.join(args.out, "late.parquet"))
-            print(json.dumps({"out": args.out, "pairs": len(pairs),
+            print(json.dumps({"out": args.out,
+                              "pairs": int(pairs_ds.count()),
                               "late_rows": len(late),
                               "watermarks": [int(w) for w in wms]}))
         elif args.cmd == "stream-quantiles":
@@ -456,16 +459,17 @@ def main(argv: list[str] | None = None) -> int:
             import pyarrow as pa
             import pyarrow.parquet as pq
             from .state.streaming import run_streaming_upsert
-            up, late, wms = run_streaming_upsert(
+            # scale path: the compacted view spills per shard under
+            # out/latest; the driver never holds the O(keys) table
+            up_ds, late, wms = run_streaming_upsert(
                 args.input,
                 lateness_us=args.lateness_min * 60 * 1_000_000,
-                n_shards=args.shards, checkpoint_dir=args.checkpoint_dir)
+                n_shards=args.shards, checkpoint_dir=args.checkpoint_dir,
+                out_dir=os.path.join(args.out, "latest"))
             os.makedirs(args.out, exist_ok=True)
-            pq.write_table(pa.Table.from_pandas(up),
-                           os.path.join(args.out, "latest.parquet"))
             pq.write_table(pa.Table.from_pandas(late),
                            os.path.join(args.out, "late.parquet"))
-            print(json.dumps({"out": args.out, "keys": len(up),
+            print(json.dumps({"out": args.out, "keys": int(up_ds.count()),
                               "late_rows": len(late),
                               "watermarks": [int(w) for w in wms]}))
         elif args.cmd == "stream-hll":

@@ -1437,29 +1437,88 @@ class UpsertShardCore(ShardActorBase):
     newer ts) fold per batch in ONE pass: lexsort by (key, ts, position)
     and keep the last row per key — arrival position is the tiebreak at
     equal ts, exactly the scalar oracle's replace-if-ts-geq rule. State
-    is a sorted packed key array + parallel (ts, valid) — O(distinct
-    keys), the inherent size of a materialized view (unlike the
-    horizon-bounded CEP engines; same class as the dedup engine's
-    retention-free mode). Merges are vectorized two-array folds."""
+    is O(distinct keys), the inherent size of a materialized view
+    (unlike the horizon-bounded CEP engines).
+
+    State layout is LOG-STRUCTURED sorted runs with geometric merging
+    (the LSM discipline): each micro-batch's folded winners land as a
+    new key-sorted run; whenever the newest run is at least as large as
+    its predecessor the two merge with the same last-writer-wins fold.
+    Amortized O(log K) work per arrival — the previous design's single
+    sorted array paid an O(K)-memmove ``np.insert`` per micro-batch and
+    was the slowest engine on the 8M bench (round-4 verdict #2).
+    Because the arrival ordinal is globally increasing, deferring the
+    fold is exact: max-by-(ts, ordinal) per key commutes with run
+    merging, so in-place replacement is never needed.
+
+    With ``out_dir`` set, finalize spills the compacted view as the
+    shard's parquet file instead of returning the O(K) block to the
+    driver (round-4 verdict #1, upsert face)."""
 
     def __init__(self, lateness_us: int,
-                 checkpoint_path: str | None = None):
+                 checkpoint_path: str | None = None,
+                 out_dir: str | None = None):
         self.lateness = int(lateness_us)
+        self.out_dir = out_dir
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
         self._names = pd.Index([], dtype=object)
-        self._k = np.empty(0, np.int64)      # (gcode << 34) | turn_idx
-        self._t = np.empty(0, np.int64)      # version ts
-        self._v = np.empty(0, bool)          # valid flag of the version
-        self._seq_no = np.empty(0, np.int64)  # arrival ordinal (tiebreak)
+        # sorted runs: list of (key, ts, valid, arrival) arrays, each
+        # key-sorted and internally LWW-folded (one row per key per run)
+        self._runs: list[tuple] = []
         self._arrivals = 0
-        self._init_shard_state(checkpoint_path, ("upsert", self.lateness))
+        cfg = (("upsert", self.lateness) if out_dir is None
+               else ("upsert", self.lateness, out_dir))
+        self._init_shard_state(checkpoint_path, cfg)
 
     def _core_state(self):
-        return (self._names, self._k, self._t, self._v, self._seq_no,
-                self._arrivals)
+        return ("runs", self._names, self._runs, self._arrivals)
 
     def _restore_core(self, core) -> None:
-        (self._names, self._k, self._t, self._v, self._seq_no,
-         self._arrivals) = core
+        if len(core) == 4 and isinstance(core[0], str) \
+                and core[0] == "runs":
+            _, self._names, self._runs, self._arrivals = core
+        else:
+            # snapshot from the pre-log-structured layout (same config
+            # tuple): one key-sorted state array set becomes one run
+            names, k, t, v, s, arrivals = core
+            self._names = names
+            self._runs = [(k, t, v, s)] if len(k) else []
+            self._arrivals = arrivals
+
+    @staticmethod
+    def _lww_fold(k, t, v, s):
+        """One winner per key by max (ts, arrival ordinal); key-sorted
+        result. This IS the upsert rule: a later arrival replaces iff
+        its ts ≥ the stored ts (ordinals break equal-ts ties toward the
+        later arrival)."""
+        if not len(k):
+            return k, t, v, s
+        o = np.lexsort((s, t, k))
+        k, t, v, s = k[o], t[o], v[o], s[o]
+        last = np.concatenate([k[1:] != k[:-1], [True]])
+        return k[last], t[last], v[last], s[last]
+
+    def _append_run(self, k, t, v, s) -> None:
+        self._runs.append((k, t, v, s))
+        while (len(self._runs) >= 2
+               and len(self._runs[-1][0]) >= len(self._runs[-2][0])):
+            k2, t2, v2, s2 = self._runs.pop()
+            k1, t1, v1, s1 = self._runs.pop()
+            self._runs.append(self._lww_fold(
+                np.concatenate([k1, k2]), np.concatenate([t1, t2]),
+                np.concatenate([v1, v2]), np.concatenate([s1, s2])))
+
+    def _compacted(self):
+        """Merge all runs to the materialized view (key-sorted)."""
+        if not self._runs:
+            return (np.empty(0, np.int64), np.empty(0, np.int64),
+                    np.empty(0, bool), np.empty(0, np.int64))
+        if len(self._runs) == 1:
+            return self._runs[0]
+        return self._lww_fold(
+            *(np.concatenate([r[i] for r in self._runs])
+              for i in range(4)))
 
     def ingest(self, table: pa.Table, seq: int | None = None) -> int:
         if self._skip_replay(table, seq):
@@ -1479,37 +1538,10 @@ class UpsertShardCore(ShardActorBase):
             valid = table["valid"].to_numpy(zero_copy_only=False)[keep]
             pos_b = self._arrivals + np.arange(len(keep), dtype=np.int64)
             self._arrivals += len(keep)
-            # last-writer-wins in two steps, NEVER re-sorting the state
-            # (a full (state+batch) lexsort made the engine O(K log K)
-            # per micro-batch — 14 s on the 8M bench vs ~3 s siblings):
-            # 1. fold the BATCH to one winner per key (sort batch only);
-            o = np.lexsort((pos_b, ts_b, key_b))
-            kb, tb, vb, pb = key_b[o], ts_b[o], valid[o], pos_b[o]
-            last = np.concatenate([kb[1:] != kb[:-1], [True]])
-            kb, tb, vb, pb = kb[last], tb[last], vb[last], pb[last]
-            # 2. merge into the key-sorted state: in-place replace for
-            # existing keys (batch wins iff ts ≥ stored — its arrival
-            # ordinal is always newer), one np.insert for new keys.
-            if len(self._k):
-                ins = np.searchsorted(self._k, kb)
-                ins_c = np.minimum(ins, len(self._k) - 1)
-                exist = self._k[ins_c] == kb
-            else:
-                ins = np.zeros(len(kb), np.int64)
-                ins_c = ins
-                exist = np.zeros(len(kb), bool)
-            upd = exist & (tb >= self._t[ins_c]) if len(self._k) else exist
-            if upd.any():
-                idxs = ins_c[upd]
-                self._t[idxs] = tb[upd]
-                self._v[idxs] = vb[upd]
-                self._seq_no[idxs] = pb[upd]
-            new = ~exist
-            if new.any():
-                self._k = np.insert(self._k, ins[new], kb[new])
-                self._t = np.insert(self._t, ins[new], tb[new])
-                self._v = np.insert(self._v, ins[new], vb[new])
-                self._seq_no = np.insert(self._seq_no, ins[new], pb[new])
+            # fold the batch to one winner per key, then log-append —
+            # no membership probe against state, no O(K) memmove
+            self._append_run(*self._lww_fold(key_b, ts_b,
+                                             valid.astype(bool), pos_b))
         if int(cm[-1]) > self.wm:
             self.wm = int(cm[-1])
         if seq is not None:
@@ -1518,15 +1550,29 @@ class UpsertShardCore(ShardActorBase):
         return table.num_rows
 
     def finalize(self) -> dict:
-        names = np.asarray(self._names, dtype=object)[self._k >> 34]
-        block = {"conv_id": names,
-                 "turn_idx": (self._k & ((1 << 34) - 1)).astype(np.int64),
-                 "ts": self._t.copy(),
-                 "valid": self._v.copy()}
+        k, t, v, s = self._compacted()
+        self._runs = [(k, t, v, s)] if len(k) else []
         hist_emitted, hist_late = self._read_deltas()
-        emitted = hist_emitted + ([block] if len(self._k) else [])
+        names = np.asarray(self._names, dtype=object)[k >> 34]
+        turn_idx = (k & ((1 << 34) - 1)).astype(np.int64)
+        if self.out_dir is not None:
+            # spill the compacted view — atomic overwrite, so finalize
+            # (and a rerun's finalize) is idempotent
+            tbl = pa.table({
+                "conv_id": pa.array(names, pa.string()),
+                "turn_idx": pa.array(turn_idx, pa.int64()),
+                "ts": pa.array(t, pa.int64()),
+                "valid": pa.array(v, pa.bool_())})
+            _atomic_write(tbl, os.path.join(self.out_dir,
+                                            "latest.parquet"))
+            return {"emitted": hist_emitted,
+                    "late": hist_late + self.late,
+                    "watermark": self.wm, "state_keys": len(k)}
+        block = {"conv_id": names, "turn_idx": turn_idx,
+                 "ts": t.copy(), "valid": v.copy()}
+        emitted = hist_emitted + ([block] if len(k) else [])
         return {"emitted": emitted, "late": hist_late + self.late,
-                "watermark": self.wm, "state_keys": len(self._k)}
+                "watermark": self.wm, "state_keys": len(k)}
 
 
 UpsertShardActor = ray.remote(UpsertShardCore)
@@ -1537,29 +1583,54 @@ def run_streaming_upsert(input_path: str,
                          n_shards: int = 8,
                          validate_kwargs: dict | None = None,
                          max_pending: int = 4,
-                         checkpoint_dir: str | None = None):
+                         checkpoint_dir: str | None = None,
+                         out_dir: str | None = None):
     """Streaming upsert / compacted materialized view over the fragment
-    stream. → (latest-version DataFrame (conv_id, turn_idx, ts, valid),
-    late DataFrame, watermarks)."""
+    stream. → (latest-version view (conv_id, turn_idx, ts, valid),
+    late DataFrame, watermarks).
+
+    The view is a driver DataFrame by default; pass ``out_dir`` for the
+    SCALE path — each shard spills its compacted slice as
+    shard-NNN/latest.parquet at finalize and the view is returned as a
+    lazy ``ray.data.Dataset``, so the O(keys) table never lands on the
+    driver."""
+    import glob as _glob
     fragments = list_fragments(input_path)
     meta = {"kind": "upsert", "lateness_us": lateness_us,
             "n_shards": n_shards}
+    if out_dir is not None:
+        meta["out_dir"] = out_dir
+        _guard_out_dir(out_dir, checkpoint_dir, "shard-*/latest.parquet")
     _guard_checkpoint_dir(checkpoint_dir, meta, fragments)
     actors = [UpsertShardActor.remote(
         lateness_us,
         os.path.join(checkpoint_dir, f"shard-{s}.ckpt") if checkpoint_dir
-        else None)
+        else None,
+        os.path.join(out_dir, f"shard-{s:03d}") if out_dir else None)
         for s in range(n_shards)]
     finals = _pump_fragments(actors, fragments, n_shards,
                              validate_kwargs, max_pending)
-    blocks = [b for f in finals for b in f["emitted"]]
     late = [row for f in finals for row in f["late"]]
-    cols = ["conv_id", "turn_idx", "ts", "valid"]
-    out = (pd.concat([pd.DataFrame(b) for b in blocks], ignore_index=True)
-           [cols] if blocks else pd.DataFrame(columns=cols))
     late_df = (pd.DataFrame(late) if late else
                pd.DataFrame(columns=["conv_id", "turn_idx", "ts"]))
-    return out, late_df, [f["watermark"] for f in finals]
+    wms = [f["watermark"] for f in finals]
+    cols = ["conv_id", "turn_idx", "ts", "valid"]
+    if out_dir is not None:
+        files = sorted(_glob.glob(
+            os.path.join(out_dir, "shard-*", "latest.parquet")))
+        if files:
+            out = ray.data.read_parquet(files)
+        else:
+            out = ray.data.from_arrow(pa.table(
+                {"conv_id": pa.array([], pa.string()),
+                 "turn_idx": pa.array([], pa.int64()),
+                 "ts": pa.array([], pa.int64()),
+                 "valid": pa.array([], pa.bool_())}))
+        return out, late_df, wms
+    blocks = [b for f in finals for b in f["emitted"]]
+    out = (pd.concat([pd.DataFrame(b) for b in blocks], ignore_index=True)
+           [cols] if blocks else pd.DataFrame(columns=cols))
+    return out, late_df, wms
 
 
 SampleShardActor = ray.remote(SampleShardCore)
@@ -1743,6 +1814,27 @@ def _guard_checkpoint_dir(checkpoint_dir: str | None, config_meta: dict,
     else:
         with open(meta_path, "w") as f:
             json.dump(meta, f)
+
+
+def _guard_out_dir(out_dir: str | None, checkpoint_dir: str | None,
+                   pattern: str) -> None:
+    """Refuse to write into an out_dir that already holds parts unless
+    this run resumes from the checkpoint that wrote them (same rule as
+    run_streaming_dedup's inline guard): a fresh run pointed at someone
+    else's parts would silently interleave two datasets."""
+    import glob as _glob
+    if out_dir is None:
+        return
+    resuming = checkpoint_dir is not None and (
+        os.path.exists(os.path.join(checkpoint_dir, "_meta.json"))
+        or bool(_glob.glob(os.path.join(checkpoint_dir, "*.ckpt*"))))
+    if not resuming and _glob.glob(os.path.join(out_dir, pattern)):
+        raise ValueError(
+            f"out_dir {out_dir} already holds output parts but this run "
+            "is not resuming from the checkpoint that wrote them "
+            f"(checkpoint_dir={checkpoint_dir!r}); appending would "
+            "interleave two datasets — delete the out dir or resume "
+            "with the original checkpoint_dir")
 
 
 def _pump_fragments(actors: list, fragments: list[str], n_shards: int,
@@ -2837,12 +2929,26 @@ class JoinShardCore(ShardActorBase):
     State is columnar throughout (flat numpy arrays, vectorized kernels
     per batch — the absence engine's round-4 design): per-side
     (code, idx, ts) sorted by (code, ts), plus the packed dup-guard.
+
+    Output scale: a join emits O(pairs) rows — half the input volume on
+    the 8M bench — so with ``out_dir`` set, each micro-batch's pairs are
+    SPILLED as the shard's (shard, seq)-deterministic parquet part
+    (DedupShardCore's write→fsync→rename discipline) instead of
+    accumulating in actor memory and being pd.concat'd on the driver;
+    actor pair memory is then bounded by one micro-batch and the driver
+    holds only paths (round-4 verdict #1).
     """
 
+    _PAIR_COLS = ("conv_id", "u_idx", "a_idx", "u_ts", "a_ts", "gap_us")
+
     def __init__(self, window_us: int, lateness_us: int,
-                 checkpoint_path: str | None = None):
+                 checkpoint_path: str | None = None,
+                 out_dir: str | None = None):
         self.window = int(window_us)
         self.lateness = int(lateness_us)
+        self.out_dir = out_dir
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
         self._names = pd.Index([], dtype=object)
         self._u_code = np.empty(0, np.int64)
         self._u_idx = np.empty(0, np.int64)
@@ -2852,8 +2958,13 @@ class JoinShardCore(ShardActorBase):
         self._a_ts = np.empty(0, np.int64)
         self._s_key = np.empty(0, np.int64)
         self._s_ts = np.empty(0, np.int64)
-        self._init_shard_state(
-            checkpoint_path, ("sjoin", self.window, self.lateness))
+        # out_dir joins the guarded config (dedup's rule): resuming into
+        # a DIFFERENT output dir would skip applied seqs whose parts
+        # live elsewhere. Kept out of the tuple when unset so existing
+        # in-memory-mode checkpoints stay valid.
+        cfg = (("sjoin", self.window, self.lateness) if out_dir is None
+               else ("sjoin", self.window, self.lateness, out_dir))
+        self._init_shard_state(checkpoint_path, cfg)
 
     def _core_state(self):
         return (self._names, self._u_code, self._u_idx, self._u_ts,
@@ -2963,9 +3074,31 @@ class JoinShardCore(ShardActorBase):
             self.wm = int(cm[-1])
         self._trim(self.wm)
         if seq is not None:
+            if self.out_dir is not None:
+                self._spill_pairs(seq)
             self.seq = seq
             self._checkpoint()
         return table.num_rows
+
+    def _spill_pairs(self, seq: int) -> None:
+        """Write this micro-batch's pair blocks as the shard's
+        part-<seq>.parquet and drop them from memory — the part lands
+        durably BEFORE the snapshot below marks the seq applied
+        (DedupShardCore's commit discipline), so a crash in between
+        simply replays the seq against the pre-apply state and
+        idempotently overwrites an identical part. Empty batches write
+        no part (seq completeness is tracked by the snapshot, not the
+        part list)."""
+        if not self.emitted:
+            return
+        cols = {c: np.concatenate([b[c] for b in self.emitted])
+                for c in self._PAIR_COLS}
+        tbl = pa.table({"conv_id": pa.array(cols["conv_id"], pa.string()),
+                        **{c: pa.array(cols[c], pa.int64())
+                           for c in self._PAIR_COLS[1:]}})
+        _atomic_write(tbl, os.path.join(self.out_dir,
+                                        f"part-{seq:06d}.parquet"))
+        self.emitted = []
 
     def _trim(self, bound: int) -> None:
         if len(self._u_ts):
@@ -3013,29 +3146,52 @@ def run_streaming_join(input_path: str, window_us: int,
                        n_shards: int = 8,
                        validate_kwargs: dict | None = None,
                        max_pending: int = 4,
-                       checkpoint_dir: str | None = None):
+                       checkpoint_dir: str | None = None,
+                       out_dir: str | None = None):
     """Streaming user→assistant interval join over the fragment stream
     (validated, null-text-dropped — the same stream every other CEP
-    engine consumes). → (pairs DataFrame, late DataFrame, watermarks)."""
+    engine consumes). → (pairs, late DataFrame, watermarks).
+
+    ``pairs`` is a driver DataFrame by default (fine for tests/small
+    runs); pass ``out_dir`` for the SCALE path — each shard spills its
+    pairs as (shard, seq)-deterministic parquet parts and ``pairs`` is
+    returned as a lazy ``ray.data.Dataset`` over them, so neither the
+    actors nor the driver ever hold the O(pairs) output."""
+    import glob as _glob
     fragments = list_fragments(input_path)
     meta = {"kind": "sjoin", "window_us": window_us,
             "lateness_us": lateness_us, "n_shards": n_shards}
+    if out_dir is not None:
+        meta["out_dir"] = out_dir
+        _guard_out_dir(out_dir, checkpoint_dir, "shard-*/part-*.parquet")
     _guard_checkpoint_dir(checkpoint_dir, meta, fragments)
     actors = [JoinShardActor.remote(
         window_us, lateness_us,
         os.path.join(checkpoint_dir, f"shard-{s}.ckpt") if checkpoint_dir
-        else None)
+        else None,
+        os.path.join(out_dir, f"shard-{s:03d}") if out_dir else None)
         for s in range(n_shards)]
     finals = _pump_fragments(actors, fragments, n_shards,
                              validate_kwargs, max_pending)
-    blocks = [b for f in finals for b in f["emitted"]]
     late = [row for f in finals for row in f["late"]]
-    cols = ["conv_id", "u_idx", "a_idx", "u_ts", "a_ts", "gap_us"]
-    out = (pd.concat([pd.DataFrame(b) for b in blocks], ignore_index=True)
-           [cols] if blocks else pd.DataFrame(columns=cols))
     late_df = (pd.DataFrame(late) if late else
                pd.DataFrame(columns=["conv_id", "turn_idx", "ts"]))
-    return out, late_df, [f["watermark"] for f in finals]
+    wms = [f["watermark"] for f in finals]
+    cols = list(JoinShardCore._PAIR_COLS)
+    if out_dir is not None:
+        files = sorted(_glob.glob(
+            os.path.join(out_dir, "shard-*", "part-*.parquet")))
+        if files:
+            pairs = ray.data.read_parquet(files)
+        else:
+            pairs = ray.data.from_arrow(pa.table(
+                {"conv_id": pa.array([], pa.string()),
+                 **{c: pa.array([], pa.int64()) for c in cols[1:]}}))
+        return pairs, late_df, wms
+    blocks = [b for f in finals for b in f["emitted"]]
+    out = (pd.concat([pd.DataFrame(b) for b in blocks], ignore_index=True)
+           [cols] if blocks else pd.DataFrame(columns=cols))
+    return out, late_df, wms
 
 
 def run_streaming_absence(input_path: str, window_us: int,

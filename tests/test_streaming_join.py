@@ -196,3 +196,65 @@ def test_core_matches_scalar_oracle(seed, lateness, window, n_slices):
     assert got[0] == exp[0]
     assert sorted(got[1]) == sorted(exp[1])
     assert got[2] == exp[2]
+
+
+# ------------------------------------------------- spill-to-parts path
+
+def test_spill_out_dir_equals_in_memory(fixture_dir, join_truth, tmp_path):
+    """out_dir mode: pairs land as per-shard (shard, seq)-deterministic
+    parquet parts, the runner returns a lazy Dataset over them, and the
+    result is identical to the in-memory mode (round-5 scale fix)."""
+    import glob
+    import os
+    vk = _codes_kwargs(fixture_dir)
+    out_dir = str(tmp_path / "parts")
+    ds, late, _ = run_streaming_join(
+        fixture_dir["turns"], WINDOW, lateness_us=BIG_LATENESS,
+        n_shards=4, validate_kwargs=vk, out_dir=out_dir)
+    got = ds.to_pandas()
+    assert _as_set(got) == join_truth
+    assert (got["gap_us"] == got["a_ts"] - got["u_ts"]).all()
+    assert (late["ts"] == -1).all()
+    assert glob.glob(os.path.join(out_dir, "shard-*", "part-*.parquet"))
+    # dirty-dir guard: a fresh (non-resuming) run must refuse to append
+    with pytest.raises(ValueError, match="interleave"):
+        run_streaming_join(
+            fixture_dir["turns"], WINDOW, lateness_us=BIG_LATENESS,
+            n_shards=4, validate_kwargs=vk, out_dir=out_dir)
+
+
+def test_spill_checkpoint_resume(fixture_dir, join_truth, tmp_path):
+    """Crash after two fragments, resume into the SAME out_dir +
+    checkpoint_dir: applied seqs are skipped, their parts are kept, and
+    the final part set equals a clean run's pairs exactly (no dups)."""
+    import os
+
+    import ray
+
+    from lauchy_ray.sources.stream import list_fragments
+    from lauchy_ray.state.streaming import (JoinShardActor,
+                                            _prepare_fragment)
+
+    vk = _codes_kwargs(fixture_dir)
+    ck = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "parts")
+    n_shards = 3
+    fragments = list_fragments(fixture_dir["turns"])
+    os.makedirs(ck, exist_ok=True)
+    actors = [JoinShardActor.remote(
+        WINDOW, BIG_LATENESS, os.path.join(ck, f"shard-{s}.ckpt"),
+        os.path.join(out_dir, f"shard-{s:03d}"))
+        for s in range(n_shards)]
+    vk_ref = ray.put(vk)
+    for seq, frag in enumerate(fragments[:2]):
+        refs = ray.get(_prepare_fragment.remote(frag, n_shards, vk_ref))
+        ray.get([actors[s].ingest.remote(r, seq)
+                 for s, r in enumerate(refs) if r is not None])
+    del actors  # "crash"
+
+    ds, late, _ = run_streaming_join(
+        fixture_dir["turns"], WINDOW, lateness_us=BIG_LATENESS,
+        n_shards=n_shards, validate_kwargs=vk,
+        checkpoint_dir=ck, out_dir=out_dir)
+    assert _as_set(ds.to_pandas()) == join_truth
+    assert (late["ts"] == -1).all()

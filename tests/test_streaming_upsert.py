@@ -151,3 +151,48 @@ def test_streaming_upsert_checkpoint_resume(fixture_dir, streamed_u,
     assert (sorted(map(tuple, late[KEY + ["ts"]].itertuples(index=False)))
             == sorted(map(tuple,
                           late_ref[KEY + ["ts"]].itertuples(index=False))))
+
+
+def test_upsert_out_dir_equals_in_memory(fixture_dir, streamed_u,
+                                         tmp_path):
+    """out_dir mode: the compacted view spills as per-shard
+    latest.parquet, returned as a lazy Dataset — identical content to
+    the driver-DataFrame mode (round-5 scale fix)."""
+    up_ref, late_ref, wms_ref, entity_codes = streamed_u
+    ds, late, wms = run_streaming_upsert(
+        fixture_dir["turns"], LATENESS_US, n_shards=N_SHARDS,
+        validate_kwargs={"entity_codes": sorted(entity_codes)},
+        out_dir=str(tmp_path / "up"))
+    got = ds.to_pandas().sort_values(KEY).reset_index(drop=True)
+    exp = up_ref.sort_values(KEY).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[COLS], exp[COLS],
+                                  check_dtype=False)
+    assert sorted(wms) == sorted(wms_ref)
+    assert (sorted(map(tuple, late[KEY + ["ts"]].itertuples(index=False)))
+            == sorted(map(tuple,
+                          late_ref[KEY + ["ts"]].itertuples(index=False))))
+
+
+def test_upsert_restores_pre_log_structured_snapshot():
+    """A snapshot written by the old single-sorted-array layout (same
+    config tuple) must migrate into the run list on restore."""
+    old_names = pd.Index(["cA", "cB"])
+    k = np.array([(0 << 34) | 1, (1 << 34) | 2], np.int64)
+    t = np.array([100, 200], np.int64)
+    v = np.array([True, False])
+    s = np.array([0, 1], np.int64)
+    core = UpsertShardCore(1 << 60)
+    core._restore_core((old_names, k, t, v, s, 2))
+    assert core._arrivals == 2 and len(core._runs) == 1
+    # a newer correction for cA/1 must still replace the restored row
+    core.ingest(pa.table({
+        "conv_id": pa.array(["cA"]),
+        "turn_idx": pa.array([1], pa.int64()),
+        "role": pa.array(["user"]), "text": pa.array(["x"]),
+        "tool": pa.array([""]), "ts": pa.array([150], pa.int64()),
+        "valid": pa.array([False]),
+    }), None)
+    rows = {(r["conv_id"], r["turn_idx"]): (r["ts"], bool(r["valid"]))
+            for b in core.finalize()["emitted"]
+            for r in pd.DataFrame(b).to_dict("records")}
+    assert rows == {("cA", 1): (150, False), ("cB", 2): (200, False)}
