@@ -893,9 +893,12 @@ def minhash_sql(threshold: float = 0.9, shingle_k: int = 5,
     j ≥ 0.9 is ≈ 1 (miss prob (1-j^4)^32 ≈ 1.4e-15 per pair with
     num_perm=128 / bands=32), so band-collision ∧ verified ≡ verified.
     The Ray side verifies with 64-bit shingle HASH sets; set sizes match
-    the string-shingle sets barring 2^-64-scale collisions. The
-    least/greatest prune is an upper bound on jaccard (|A∩B| ≤ min sizes)
-    — it only skips pairs that cannot reach the threshold.
+    the string-shingle sets barring 2^-64-scale collisions.
+
+    Intersection sizes come from a tok⋈tok equi-join + GROUP BY instead
+    of per-pair list_intersect (10× faster in DuckDB; identical result:
+    a pair appears iff it shares ≥1 shingle, and any pair at J ≥ t > 0
+    shares ≥1 shingle, so no qualifying pair is missed).
 
     Bucket-cap note: the pipeline skips (band, hash) buckets holding
     >MAX_BUCKET DISTINCT texts for precision/cost, which this all-pairs
@@ -918,26 +921,31 @@ sh AS (
   SELECT doc_id,
          list_distinct([substr(p, i, {k}) for i in range(1, len(p) - {k - 2})]) AS s
   FROM d),
-pairs AS (
-  SELECT x.doc_id AS a, y.doc_id AS b,
-         len(list_intersect(x.s, y.s)) AS i,
-         len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS u
-  FROM sh x, sh y
+tok AS (SELECT doc_id, unnest(s) AS key FROM sh),
+lens AS (SELECT doc_id, len(s) AS n FROM sh),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM tok x JOIN tok y USING (key)
   WHERE x.doc_id < y.doc_id
-    AND least(len(x.s), len(y.s))
-        >= {threshold} * greatest(len(x.s), len(y.s)))
-SELECT a, b FROM pairs
-WHERE CASE WHEN u = 0 THEN 1.0 ELSE CAST(i AS DOUBLE) / u END >= {threshold}"""
+  GROUP BY x.doc_id, y.doc_id)
+SELECT a, b FROM inter
+JOIN lens la ON la.doc_id = a JOIN lens lb ON lb.doc_id = b
+WHERE CAST(i AS DOUBLE) / (la.n + lb.n - i) >= {threshold}"""
 
 
 def _clusters_sql(pair_query: str, docs_rel: str = "documents") -> str:
     """Connected components over a near-dup pair query, in SQL: recursive
     min-label reachability (transitive closure — oracle-scale only), then
     rep_id = smallest doc_id in the component, singletons = own id.
-    Mirrors near_dup_clusters' union-find exactly."""
+    Mirrors near_dup_clusters' union-find exactly.
+
+    pairs/edges are MATERIALIZED: DuckDB otherwise inlines (re-evaluates)
+    the pair query at every reference — twice in edges, then once per
+    recursion step of reach — turning a 1s pair scan into 35s+."""
     return f"""
-WITH RECURSIVE pairs AS ({pair_query}),
-edges AS (SELECT a AS u, b AS v FROM pairs
+WITH RECURSIVE pairs AS MATERIALIZED ({pair_query}),
+edges AS MATERIALIZED (
+          SELECT a AS u, b AS v FROM pairs
           UNION SELECT b AS u, a AS v FROM pairs),
 reach(u, v) AS (
   SELECT u, v FROM edges
