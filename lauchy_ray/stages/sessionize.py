@@ -8,18 +8,35 @@ at a conv change or a ts gap > ``gap``. Matches oracle.sessionize_rows.
 Python-call count is O(buckets), never O(conversations).
 
 Skew note (SURVEY.md §7.4): a conversation's turns must land in one
-bucket; a degenerate hot conversation therefore bounds its bucket's size
-from below — pre-splitting such a conv by ts-range inside the bucket pass
-would cap it (documented limit, not implemented).
+bucket, so a degenerate hot conversation bounds its bucket's size from
+below. The pre-split path caps it: a cheap partial-agg count pass finds
+conversations above ``hot_rows`` turns, their rows are salted into
+ts-range chunks (each chunk ≈ HOT_CHUNK_ROWS rows, sessionized
+independently in level 1), and a second pass gap-merges the per-chunk
+session summaries at chunk boundaries (level 2). The merge is exact:
+chunks partition a conv's time axis, so the only sessions that can
+fuse are the last of chunk j with the first of chunk j+1, and the
+level-2 kernel re-applies the same gap rule over ordered disjoint
+session intervals (idempotent on already-correct sessions). The extra
+detection pass reads only (conv_id, ts) and shuffles one row per
+(conv, block); level 2 shuffles session SUMMARIES, never turns. Both
+trigger only above the single-task size gate AND only when a hot conv
+actually exists — the uniform path is byte-identical to before.
 """
 
 from __future__ import annotations
+
+import zlib
 
 import numpy as np
 import pandas as pd
 import ray.data as rd
 
 DEFAULT_GAP_US = 30 * 60 * 1_000_000
+# pre-split a conversation above this many turns (≈ a bucket's worth of
+# rows on its own); chunks aim for this many rows each
+HOT_CONV_ROWS = 2_000_000
+HOT_CHUNK_ROWS = 500_000
 
 
 def _sessionize_bucket(group: pd.DataFrame, gap_us: int) -> pd.DataFrame:
@@ -50,9 +67,111 @@ def _sessionize_bucket(group: pd.DataFrame, gap_us: int) -> pd.DataFrame:
     return agg[["conv_id", "session_id", "start_ts", "end_ts", "n_turns"]]
 
 
-def sessionize(ds: rd.Dataset, gap_us: int = DEFAULT_GAP_US) -> rd.Dataset:
-    """turns → (conv_id, session_id, start_ts, end_ts, n_turns)."""
-    from .bucketing import group_map_by_key
+def find_hot_convs(ds: rd.Dataset, hot_rows: int) -> list[dict]:
+    """(conv_id, n, lo, hi) for conversations with ≥ hot_rows turns.
+    Partial per-block aggregation then a tiny groupby: the shuffle moves
+    one summary row per (conv, block), never turn rows, and the result
+    is bounded by total_rows / hot_rows (driver-safe take_all)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].astype("int64")
+        g = pd.DataFrame({"conv_id": df["conv_id"], "ts": ts}) \
+            .groupby("conv_id", sort=False)["ts"]
+        return g.agg(n="size", lo="min", hi="max").reset_index()
+
+    agg = (ds.select_columns(["conv_id", "ts"])
+           .map_batches(part, batch_format="pandas")
+           .groupby("conv_id")
+           .aggregate(Sum("n"), Min("lo"), Max("hi")))
+    hot = agg.filter(lambda r: r["sum(n)"] >= hot_rows).take_all()
+    return [{"conv_id": r["conv_id"], "n": int(r["sum(n)"]),
+             "lo": int(r["min(lo)"]), "hi": int(r["max(hi)"])} for r in hot]
+
+
+def _merge_sessions_bucket(g: pd.DataFrame, gap_us: int) -> pd.DataFrame:
+    """Level-2 stitch: gap-merge ordered disjoint session summaries of
+    every conv in the bucket (same vectorized shape as level 1), summing
+    n_turns and renumbering session ordinals by start order."""
+    g = g.sort_values(["conv_id", "start_ts", "end_ts"], kind="stable")
+    conv = g["conv_id"].to_numpy()
+    # level 1 may present ns- or us-unit datetimes depending on the
+    # pandas/arrow hop; normalize to us before the integer gap math
+    start = g["start_ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    end = g["end_ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    first = np.ones(len(g), dtype=bool)
+    if len(g) > 1:
+        first[1:] = conv[1:] != conv[:-1]
+    brk = first.copy()
+    if len(g) > 1:
+        brk[1:] |= (start[1:] - end[:-1]) > gap_us
+    seg = np.cumsum(brk) - 1
+    conv_base = np.maximum.accumulate(np.where(first, seg, -1))
+    sid = seg - conv_base
+    out = pd.DataFrame({"conv_id": conv, "session_id": sid,
+                        "s": start, "e": end,
+                        "n": g["n_turns"].to_numpy()})
+    agg = (out.groupby(["conv_id", "session_id"], sort=True)
+           .agg(start_ts=("s", "min"), end_ts=("e", "max"),
+                n_turns=("n", "sum")).reset_index())
+    agg["session_id"] = agg["session_id"].astype("int32")
+    agg["n_turns"] = agg["n_turns"].astype("int64")
+    for col in ("start_ts", "end_ts"):
+        agg[col] = pd.to_datetime(agg[col], unit="us")
+    return agg[["conv_id", "session_id", "start_ts", "end_ts", "n_turns"]]
+
+
+def _salted_bucket(df: pd.DataFrame, nb: int,
+                   hot: dict[object, tuple[int, int, int]]) -> pd.DataFrame:
+    """Bucket by conv hash, overriding hot convs with a (conv, ts-chunk)
+    hash so their rows spread over ≈ n/HOT_CHUNK_ROWS buckets. The hot
+    map is tiny (≤ rows/hot_rows entries), so the per-conv loop is O(hot
+    convs), with vectorized row work inside."""
+    from .bucketing import key_bucket
+    b = key_bucket(df["conv_id"].to_numpy(), nb)
+    ts = df["ts"].astype("int64").to_numpy()
+    cv = df["conv_id"].to_numpy()
+    for conv, (n_chunks, lo, span) in hot.items():
+        m = cv == conv
+        if m.any():
+            chunk = (ts[m] - lo) * n_chunks // (span + 1)
+            base = zlib.crc32(str(conv).encode())
+            b[m] = (base + chunk * 2654435761) % nb
+    return df.assign(__bucket=b)
+
+
+def _presplit_sessions(ds: rd.Dataset, gap_us: int,
+                       hot_convs: list[dict]) -> rd.Dataset:
+    """Two-level sessionize for inputs carrying hot conversations:
+    level 1 sessionizes salted ts-chunks, level 2 stitches summaries."""
+    from .bucketing import group_map_by_key, n_buckets_for
+    nb = n_buckets_for(ds)
+    hot = {h["conv_id"]: (max(1, -(-h["n"] // HOT_CHUNK_ROWS)),
+                          h["lo"], h["hi"] - h["lo"]) for h in hot_convs}
+    bucketed = ds.map_batches(lambda b: _salted_bucket(b, nb, hot),
+                              batch_format="pandas")
+    level1 = bucketed.groupby("__bucket").map_groups(
+        lambda g: _sessionize_bucket(g.drop(columns=["__bucket"]), gap_us),
+        batch_format="pandas")
+    return group_map_by_key(level1, "conv_id",
+                            lambda g: _merge_sessions_bucket(g, gap_us))
+
+
+def sessionize(ds: rd.Dataset, gap_us: int = DEFAULT_GAP_US,
+               hot_rows: int | None = HOT_CONV_ROWS,
+               hot_convs: list[dict] | None = None) -> rd.Dataset:
+    """turns → (conv_id, session_id, start_ts, end_ts, n_turns).
+
+    ``hot_rows``: pre-split threshold (None disables detection);
+    ``hot_convs``: explicit find_hot_convs output, skipping detection."""
+    from .bucketing import SINGLE_TASK_BYTES, group_map_by_key, \
+        safe_size_bytes
+    if hot_convs is None and hot_rows:
+        size = safe_size_bytes(ds)
+        if size is not None and size > SINGLE_TASK_BYTES:
+            hot_convs = find_hot_convs(ds, hot_rows)
+    if hot_convs:
+        return _presplit_sessions(ds, gap_us, hot_convs)
     return group_map_by_key(ds, "conv_id",
                             lambda g: _sessionize_bucket(g, gap_us))
 
@@ -78,12 +197,29 @@ def _conv_stats_bucket(group: pd.DataFrame, gap_us: int) -> pd.DataFrame:
     return agg
 
 
+def _stats_from_sessions(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-conv stats from final session summaries (hot-split path)."""
+    agg = (g.groupby("conv_id", sort=True)
+           .agg(n_sessions=("session_id", "size"),
+                total_turns=("n_turns", "sum")).reset_index())
+    agg["n_sessions"] = agg["n_sessions"].astype("int64")
+    agg["total_turns"] = agg["total_turns"].astype("int64")
+    agg["avg_turns"] = (agg["total_turns"]
+                        / agg["n_sessions"]).astype("float64")
+    return agg
+
+
 def sessionize_conv_stats(ds: rd.Dataset,
-                          gap_us: int = DEFAULT_GAP_US) -> rd.Dataset:
+                          gap_us: int = DEFAULT_GAP_US,
+                          hot_convs: list[dict] | None = None) -> rd.Dataset:
     """turns → (conv_id, n_sessions, total_turns, avg_turns), ONE bounded
     bucket shuffle. Session count is the number of gap breaks over the
     conv's sorted timestamps (conv-change rows count as breaks, giving
-    the +1) — session boundaries never materialize."""
+    the +1) — session boundaries never materialize. With ``hot_convs``
+    the stats derive from the pre-split session summaries instead."""
     from .bucketing import group_map_by_key
+    if hot_convs:
+        sessions = _presplit_sessions(ds, gap_us, hot_convs)
+        return group_map_by_key(sessions, "conv_id", _stats_from_sessions)
     return group_map_by_key(ds, "conv_id",
                             lambda g: _conv_stats_bucket(g, gap_us))
