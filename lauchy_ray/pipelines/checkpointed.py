@@ -21,29 +21,51 @@ from .validate import _drop_null_text
 SINKS = ["valid", "rejected", "side"]
 
 
+# Validator state per WORKER PROCESS, keyed by the driver-minted pipeline
+# id (same shape as validate._WORKER_VALIDATOR_CACHE): at 10^5 fragments
+# the rules would otherwise recompile once per fragment task (r4 verdict
+# wrong-#4, "state rebuilt per batch").
+_TRANSFORM_VALIDATOR_CACHE: dict = {}
+
+
 class ValidateTransform:
     """Pure, deterministic fragment transform (pa.Table → sink tables).
-    Constructed once per task; rules compile in ~1ms so per-fragment
-    construction is noise next to fragment IO."""
+    The object is built ONCE on the driver and shipped to every fragment
+    task; the Validator it needs (compiled regexes, entity set) is built
+    once per worker process via a module cache keyed by a driver-minted
+    pipeline id — identical replay semantics (the Validator is reused
+    across batches on the actor path too), no per-fragment recompile."""
 
     def __init__(self, rules=None, entity_codes=None, enable_blacklist=True):
-        # NOTE: __init__ runs per task on WORKERS — module-top import of
-        # R is load-bearing (lazy relative import would ModuleNotFoundError
-        # under a foreign-cwd driver; see tests/test_no_lazy_relative_imports)
+        # NOTE: __init__ runs on the DRIVER (object shipped to tasks) —
+        # module-top import of R is load-bearing (lazy relative import
+        # would ModuleNotFoundError under a foreign-cwd driver; see
+        # tests/test_no_lazy_relative_imports)
+        import uuid
         self.rules = DEFAULT_RULES if rules is None else rules
         self.entity_codes = entity_codes
         self.enable_blacklist = enable_blacklist
         R._register_builtin_predicates()
         self.predicates = dict(R.PREDICATE_REGISTRY)  # driver-side snapshot
+        self.cache_key = uuid.uuid4().hex  # one per pipeline construction
+
+    def _validator(self) -> Validator:
+        v = _TRANSFORM_VALIDATOR_CACHE.get(self.cache_key)
+        if v is None:
+            while len(_TRANSFORM_VALIDATOR_CACHE) >= 4:
+                _TRANSFORM_VALIDATOR_CACHE.pop(
+                    next(iter(_TRANSFORM_VALIDATOR_CACHE)))
+            v = Validator(rules=self.rules, entity_codes=self.entity_codes,
+                          enable_blacklist=self.enable_blacklist,
+                          predicates=self.predicates)
+            _TRANSFORM_VALIDATOR_CACHE[self.cache_key] = v
+        return v
 
     def __call__(self, table: pa.Table) -> dict[str, pa.Table]:
         # _drop_null_text is a module-top import: __call__ runs on WORKERS,
         # where a lazy relative import re-executes without the package on
         # sys.path when the driver runs from a foreign cwd
-        v = Validator(rules=self.rules, entity_codes=self.entity_codes,
-                      enable_blacklist=self.enable_blacklist,
-                      predicates=self.predicates)
-        out = v(_drop_null_text(table))
+        out = self._validator()(_drop_null_text(table))
         return {
             "valid": out.filter(out["valid"]),
             "rejected": out.filter(pc.invert(out["valid"])),
