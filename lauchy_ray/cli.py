@@ -91,6 +91,11 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--checkpoint-dir", default=None,
                     help="snapshot shard state per micro-batch; rerun with "
                          "the same dir to resume exactly-once")
+    st.add_argument("--tail", action="store_true",
+                    help="watch --input for fragments appearing mid-run "
+                         "(live-topic mode); ends on an _EOS file or after "
+                         "--idle-timeout-s without a new fragment")
+    st.add_argument("--idle-timeout-s", type=float, default=30.0)
 
     ss = sub.add_parser("stream-sessions", parents=[common],
                         help="watermark-driven streaming SESSION windows "
@@ -341,7 +346,8 @@ def main(argv: list[str] | None = None) -> int:
                 slide_us=(args.slide_min * 60 * 1_000_000
                           if args.slide_min else None),
                 checkpoint_dir=args.checkpoint_dir,
-                late_policy=args.late_policy)
+                late_policy=args.late_policy,
+                tail=args.tail, idle_timeout_s=args.idle_timeout_s)
             os.makedirs(args.out, exist_ok=True)
             pq.write_table(pa.Table.from_pandas(wc),
                            os.path.join(args.out, "window_counts.parquet"))

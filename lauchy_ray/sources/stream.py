@@ -33,6 +33,54 @@ def list_fragments(path: str) -> list[str]:
     return sorted(glob.glob(os.path.join(path, "*.parquet")))
 
 
+def tail_fragments(path: str, poll_interval_s: float = 0.25,
+                   idle_timeout_s: float = 10.0, stop_file: str = "_EOS",
+                   skip: set[str] | None = None):
+    """Directory-watch fragment source (≙ consuming a LIVE Kafka topic,
+    TopologyProducer.java:131): yields ``*.parquet`` paths in name order
+    as they appear, including fragments landing mid-run.
+
+    Order contract: fragment names must arrive in non-decreasing sorted
+    order (a producer names fragments monotonically, like Kafka offsets);
+    a newly-appeared fragment sorting BEFORE one already yielded raises —
+    silently renumbering ordinals would break replay determinism.
+
+    Termination: when ``stop_file`` exists in the directory the remaining
+    fragments drain and the stream ends (producer-signaled EOS); without
+    it the stream ends after ``idle_timeout_s`` with no new fragment.
+    ``skip``: basenames already processed (checkpoint log replay) — they
+    are not re-yielded but still count for the order contract."""
+    import time
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"stream input not found: {path}")
+    seen: set[str] = set(skip or ())
+    last = max(seen) if seen else ""
+    deadline = time.monotonic() + idle_timeout_s
+    while True:
+        names = sorted(os.path.basename(p)
+                       for p in glob.glob(os.path.join(path, "*.parquet")))
+        fresh = [n for n in names if n not in seen]
+        stale = [n for n in fresh if n < last]
+        if stale:
+            raise ValueError(
+                f"tail source: fragment(s) {stale} appeared AFTER "
+                f"later-sorting fragment {last!r} was consumed — fragment "
+                "names must be produced in sorted order (the Kafka-offset "
+                "analog); cannot assign deterministic ordinals")
+        for n in fresh:
+            seen.add(n)
+            last = n
+            yield os.path.join(path, n)
+        if fresh:
+            deadline = time.monotonic() + idle_timeout_s
+            continue   # re-list immediately: more may have landed
+        if os.path.exists(os.path.join(path, stop_file)):
+            return     # producer-signaled EOS, directory drained
+        if time.monotonic() >= deadline:
+            return     # idle timeout
+        time.sleep(poll_interval_s)
+
+
 def read_stream(path: str, columns: list[str] | None = None,
                 arrival: bool = True) -> rd.Dataset:
     """Dataset over sorted fragments with an ``arrival_idx`` column."""

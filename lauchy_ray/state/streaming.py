@@ -1787,9 +1787,12 @@ DedupShardActor = ray.remote(DedupShardCore)
 
 
 def _guard_checkpoint_dir(checkpoint_dir: str | None, config_meta: dict,
-                          fragments: list[str]) -> None:
+                          fragments: list[str] | None) -> None:
     """Prepare a checkpoint dir: clean torn snapshot temps and refuse to
-    replay against a dir written under a different config or input set."""
+    replay against a dir written under a different config or input set.
+    ``fragments=None`` (tail mode): the input set is open-ended, so input
+    consistency is enforced by the _fragments.log prefix protocol instead
+    of a whole-set sha."""
     if not checkpoint_dir:
         return
     import glob
@@ -1799,8 +1802,9 @@ def _guard_checkpoint_dir(checkpoint_dir: str | None, config_meta: dict,
     for tmp in glob.glob(os.path.join(checkpoint_dir, "*.tmp-*")):
         os.remove(tmp)  # torn snapshot writes from a previous crash
     meta = dict(config_meta)
-    meta["fragments_sha"] = hashlib.sha256(
-        "\n".join(os.path.basename(f) for f in fragments).encode()).hexdigest()
+    if fragments is not None:
+        meta["fragments_sha"] = hashlib.sha256(
+            "\n".join(os.path.basename(f) for f in fragments).encode()).hexdigest()
     meta_path = os.path.join(checkpoint_dir, "_meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -1814,6 +1818,46 @@ def _guard_checkpoint_dir(checkpoint_dir: str | None, config_meta: dict,
     else:
         with open(meta_path, "w") as f:
             json.dump(meta, f)
+
+
+def _tail_fragment_source(input_path: str, checkpoint_dir: str | None,
+                          poll_interval_s: float, idle_timeout_s: float,
+                          stop_file: str):
+    """Fragment iterator for tail mode honoring the exactly-once replay
+    contract: fragments recorded in the checkpoint's ``_fragments.log``
+    replay FIRST in logged order (same order ⇒ same seqs ⇒ shards skip
+    already-applied micro-batches), then the directory watch continues.
+    Each NEW fragment is appended to the log (flush+fsync) BEFORE it is
+    fed, so a crash between logging and ingest replays it on resume."""
+    from ..sources.stream import tail_fragments
+    log_path = (os.path.join(checkpoint_dir, "_fragments.log")
+                if checkpoint_dir else None)
+    logged: list[str] = []
+    if log_path and os.path.exists(log_path):
+        with open(log_path) as f:
+            logged = [ln.strip() for ln in f if ln.strip()]
+        for name in logged:
+            frag = os.path.join(input_path, name)
+            if not os.path.exists(frag):
+                raise ValueError(
+                    f"checkpointed fragment {name} missing from "
+                    f"{input_path} — replay requires the original "
+                    "fragment sequence")
+            yield frag
+    log_f = open(log_path, "a") if log_path else None
+    try:
+        for frag in tail_fragments(input_path,
+                                   poll_interval_s=poll_interval_s,
+                                   idle_timeout_s=idle_timeout_s,
+                                   stop_file=stop_file, skip=set(logged)):
+            if log_f:
+                log_f.write(os.path.basename(frag) + "\n")
+                log_f.flush()
+                os.fsync(log_f.fileno())
+            yield frag
+    finally:
+        if log_f:
+            log_f.close()
 
 
 def _guard_out_dir(out_dir: str | None, checkpoint_dir: str | None,
@@ -1837,25 +1881,32 @@ def _guard_out_dir(out_dir: str | None, checkpoint_dir: str | None,
             "with the original checkpoint_dir")
 
 
-def _pump_fragments(actors: list, fragments: list[str], n_shards: int,
+def _pump_fragments(actors: list, fragments, n_shards: int,
                     validate_kwargs: dict | None, max_pending: int) -> list[dict]:
     """The shared driver loop: parallel fragment prepare (read + validate +
     shard split) a bounded window ahead, shard slices forwarded to the
     actors IN FRAGMENT ORDER (deterministic per-shard arrival ⇒
     deterministic watermark evolution), bounded in-flight ingests for
-    backpressure. Returns each actor's finalize() dict."""
+    backpressure. Returns each actor's finalize() dict.
+
+    ``fragments``: a list OR a (possibly blocking) iterator — the tailing
+    source yields fragments as they appear; blocking in next() simply
+    idles the pump while in-flight work drains."""
     vk_ref = ray.put(validate_kwargs)
     prep_window = max_pending * 4
     preps: list = []   # fragment-ordered queue of _prepare_fragment futures
     pending: list = []  # in-flight ingest futures (backpressure)
-    next_frag = 0
+    frag_iter = iter(fragments)
+    exhausted = False
 
     def launch_preps():
-        nonlocal next_frag
-        while next_frag < len(fragments) and len(preps) < prep_window:
-            preps.append(_prepare_fragment.remote(
-                fragments[next_frag], n_shards, vk_ref))
-            next_frag += 1
+        nonlocal exhausted
+        while not exhausted and len(preps) < prep_window:
+            frag = next(frag_iter, None)
+            if frag is None:
+                exhausted = True
+                return
+            preps.append(_prepare_fragment.remote(frag, n_shards, vk_ref))
 
     launch_preps()
     seq = -1
@@ -1882,9 +1933,21 @@ def run_streaming_window_counts(input_path: str, width_us: int,
                                 max_pending: int = 4,
                                 slide_us: int | None = None,
                                 checkpoint_dir: str | None = None,
-                                late_policy: str = "route"):
+                                late_policy: str = "route",
+                                tail: bool = False,
+                                poll_interval_s: float = 0.25,
+                                idle_timeout_s: float = 10.0,
+                                stop_file: str = "_EOS"):
     """Stream fragments through validator + shard actors (tumbling, or
     sliding when slide_us divides width_us).
+
+    ``tail=True`` (≙ consuming a LIVE topic): watch the input directory
+    and keep feeding fragments as they appear — name order is the offset
+    order, enforced by the source. Results are identical to a static run
+    over the final fragment set (tested invariant). With a checkpoint
+    dir, consumed fragments are logged (_fragments.log) before ingest;
+    a resume replays the logged prefix in order, then resumes tailing —
+    the same exactly-once convergence as the static path.
 
     Fragment preparation (read + validate + shard split) runs as PARALLEL
     tasks a bounded window ahead; the driver then forwards each fragment's
@@ -1899,11 +1962,18 @@ def run_streaming_window_counts(input_path: str, width_us: int,
     so a crash anywhere (including mid-snapshot) converges exactly-once.
 
     → (window_counts DataFrame, late DataFrame, per-shard watermarks)."""
-    fragments = list_fragments(input_path)
     meta = {"width_us": width_us, "slide_us": slide_us,
             "lateness_us": lateness_us, "n_shards": n_shards,
             "late_policy": late_policy}
-    _guard_checkpoint_dir(checkpoint_dir, meta, fragments)
+    if tail:
+        meta["tail"] = True
+        _guard_checkpoint_dir(checkpoint_dir, meta, None)
+        fragments = _tail_fragment_source(input_path, checkpoint_dir,
+                                          poll_interval_s, idle_timeout_s,
+                                          stop_file)
+    else:
+        fragments = list_fragments(input_path)
+        _guard_checkpoint_dir(checkpoint_dir, meta, fragments)
     actors = [WindowShardActor.remote(
         width_us, lateness_us, slide_us,
         os.path.join(checkpoint_dir, f"shard-{s}.ckpt") if checkpoint_dir else None,

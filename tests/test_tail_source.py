@@ -1,0 +1,156 @@
+"""Live/tailing fragment source (r4 verdict missing-#1): fragments
+appended to the input directory MID-RUN must yield results identical to
+a static run over the final fragment set, with the exactly-once
+checkpoint contract (fragment log + seq-skip replay) intact."""
+
+import os
+import shutil
+import threading
+import time
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from lauchy_ray.sources.stream import list_fragments, tail_fragments
+from lauchy_ray.state.streaming import run_streaming_window_counts
+
+HOUR_US = 3600 * 1_000_000
+LATENESS_US = 5 * 60 * 1_000_000
+
+
+# ------------------------------------------------------------- unit
+
+def test_tail_yields_in_order_and_mid_run(tmp_path):
+    d = tmp_path / "frags"
+    d.mkdir()
+    (d / "f-000.parquet").write_bytes(b"x")
+    (d / "f-001.parquet").write_bytes(b"x")
+
+    def producer():
+        time.sleep(0.4)
+        (d / "f-002.parquet").write_bytes(b"x")
+        time.sleep(0.2)
+        (d / "f-003.parquet").write_bytes(b"x")
+        (d / "_EOS").write_bytes(b"")
+
+    t = threading.Thread(target=producer)
+    t.start()
+    got = [os.path.basename(p)
+           for p in tail_fragments(str(d), poll_interval_s=0.05,
+                                   idle_timeout_s=30.0)]
+    t.join()
+    assert got == ["f-000.parquet", "f-001.parquet",
+                   "f-002.parquet", "f-003.parquet"]
+
+
+def test_tail_idle_timeout(tmp_path):
+    d = tmp_path / "frags"
+    d.mkdir()
+    (d / "a.parquet").write_bytes(b"x")
+    t0 = time.monotonic()
+    got = list(tail_fragments(str(d), poll_interval_s=0.05,
+                              idle_timeout_s=0.3))
+    assert [os.path.basename(p) for p in got] == ["a.parquet"]
+    assert time.monotonic() - t0 < 5.0
+
+
+def test_tail_rejects_out_of_order_arrival(tmp_path):
+    d = tmp_path / "frags"
+    d.mkdir()
+    (d / "b.parquet").write_bytes(b"x")
+
+    def producer():
+        time.sleep(0.3)
+        (d / "a.parquet").write_bytes(b"x")  # sorts BEFORE consumed b
+
+    t = threading.Thread(target=producer)
+    t.start()
+    with pytest.raises(ValueError, match="sorted order"):
+        list(tail_fragments(str(d), poll_interval_s=0.05,
+                            idle_timeout_s=5.0))
+    t.join()
+
+
+def test_tail_skip_replays_nothing_but_enforces_order(tmp_path):
+    d = tmp_path / "frags"
+    d.mkdir()
+    (d / "f-000.parquet").write_bytes(b"x")
+    (d / "f-001.parquet").write_bytes(b"x")
+    (d / "_EOS").write_bytes(b"")
+    got = [os.path.basename(p)
+           for p in tail_fragments(str(d), poll_interval_s=0.05,
+                                   idle_timeout_s=1.0,
+                                   skip={"f-000.parquet"})]
+    assert got == ["f-001.parquet"]
+
+
+# ------------------------------------------------------- integration
+
+def _split_fragments(src_dir: str, dst: str, n_first: int):
+    """Copy the first n fragments now; return the held-back rest."""
+    frags = list_fragments(src_dir)
+    os.makedirs(dst, exist_ok=True)
+    for p in frags[:n_first]:
+        shutil.copy(p, dst)
+    return frags[n_first:]
+
+
+def test_tail_run_equals_static_run(ray_session, fixture_dir, tmp_path):
+    entity_codes = sorted(set(
+        pq.read_table(fixture_dir["entities"])["code"].to_pylist()))
+    vk = {"entity_codes": entity_codes}
+    static_wc, static_late, _ = run_streaming_window_counts(
+        fixture_dir["turns"], HOUR_US, LATENESS_US, n_shards=4,
+        validate_kwargs=vk)
+
+    live = str(tmp_path / "live")
+    rest = _split_fragments(fixture_dir["turns"], live, n_first=2)
+    ckpt = str(tmp_path / "ckpt")
+
+    def producer():
+        time.sleep(1.0)
+        for p in rest:
+            shutil.copy(p, live)
+            time.sleep(0.3)
+        open(os.path.join(live, "_EOS"), "w").close()
+
+    t = threading.Thread(target=producer)
+    t.start()
+    tail_wc, tail_late, _ = run_streaming_window_counts(
+        live, HOUR_US, LATENESS_US, n_shards=4, validate_kwargs=vk,
+        checkpoint_dir=ckpt, tail=True, poll_interval_s=0.1,
+        idle_timeout_s=60.0)
+    t.join()
+
+    key = ["window_id", "role", "tool"]
+    pd.testing.assert_frame_equal(
+        tail_wc.sort_values(key).reset_index(drop=True),
+        static_wc.sort_values(key).reset_index(drop=True))
+    assert len(tail_late) == len(static_late)
+
+    # exactly-once manifest: the fragment log holds every fragment once,
+    # in name order
+    with open(os.path.join(ckpt, "_fragments.log")) as f:
+        logged = [ln.strip() for ln in f if ln.strip()]
+    assert logged == sorted(logged) and len(logged) == len(set(logged))
+    assert logged == [os.path.basename(p) for p in list_fragments(live)]
+
+    # resume against the same dir: logged prefix replays (seq-skip), then
+    # EOS drains — identical output, log unchanged
+    tail_wc2, _, _ = run_streaming_window_counts(
+        live, HOUR_US, LATENESS_US, n_shards=4, validate_kwargs=vk,
+        checkpoint_dir=ckpt, tail=True, poll_interval_s=0.1,
+        idle_timeout_s=2.0)
+    pd.testing.assert_frame_equal(
+        tail_wc2.sort_values(key).reset_index(drop=True),
+        static_wc.sort_values(key).reset_index(drop=True))
+    with open(os.path.join(ckpt, "_fragments.log")) as f:
+        logged2 = [ln.strip() for ln in f if ln.strip()]
+    assert logged2 == logged
+
+    # a static (non-tail) run must refuse the tail-written checkpoint dir
+    with pytest.raises(ValueError, match="different config"):
+        run_streaming_window_counts(
+            live, HOUR_US, LATENESS_US, n_shards=4, validate_kwargs=vk,
+            checkpoint_dir=ckpt)
