@@ -190,6 +190,16 @@ class ShardActorBase:
         self._names = pd.Index(np.asarray(self._names, dtype=object)[live])
         return [np.searchsorted(live, c) for c in live_codes]
 
+    def _append_late(self, **cols) -> None:
+        """Append late rows as ONE column block (equal-length arrays) —
+        late volume can be O(rows) on late-heavy streams, and per-row
+        dict emission measured 4-5x slower (JoinShardCore's columnar
+        pattern generalized). Blocks ride the delta-log checkpoints like
+        dict rows; rows_list/_mixed_rows_df normalize for consumers."""
+        n = len(next(iter(cols.values())))
+        if n:
+            self.late.append({k: np.asarray(v) for k, v in cols.items()})
+
     def _route_late_rows(self, table: pa.Table, ts: np.ndarray,
                          wid: np.ndarray, late_mask: np.ndarray) -> None:
         """Append late rows to the late output — materializes ONLY the
@@ -197,11 +207,13 @@ class ShardActorBase:
         late_idx = np.flatnonzero(late_mask)
         if not len(late_idx):
             return
-        convs = table["conv_id"].take(pa.array(late_idx)).to_pylist()
+        convs = table["conv_id"].take(pa.array(late_idx)) \
+            .to_numpy(zero_copy_only=False)
         idxs = table["turn_idx"].to_numpy(zero_copy_only=False)
-        for c, i in zip(convs, late_idx):
-            self.late.append({"conv_id": c, "turn_idx": int(idxs[i]),
-                              "ts": int(ts[i]), "window_id": int(wid[i])})
+        self._append_late(conv_id=convs.astype(object),
+                          turn_idx=idxs[late_idx].astype(np.int64),
+                          ts=ts[late_idx].astype(np.int64),
+                          window_id=wid[late_idx].astype(np.int64))
 
     def _advance_and_commit(self, cm_last: int, seq: int | None) -> None:
         """Advance the watermark, emit newly-closed windows, checkpoint."""
@@ -550,10 +562,12 @@ class SessionShardCore(ShardActorBase):
             return
         closed = self.ohi + np.int64(self.gap) <= wm
         if closed.any():
-            for c, l, h, nn in zip(self.oc[closed], self.olo[closed],
-                                   self.ohi[closed], self.on_[closed]):
-                self.emitted.append({"conv_id": c, "start_us": int(l),
-                                     "end_us": int(h), "n_turns": int(nn)})
+            # columnar: closed-session volume is O(sessions) ≈ O(rows)
+            self.emitted.append({
+                "conv_id": np.asarray(self.oc[closed], dtype=object),
+                "start_us": self.olo[closed].astype(np.int64),
+                "end_us": self.ohi[closed].astype(np.int64),
+                "n_turns": self.on_[closed].astype(np.int64)})
             keep = ~closed
             self.oc, self.olo, self.ohi, self.on_ = (
                 self.oc[keep], self.olo[keep], self.ohi[keep],
@@ -650,9 +664,12 @@ class SessionShardCore(ShardActorBase):
             np.maximum(self.wm, cm[:-1], out=prefix_wm[1:])
 
         late_mask = ts + np.int64(self.gap) <= prefix_wm
-        for i in np.flatnonzero(late_mask):
-            self.late.append({"conv_id": convs[i], "turn_idx": int(idxs[i]),
-                              "ts": int(ts[i])})
+        lsel = np.flatnonzero(late_mask)
+        if len(lsel):
+            self._append_late(
+                conv_id=np.asarray(convs, dtype=object)[lsel],
+                turn_idx=np.asarray(idxs)[lsel].astype(np.int64),
+                ts=ts[lsel].astype(np.int64))
         final_cm = int(cm[-1])
         on = np.flatnonzero(~late_mask)
         if len(on):
@@ -709,11 +726,12 @@ class SessionShardCore(ShardActorBase):
 
     def finalize(self) -> dict:
         order = np.lexsort((self.olo, self.oc.astype(str)))
-        for i in order:
-            self.emitted.append({"conv_id": self.oc[i],
-                                 "start_us": int(self.olo[i]),
-                                 "end_us": int(self.ohi[i]),
-                                 "n_turns": int(self.on_[i])})
+        if len(order):
+            self.emitted.append({
+                "conv_id": np.asarray(self.oc[order], dtype=object),
+                "start_us": self.olo[order].astype(np.int64),
+                "end_us": self.ohi[order].astype(np.int64),
+                "n_turns": self.on_[order].astype(np.int64)})
         self.oc = np.empty(0, dtype=object)
         self.olo = self.ohi = self.on_ = np.empty(0, dtype=np.int64)
         hist_emitted, hist_late = self._read_deltas()
@@ -742,12 +760,10 @@ def run_streaming_sessions(input_path: str, gap_us: int, lateness_us: int,
         for s in range(n_shards)]
     finals = _pump_fragments(actors, fragments, n_shards,
                              validate_kwargs, max_pending)
-    emitted = [row for f in finals for row in f["emitted"]]
-    late = [row for f in finals for row in f["late"]]
-    sess = (pd.DataFrame(emitted) if emitted else
-            pd.DataFrame(columns=["conv_id", "start_us", "end_us", "n_turns"]))
-    late_df = (pd.DataFrame(late) if late else
-               pd.DataFrame(columns=["conv_id", "turn_idx", "ts"]))
+    sess = _mixed_rows_df([b for f in finals for b in f["emitted"]],
+                          ["conv_id", "start_us", "end_us", "n_turns"])
+    late_df = _mixed_rows_df([b for f in finals for b in f["late"]],
+                             ["conv_id", "turn_idx", "ts"])
     return sess, late_df, [f["watermark"] for f in finals]
 
 
@@ -1410,7 +1426,7 @@ def run_streaming_window_hll(input_path: str, width_us: int,
     finals = _pump_fragments(actors, fragments, n_shards,
                              validate_kwargs, max_pending)
     blocks = [b for f in finals for b in f["emitted"]]
-    late = [row for f in finals for row in f["late"]]
+    late = [b for f in finals for b in f["late"]]
     if blocks:
         regs = pd.concat([pd.DataFrame(b) for b in blocks],
                          ignore_index=True)
@@ -1418,9 +1434,8 @@ def run_streaming_window_hll(input_path: str, width_us: int,
         out.columns = ["window_id", "est_users"]
     else:
         out = pd.DataFrame(columns=["window_id", "est_users"])
-    late_df = (pd.DataFrame(late) if late else
-               pd.DataFrame(columns=["conv_id", "turn_idx", "ts",
-                                     "window_id"]))
+    late_df = _mixed_rows_df(late, ["conv_id", "turn_idx", "ts",
+                                   "window_id"])
     return out, late_df, [f["watermark"] for f in finals]
 
 
@@ -1526,9 +1541,12 @@ class UpsertShardCore(ShardActorBase):
         ts, idx, bcodes, names, _, _ = self._decode_batch(table)
         cm, prefix_wm = self._prefix_watermark(ts)
         late_m = ts <= prefix_wm
-        for i in np.flatnonzero(late_m):
-            self.late.append({"conv_id": names[bcodes[i]],
-                              "turn_idx": int(idx[i]), "ts": int(ts[i])})
+        lsel = np.flatnonzero(late_m)
+        if len(lsel):
+            self._append_late(
+                conv_id=np.asarray(names, dtype=object)[bcodes[lsel]],
+                turn_idx=idx[lsel].astype(np.int64),
+                ts=ts[lsel].astype(np.int64))
         keep = np.flatnonzero(~late_m)
         if len(keep):
             g_of_name = self._map_names(names, idx[keep])
@@ -1610,9 +1628,8 @@ def run_streaming_upsert(input_path: str,
         for s in range(n_shards)]
     finals = _pump_fragments(actors, fragments, n_shards,
                              validate_kwargs, max_pending)
-    late = [row for f in finals for row in f["late"]]
-    late_df = (pd.DataFrame(late) if late else
-               pd.DataFrame(columns=["conv_id", "turn_idx", "ts"]))
+    late = [b for f in finals for b in f["late"]]
+    late_df = _mixed_rows_df(late, ["conv_id", "turn_idx", "ts"])
     wms = [f["watermark"] for f in finals]
     cols = ["conv_id", "turn_idx", "ts", "valid"]
     if out_dir is not None:
@@ -1657,7 +1674,7 @@ def run_streaming_sample(input_path: str, width_us: int, k: int = 5,
     finals = _pump_fragments(actors, fragments, n_shards,
                              validate_kwargs, max_pending)
     blocks = [b for f in finals for b in f["emitted"]]
-    late = [row for f in finals for row in f["late"]]
+    late = [b for f in finals for b in f["late"]]
     cols = ["window_id", "pos", "conv_id", "turn_idx", "h"]
     if blocks:
         flat = pd.concat([pd.DataFrame(b) for b in blocks],
@@ -1671,9 +1688,8 @@ def run_streaming_sample(input_path: str, width_us: int, k: int = 5,
         out = out[cols]
     else:
         out = pd.DataFrame(columns=cols)
-    late_df = (pd.DataFrame(late) if late else
-               pd.DataFrame(columns=["conv_id", "turn_idx", "ts",
-                                     "window_id"]))
+    late_df = _mixed_rows_df(late, ["conv_id", "turn_idx", "ts",
+                                   "window_id"])
     return out, late_df, [f["watermark"] for f in finals]
 
 
@@ -1703,7 +1719,7 @@ def run_streaming_quantiles(input_path: str, width_us: int,
     finals = _pump_fragments(actors, fragments, n_shards,
                              validate_kwargs, max_pending)
     cells = [c for f in finals for c in f["emitted"]]
-    late = [row for f in finals for row in f["late"]]
+    late = [b for f in finals for b in f["late"]]
     cols = ["window_id", "role", "n_valid", "n_rejected",
             "p50", "p90", "p99"]
     rows = []
@@ -1735,9 +1751,8 @@ def run_streaming_quantiles(input_path: str, width_us: int,
                          **quantiles_from_hist(vals, cnts)})
     out = pd.DataFrame(rows, columns=cols) if rows else \
         pd.DataFrame(columns=cols)
-    late_df = (pd.DataFrame(late) if late else
-               pd.DataFrame(columns=["conv_id", "turn_idx", "ts",
-                                     "window_id"]))
+    late_df = _mixed_rows_df(late, ["conv_id", "turn_idx", "ts",
+                                   "window_id"])
     return out, late_df, [f["watermark"] for f in finals]
 
 
@@ -1881,6 +1896,54 @@ def _guard_out_dir(out_dir: str | None, checkpoint_dir: str | None,
             "with the original checkpoint_dir")
 
 
+def _mixed_rows_df(items: list, columns: list[str]) -> pd.DataFrame:
+    """One DataFrame from an order-preserving mixed list of row dicts and
+    column BLOCKS (dicts of equal-length numpy arrays): blocks come from
+    _append_late and the columnar emitters, row dicts from the bounded
+    aggregate paths and pre-upgrade checkpoint deltas."""
+    frames: list[pd.DataFrame] = []
+    run: list[dict] = []
+    for it in items:
+        if it and isinstance(next(iter(it.values())), np.ndarray):
+            if run:
+                frames.append(pd.DataFrame(run))
+                run = []
+            frames.append(pd.DataFrame(it))
+        else:
+            run.append(it)
+    if run:
+        frames.append(pd.DataFrame(run))
+    frames = [f for f in frames if len(f)]
+    if not frames:
+        return pd.DataFrame(columns=columns)
+    return pd.concat(frames, ignore_index=True)[columns]
+
+
+def rows_list(items: list) -> list[dict]:
+    """Materialize a mixed rows/blocks list as row dicts (test/debug aid;
+    runners go straight to _mixed_rows_df)."""
+    out: list[dict] = []
+    for it in items:
+        if it and isinstance(next(iter(it.values())), np.ndarray):
+            keys = list(it)
+            for vals in zip(*(it[k].tolist() for k in keys)):
+                out.append(dict(zip(keys, vals)))
+        else:
+            out.append(it)
+    return out
+
+
+def rows_count(items: list) -> int:
+    """Row count of a mixed rows/blocks list without materializing."""
+    n = 0
+    for it in items:
+        if it and isinstance(next(iter(it.values())), np.ndarray):
+            n += len(next(iter(it.values())))
+        else:
+            n += 1
+    return n
+
+
 def _pump_fragments(actors: list, fragments, n_shards: int,
                     validate_kwargs: dict | None, max_pending: int) -> list[dict]:
     """The shared driver loop: parallel fragment prepare (read + validate +
@@ -1982,15 +2045,15 @@ def run_streaming_window_counts(input_path: str, width_us: int,
     finals = _pump_fragments(actors, fragments, n_shards,
                              validate_kwargs, max_pending)
     emitted = [row for f in finals for row in f["emitted"]]
-    late = [row for f in finals for row in f["late"]]
+    late = [b for f in finals for b in f["late"]]
     wc = (pd.DataFrame(emitted) if emitted else
           pd.DataFrame(columns=["window_id", "role", "tool", "n_valid", "n_rejected"]))
     if len(wc):
         # merge shard-level cells (same window key can exist in many shards)
         wc = (wc.groupby(["window_id", "role", "tool"], as_index=False)
               [["n_valid", "n_rejected"]].sum())
-    late_df = (pd.DataFrame(late) if late else
-               pd.DataFrame(columns=["conv_id", "turn_idx", "ts", "window_id"]))
+    late_df = _mixed_rows_df(late, ["conv_id", "turn_idx", "ts",
+                                   "window_id"])
     return wc, late_df, [f["watermark"] for f in finals]
 
 
@@ -2277,7 +2340,7 @@ def run_streaming_approx_topk(input_path: str, width_us: int, k: int,
     finals = _pump_fragments(actors, fragments, n_shards,
                              validate_kwargs, max_pending)
     emitted = [row for f in finals for row in f["emitted"]]
-    late = [row for f in finals for row in f["late"]]
+    late = [b for f in finals for b in f["late"]]
     if emitted:
         df = (pd.DataFrame(emitted)
               .sort_values(["window_id", "n_est", "conv_id"],
@@ -2287,9 +2350,8 @@ def run_streaming_approx_topk(input_path: str, width_us: int, k: int,
     else:
         df = pd.DataFrame(columns=["window_id", "conv_id", "n_est",
                                    "err_bound", "rk"])
-    late_df = (pd.DataFrame(late) if late else
-               pd.DataFrame(columns=["conv_id", "turn_idx", "ts",
-                                     "window_id"]))
+    late_df = _mixed_rows_df(late, ["conv_id", "turn_idx", "ts",
+                                   "window_id"])
     return df, late_df, [f["watermark"] for f in finals]
 
 
@@ -2322,11 +2384,10 @@ def run_streaming_topk(input_path: str, width_us: int, k: int,
     finals = _pump_fragments(actors, fragments, n_shards,
                              validate_kwargs, max_pending)
     emitted = [row for f in finals for row in f["emitted"]]
-    late = [row for f in finals for row in f["late"]]
+    late = [b for f in finals for b in f["late"]]
     topk = merge_topk_partials(emitted, k)
-    late_df = (pd.DataFrame(late) if late else
-               pd.DataFrame(columns=["conv_id", "turn_idx", "ts",
-                                     "window_id"]))
+    late_df = _mixed_rows_df(late, ["conv_id", "turn_idx", "ts",
+                                   "window_id"])
     return topk, late_df, [f["watermark"] for f in finals]
 
 
@@ -2351,14 +2412,13 @@ def run_streaming_distinct(input_path: str, width_us: int, lateness_us: int,
     finals = _pump_fragments(actors, fragments, n_shards,
                              validate_kwargs, max_pending)
     emitted = [row for f in finals for row in f["emitted"]]
-    late = [row for f in finals for row in f["late"]]
+    late = [b for f in finals for b in f["late"]]
     dc = (pd.DataFrame(emitted) if emitted else
           pd.DataFrame(columns=["window_id", "n_convs"]))
     if len(dc):
         dc = dc.groupby("window_id", as_index=False)["n_convs"].sum()
-    late_df = (pd.DataFrame(late) if late else
-               pd.DataFrame(columns=["conv_id", "turn_idx", "ts",
-                                     "window_id"]))
+    late_df = _mixed_rows_df(late, ["conv_id", "turn_idx", "ts",
+                                   "window_id"])
     return dc, late_df, [f["watermark"] for f in finals]
 
 
@@ -2451,11 +2511,12 @@ class PatternShardCore(ShardActorBase):
             if n > 1:
                 np.maximum(self.wm, cm[:-1], out=prefix_wm[1:])
             late_m = ts <= prefix_wm
-            if late_m.any():
-                for i in np.flatnonzero(late_m):
-                    self.late.append({"conv_id": conv[i],
-                                      "turn_idx": int(idx[i]),
-                                      "ts": int(ts[i])})
+            lsel = np.flatnonzero(late_m)
+            if len(lsel):
+                self._append_late(
+                    conv_id=np.asarray(conv, dtype=object)[lsel],
+                    turn_idx=idx[lsel].astype(np.int64),
+                    ts=ts[lsel].astype(np.int64))
             keep = ~late_m
             if keep.any():
                 arr = np.arange(self._arr, self._arr + int(keep.sum()),
@@ -2516,9 +2577,11 @@ class PatternShardCore(ShardActorBase):
                 last[u] = st[0]
         drop = dup | (idx <= last[cid])
         if drop.any():
-            for i in np.flatnonzero(drop):
-                self.late.append({"conv_id": uconv[cid[i]],
-                                  "turn_idx": int(idx[i]), "ts": -1})
+            dsel = np.flatnonzero(drop)
+            self._append_late(
+                conv_id=np.asarray(uconv, dtype=object)[cid[dsel]],
+                turn_idx=idx[dsel].astype(np.int64),
+                ts=np.full(len(dsel), -1, dtype=np.int64))
             cid, idx, code = cid[~drop], idx[~drop], code[~drop]
         m = len(cid)
         if m == 0:
@@ -2573,12 +2636,15 @@ class PatternShardCore(ShardActorBase):
             ep1 = np.minimum(ends + 1, n2 - 1)
             emit = ((ends < n2 - 1) & adj[ep1] & (code[ep1] == _PAT_C)
                     & aok)
-            for r in np.flatnonzero(emit):
+            esel = np.flatnonzero(emit)
+            if len(esel):
+                # columnar: match volume is O(rows) on pattern-dense data
                 self.emitted.append({
-                    "conv_id": uconv[cid[starts[r]]],
-                    "start_idx": int(estart[r]),
-                    "end_idx": int(idx[ends[r] + 1]),
-                    "n_tool_turns": int(counts[r])})
+                    "conv_id": np.asarray(uconv,
+                                          dtype=object)[cid[starts[esel]]],
+                    "start_idx": estart[esel].astype(np.int64),
+                    "end_idx": idx[ends[esel] + 1].astype(np.int64),
+                    "n_tool_turns": counts[esel].astype(np.int64)})
             run_of_end = {int(e): r for r, e in enumerate(ends)}
         # refresh per-conv carried state from each segment's LAST row
         seg_last = np.ones(n2, dtype=bool)
@@ -2632,13 +2698,11 @@ def run_streaming_patterns(input_path: str,
         for s in range(n_shards)]
     finals = _pump_fragments(actors, fragments, n_shards,
                              validate_kwargs, max_pending)
-    emitted = [row for f in finals for row in f["emitted"]]
-    late = [row for f in finals for row in f["late"]]
-    out = (pd.DataFrame(emitted) if emitted else
-           pd.DataFrame(columns=["conv_id", "start_idx", "end_idx",
-                                 "n_tool_turns"]))
-    late_df = (pd.DataFrame(late) if late else
-               pd.DataFrame(columns=["conv_id", "turn_idx", "ts"]))
+    emitted = [b for f in finals for b in f["emitted"]]
+    late = [b for f in finals for b in f["late"]]
+    out = _mixed_rows_df(emitted, ["conv_id", "start_idx", "end_idx",
+                                   "n_tool_turns"])
+    late_df = _mixed_rows_df(late, ["conv_id", "turn_idx", "ts"])
     return out, late_df, [f["watermark"] for f in finals]
 
 
@@ -2762,9 +2826,12 @@ class AbsenceShardCore(ShardActorBase):
             self._decode_batch(table)
         cm, prefix_wm = self._prefix_watermark(ts)
         late_m = ts <= prefix_wm
-        for i in np.flatnonzero(late_m):
-            self.late.append({"conv_id": names[bcodes[i]],
-                              "turn_idx": int(idx[i]), "ts": int(ts[i])})
+        lsel = np.flatnonzero(late_m)
+        if len(lsel):
+            self._append_late(
+                conv_id=np.asarray(names, dtype=object)[bcodes[lsel]],
+                turn_idx=idx[lsel].astype(np.int64),
+                ts=ts[lsel].astype(np.int64))
         keep = ~late_m
         u_rows = np.flatnonzero(keep & is_u_all)
         a_rows = np.flatnonzero(keep & is_a_all)
@@ -2801,9 +2868,13 @@ class AbsenceShardCore(ShardActorBase):
                 pos = np.searchsorted(self._s_key, q_key)
                 pos_c = np.minimum(pos, len(self._s_key) - 1)
                 dup_m |= self._s_key[pos_c] == q_key
-            for i in np.flatnonzero(dup_m):   # at-least-once dups: keep 1st
-                self.late.append({"conv_id": names[bcodes[u_rows[i]]],
-                                  "turn_idx": int(k_arr[i]), "ts": -1})
+            dsel = np.flatnonzero(dup_m)   # at-least-once dups: keep 1st
+            if len(dsel):
+                self._append_late(
+                    conv_id=np.asarray(names,
+                                       dtype=object)[bcodes[u_rows[dsel]]],
+                    turn_idx=k_arr[dsel].astype(np.int64),
+                    ts=np.full(len(dsel), -1, dtype=np.int64))
             new_m = ~dup_m
             if new_m.any():
                 g_new = u_g[new_m]
@@ -2855,12 +2926,13 @@ class AbsenceShardCore(ShardActorBase):
         m = self._p_dl <= bound
         if not m.any():
             return
-        convs = self._names[self._p_code[m]]
-        for c, k, t, dl in zip(convs, self._p_idx[m].tolist(),
-                               self._p_ts[m].tolist(),
-                               self._p_dl[m].tolist()):
-            self.emitted.append({"conv_id": c, "turn_idx": k,
-                                 "ts": t, "deadline": dl})
+        # columnar: timeout volume is O(convs) on absence-heavy streams
+        self.emitted.append({
+            "conv_id": np.asarray(self._names[self._p_code[m]],
+                                  dtype=object),
+            "turn_idx": self._p_idx[m].astype(np.int64),
+            "ts": self._p_ts[m].astype(np.int64),
+            "deadline": self._p_dl[m].astype(np.int64)})
         keep = ~m
         self._p_code = self._p_code[keep]
         self._p_idx = self._p_idx[keep]
@@ -3069,9 +3141,12 @@ class JoinShardCore(ShardActorBase):
             self._decode_batch(table)
         cm, prefix_wm = self._prefix_watermark(ts)
         late_m = ts <= prefix_wm
-        for i in np.flatnonzero(late_m):
-            self.late.append({"conv_id": names[bcodes[i]],
-                              "turn_idx": int(idx[i]), "ts": int(ts[i])})
+        lsel = np.flatnonzero(late_m)
+        if len(lsel):
+            self._append_late(
+                conv_id=np.asarray(names, dtype=object)[bcodes[lsel]],
+                turn_idx=idx[lsel].astype(np.int64),
+                ts=ts[lsel].astype(np.int64))
         keep = ~late_m
         # sel ascending = ARRIVAL order, so keep-first dup semantics are
         # exactly the scalar oracle's regardless of role interleaving
@@ -3090,9 +3165,13 @@ class JoinShardCore(ShardActorBase):
                 pos = np.searchsorted(self._s_key, q_key)
                 pos_c = np.minimum(pos, len(self._s_key) - 1)
                 dup_m |= self._s_key[pos_c] == q_key
-            for i in np.flatnonzero(dup_m):
-                self.late.append({"conv_id": names[bcodes[sel[i]]],
-                                  "turn_idx": int(k_sel[i]), "ts": -1})
+            dsel = np.flatnonzero(dup_m)
+            if len(dsel):
+                self._append_late(
+                    conv_id=np.asarray(names,
+                                       dtype=object)[bcodes[sel[dsel]]],
+                    turn_idx=k_sel[dsel].astype(np.int64),
+                    ts=np.full(len(dsel), -1, dtype=np.int64))
             new_m = ~dup_m
             if new_m.any():
                 key_new = q_key[new_m]
@@ -3243,9 +3322,8 @@ def run_streaming_join(input_path: str, window_us: int,
         for s in range(n_shards)]
     finals = _pump_fragments(actors, fragments, n_shards,
                              validate_kwargs, max_pending)
-    late = [row for f in finals for row in f["late"]]
-    late_df = (pd.DataFrame(late) if late else
-               pd.DataFrame(columns=["conv_id", "turn_idx", "ts"]))
+    late = [b for f in finals for b in f["late"]]
+    late_df = _mixed_rows_df(late, ["conv_id", "turn_idx", "ts"])
     wms = [f["watermark"] for f in finals]
     cols = list(JoinShardCore._PAIR_COLS)
     if out_dir is not None:
@@ -3285,10 +3363,8 @@ def run_streaming_absence(input_path: str, window_us: int,
         for s in range(n_shards)]
     finals = _pump_fragments(actors, fragments, n_shards,
                              validate_kwargs, max_pending)
-    emitted = [row for f in finals for row in f["emitted"]]
-    late = [row for f in finals for row in f["late"]]
-    out = (pd.DataFrame(emitted) if emitted else
-           pd.DataFrame(columns=["conv_id", "turn_idx", "ts", "deadline"]))
-    late_df = (pd.DataFrame(late) if late else
-               pd.DataFrame(columns=["conv_id", "turn_idx", "ts"]))
+    emitted = [b for f in finals for b in f["emitted"]]
+    late = [b for f in finals for b in f["late"]]
+    out = _mixed_rows_df(emitted, ["conv_id", "turn_idx", "ts", "deadline"])
+    late_df = _mixed_rows_df(late, ["conv_id", "turn_idx", "ts"])
     return out, late_df, [f["watermark"] for f in finals]

@@ -76,7 +76,8 @@ def test_absence_name_index_compacts():
     assert len(core._names) <= 1024 + 400
     # emissions still one per unanswered user turn so far
     fin = core.finalize()
-    assert len(fin["emitted"]) == 8000
+    from lauchy_ray.state.streaming import rows_count
+    assert rows_count(fin["emitted"]) == 8000
 
 
 def test_dedup_restores_pre_columnar_checkpoint_state():

@@ -102,14 +102,16 @@ def test_session_core_matches_oracle_property(rows, n_batches, gap, lateness):
     exp_sess, exp_late, exp_wms = O.streaming_sessions_rows(
         dict_rows, gap, lateness, 1)
 
+    from lauchy_ray.state.streaming import rows_count, rows_list
     got_sess = {(e["conv_id"], e["start_us"], e["end_us"], e["n_turns"])
-                for e in got["emitted"]}
+                for e in rows_list(got["emitted"])}
     exp_set = {(e["conv_id"], e["start_us"], e["end_us"], e["n_turns"])
                for e in exp_sess}
     assert got_sess == exp_set
-    assert len(got["late"]) == len(exp_late)
+    assert rows_count(got["late"]) == len(exp_late)
     # conservation: every row in exactly one session or late
-    assert sum(e["n_turns"] for e in got["emitted"]) + len(got["late"]) == len(rows)
+    assert (sum(e["n_turns"] for e in rows_list(got["emitted"]))
+            + rows_count(got["late"])) == len(rows)
 
 
 @settings(max_examples=40, deadline=None)
@@ -146,8 +148,9 @@ def test_window_core_matches_oracle_property(rows, n_batches, width, lateness):
             v[1] += e["n_rejected"]
         return {k: tuple(v) for k, v in agg.items()}
 
+    from lauchy_ray.state.streaming import rows_count
     assert roll(got["emitted"]) == roll(exp_counts)
-    assert len(got["late"]) == len(exp_late)
+    assert rows_count(got["late"]) == len(exp_late)
 
 
 # ---------------------------------------------------- near-dup clusters
@@ -270,7 +273,8 @@ def test_quantile_core_matches_oracle_property(rows, n_batches, width,
                (e["n_valid"], e["n_rejected"], e["p50"], e["p90"], e["p99"])
                for e in exp_cells}
     assert got_cells == exp_map
-    assert len(got["late"]) == len(exp_late)
+    from lauchy_ray.state.streaming import rows_count
+    assert rows_count(got["late"]) == len(exp_late)
 
 
 @settings(max_examples=40, deadline=None)
@@ -311,4 +315,5 @@ def test_sample_core_matches_oracle_property(rows, n_batches, width, k,
     exp_set = {(e["window_id"], e["conv_id"], e["turn_idx"], e["h"])
                for e in exp_rows}
     assert got_set == exp_set
-    assert len(got["late"]) == len(exp_late)
+    from lauchy_ray.state.streaming import rows_count
+    assert rows_count(got["late"]) == len(exp_late)

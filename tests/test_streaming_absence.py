@@ -141,10 +141,13 @@ def _run_core(rows, lateness, window, n_slices):
             "ts": pa.array([r[3] for r in part], pa.timestamp("us")),
         }))
     fin = core.finalize()
-    got = {(r["conv_id"], r["turn_idx"], r["ts"]) for r in fin["emitted"]}
+    from lauchy_ray.state.streaming import rows_list
+    got = {(r["conv_id"], r["turn_idx"], r["ts"])
+           for r in rows_list(fin["emitted"])}
+    late_rows = rows_list(fin["late"])
     wm_late = [(r["conv_id"], r["turn_idx"], r["ts"])
-               for r in fin["late"] if r["ts"] != -1]
-    dup = sum(1 for r in fin["late"] if r["ts"] == -1)
+               for r in late_rows if r["ts"] != -1]
+    dup = sum(1 for r in late_rows if r["ts"] == -1)
     return got, wm_late, dup
 
 

@@ -167,9 +167,11 @@ def _run_core(rows, lateness, window, n_slices):
         got |= set(zip(b["conv_id"].tolist(), b["u_idx"].tolist(),
                        b["a_idx"].tolist(), b["u_ts"].tolist(),
                        b["a_ts"].tolist()))
+    from lauchy_ray.state.streaming import rows_list
+    late_rows = rows_list(fin["late"])
     wm_late = [(r["conv_id"], r["turn_idx"], r["ts"])
-               for r in fin["late"] if r["ts"] != -1]
-    dup = sum(1 for r in fin["late"] if r["ts"] == -1)
+               for r in late_rows if r["ts"] != -1]
+    dup = sum(1 for r in late_rows if r["ts"] == -1)
     return got, wm_late, dup
 
 

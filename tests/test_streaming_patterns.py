@@ -120,7 +120,8 @@ def test_core_carried_run_across_batches():
         core = PatternShardCore(lateness_us=0)
         core.ingest(_tbl(rows[:split]), seq=0)
         core.ingest(_tbl(rows[split:]), seq=1)
-        out = core.finalize()["emitted"]
+        from lauchy_ray.state.streaming import rows_list
+        out = rows_list(core.finalize()["emitted"])
         assert out == [{"conv_id": "c", "start_idx": 0, "end_idx": 4,
                         "n_tool_turns": 3}], f"split={split}"
 
@@ -142,7 +143,9 @@ def test_core_late_row_routed_not_matched():
                       ("c", 1, "tool", 96), ("c", 2, "tool", 97)]), seq=0)
     fin = core.finalize()
     assert fin["emitted"] == []  # run has no adjacent A (idx 0 was late)
-    assert [(r["conv_id"], r["turn_idx"]) for r in fin["late"]] == [("c", 0)]
+    from lauchy_ray.state.streaming import rows_list
+    assert [(r["conv_id"], r["turn_idx"])
+            for r in rows_list(fin["late"])] == [("c", 0)]
 
 
 def test_core_duplicate_idx_keeps_first():
@@ -150,7 +153,8 @@ def test_core_duplicate_idx_keeps_first():
     core.ingest(_tbl([("c", 0, "user", 10), ("c", 1, "tool", 20),
                       ("c", 1, "system", 25), ("c", 2, "assistant", 30)]),
                 seq=0)
-    out = core.finalize()["emitted"]
+    from lauchy_ray.state.streaming import rows_list
+    out = rows_list(core.finalize()["emitted"])
     assert out == [{"conv_id": "c", "start_idx": 0, "end_idx": 2,
                     "n_tool_turns": 1}]
 
@@ -165,9 +169,10 @@ def test_core_stale_inflated_dup_never_rematches():
     core.ingest(_tbl([("c", 0, "user", 100), ("c", 1, "tool", 101),
                       ("c", 2, "assistant", 102)]), seq=1)
     fin = core.finalize()
-    assert fin["emitted"] == [{"conv_id": "c", "start_idx": 0,
-                               "end_idx": 2, "n_tool_turns": 1}]
-    assert sum(1 for r in fin["late"] if r["ts"] == -1) == 3
+    from lauchy_ray.state.streaming import rows_list
+    assert rows_list(fin["emitted"]) == [{"conv_id": "c", "start_idx": 0,
+                                          "end_idx": 2, "n_tool_turns": 1}]
+    assert sum(1 for r in rows_list(fin["late"]) if r["ts"] == -1) == 3
 
 
 def test_checkpoint_resume_identical(fixture_dir, batch_truth, tmp_path):
@@ -281,11 +286,13 @@ def test_core_matches_scalar_oracle(seed, lateness, n_slices):
         if hi > lo:
             core.ingest(_tbl(rows[lo:hi]), seq=s)
     fin = core.finalize()
+    from lauchy_ray.state.streaming import rows_list
     got_matches = {(r["conv_id"], r["start_idx"], r["end_idx"],
-                    r["n_tool_turns"]) for r in fin["emitted"]}
+                    r["n_tool_turns"]) for r in rows_list(fin["emitted"])}
     assert got_matches == exp_matches
+    late_rows = rows_list(fin["late"])
     got_wm_late = Counter((r["conv_id"], r["turn_idx"], r["ts"])
-                          for r in fin["late"] if r["ts"] != -1)
+                          for r in late_rows if r["ts"] != -1)
     assert got_wm_late == Counter(exp_wm_late)
-    n_routed = sum(1 for r in fin["late"] if r["ts"] == -1)
+    n_routed = sum(1 for r in late_rows if r["ts"] == -1)
     assert n_routed == exp_routed

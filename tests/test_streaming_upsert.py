@@ -112,7 +112,8 @@ def test_upsert_core_matches_oracle_property(rows, n_batches, lateness):
     exp_map = {(r["conv_id"], r["turn_idx"]): (r["ts"], r["valid"])
                for r in exp_rows}
     assert got_map == exp_map
-    assert len(got["late"]) == len(exp_late)
+    from lauchy_ray.state.streaming import rows_count
+    assert rows_count(got["late"]) == len(exp_late)
 
 
 def test_streaming_upsert_checkpoint_resume(fixture_dir, streamed_u,
