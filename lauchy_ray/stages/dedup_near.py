@@ -538,10 +538,25 @@ def collapse_and_pairs(docs: rd.Dataset, method: str = "minhash",
     return rep_pairs, multi
 
 
+# above this many (doc -> root) entries the cluster map is no longer
+# broadcast from the driver: on a dup-heavy corpus the map is O(docs in
+# any dup group) — billions of entries at 100 TB — so assignment switches
+# to a bucketed distributed join of docs against a (doc, root) Dataset
+CLUSTER_MAP_BROADCAST_LIMIT = 4_000_000
+
+
 def cluster_assignments(docs: rd.Dataset, rep_pairs: pd.DataFrame,
-                        multi: pd.DataFrame,
-                        id_col: str = "doc_id") -> rd.Dataset:
-    """(doc_id, rep_id) from precomputed parts — see near_dup_clusters."""
+                        multi,
+                        id_col: str = "doc_id",
+                        broadcast_limit: int = CLUSTER_MAP_BROADCAST_LIMIT
+                        ) -> rd.Dataset:
+    """(doc_id, rep_id) from precomputed parts — see near_dup_clusters.
+
+    ``multi`` may be a DataFrame (the _collapse_exact output) or a
+    (rep, doc_id) Dataset. The driver union-find runs over REP-level
+    pairs only (bounded by verified near-dup pairs); the doc-level map is
+    broadcast while small and becomes a distributed bucketed join above
+    ``broadcast_limit`` entries."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -562,29 +577,95 @@ def cluster_assignments(docs: rd.Dataset, rep_pairs: pd.DataFrame,
             parent.setdefault(lo, lo)
 
     rep_root = {n: find(n) for n in list(parent)}
-    mapping: dict[int, int] = {}
-    for rep, doc in zip(multi["rep"].to_numpy(), multi["doc_id"].to_numpy()):
-        mapping[int(doc)] = rep_root.get(int(rep), int(rep))
-    for node, root in rep_root.items():
-        mapping.setdefault(node, root)
+    multi_is_ds = isinstance(multi, rd.Dataset)
+    n_multi = multi.count() if multi_is_ds else len(multi)
 
-    keys = np.fromiter(sorted(mapping), dtype=np.int64, count=len(mapping))
-    vals = np.array([mapping[int(k)] for k in keys], dtype=np.int64)
-    ref = ray.put((keys, vals))
+    if not multi_is_ds and n_multi + len(rep_root) <= broadcast_limit:
+        # small-map fast path: one ray.put, zero-copy searchsorted per task
+        mapping: dict[int, int] = {}
+        for rep, doc in zip(multi["rep"].to_numpy(),
+                            multi["doc_id"].to_numpy()):
+            mapping[int(doc)] = rep_root.get(int(rep), int(rep))
+        for node, root in rep_root.items():
+            mapping.setdefault(node, root)
 
-    def assign(t: pa.Table) -> pa.Table:
-        k, v = ray.get(ref)
-        ids = t[id_col].to_numpy().astype(np.int64)
+        keys = np.fromiter(sorted(mapping), dtype=np.int64,
+                           count=len(mapping))
+        vals = np.array([mapping[int(k)] for k in keys], dtype=np.int64)
+        ref = ray.put((keys, vals))
+
+        def assign(t: pa.Table) -> pa.Table:
+            k, v = ray.get(ref)
+            ids = t[id_col].to_numpy().astype(np.int64)
+            if len(k):
+                pos = np.clip(np.searchsorted(k, ids), 0, len(k) - 1)
+                hit = k[pos] == ids
+                rep = np.where(hit, v[pos], ids)
+            else:
+                rep = ids
+            return pa.table({id_col: pa.array(ids),
+                             "rep_id": pa.array(rep)})
+
+        return docs.select_columns([id_col]).map_batches(
+            assign, batch_format="pyarrow")
+
+    # distributed path: never hold the doc-level map on the driver.
+    # rep_root stays tiny (≤ 2 × verified rep pairs) and is broadcast;
+    # member rows (rep, doc_id) map to (doc, root) rows in parallel, and
+    # docs join that Dataset by hash bucket of doc_id.
+    rk = np.fromiter(sorted(rep_root), dtype=np.int64, count=len(rep_root))
+    rv = np.array([rep_root[int(k)] for k in rk], dtype=np.int64)
+    rr_ref = ray.put((rk, rv))
+
+    def member_map(df: pd.DataFrame) -> pd.DataFrame:
+        k, v = ray.get(rr_ref)
+        rep = df["rep"].to_numpy().astype(np.int64)
         if len(k):
-            pos = np.clip(np.searchsorted(k, ids), 0, len(k) - 1)
-            hit = k[pos] == ids
-            rep = np.where(hit, v[pos], ids)
+            pos = np.clip(np.searchsorted(k, rep), 0, len(k) - 1)
+            hit = k[pos] == rep
+            root = np.where(hit, v[pos], rep)
+        else:
+            root = rep
+        return pd.DataFrame({"__id": df["doc_id"].to_numpy()
+                             .astype(np.int64),
+                             "rep_id": root, "__src": np.int64(1)})
+
+    multi_ds = multi if multi_is_ds else rd.from_pandas(multi)
+    map_ds = multi_ds.map_batches(member_map, batch_format="pandas")
+    if len(rk):
+        # distinct-text reps joined only by near-dup pairs (not members
+        # of any exact-dup group) still need their own (rep -> root) row;
+        # overlap with member rows is deduplicated inside the join kernel
+        map_ds = map_ds.union(rd.from_pandas(pd.DataFrame(
+            {"__id": rk, "rep_id": rv, "__src": np.int64(1)})))
+
+    def tag_docs(t: pa.Table) -> pd.DataFrame:
+        ids = t[id_col].to_numpy().astype(np.int64)
+        return pd.DataFrame({"__id": ids,
+                             "rep_id": np.zeros(len(ids), np.int64),
+                             "__src": np.int64(0)})
+
+    both = docs.select_columns([id_col]).map_batches(
+        tag_docs, batch_format="pyarrow").union(map_ds)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        src = g["__src"].to_numpy()
+        ids = g.loc[src == 0, "__id"].to_numpy()
+        mp = g[src == 1].drop_duplicates("__id")
+        mk = mp["__id"].to_numpy()
+        mv = mp["rep_id"].to_numpy()
+        order = np.argsort(mk)
+        mk, mv = mk[order], mv[order]
+        if len(mk):
+            pos = np.clip(np.searchsorted(mk, ids), 0, len(mk) - 1)
+            hit = mk[pos] == ids
+            rep = np.where(hit, mv[pos], ids)
         else:
             rep = ids
-        return pa.table({id_col: pa.array(ids), "rep_id": pa.array(rep)})
+        return pd.DataFrame({id_col: ids, "rep_id": rep})
 
-    return docs.select_columns([id_col]).map_batches(
-        assign, batch_format="pyarrow")
+    from .bucketing import group_map_by_key
+    return group_map_by_key(both, "__id", join_bucket)
 
 
 def near_dup_clusters(docs: rd.Dataset, method: str = "minhash",

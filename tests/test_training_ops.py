@@ -698,3 +698,28 @@ def test_bottomk_and_curriculum_shapes(tmp_path):
     bands = sorted(lo.index)
     for a, b in zip(bands, bands[1:]):
         assert hi[a] <= lo[b]  # bands partition the value axis monotonically
+
+
+def test_cluster_assignments_distributed_equals_broadcast(docs_ds):
+    """broadcast_limit=0 forces the bucketed distributed join (the 100-TB
+    dup-heavy path: no driver-held doc->root map); output must be
+    IDENTICAL to the broadcast fast path on a corpus mixing exact-dup
+    groups, near-dup pairs, and singletons."""
+    ds, df = docs_ds
+    rep_pairs, multi = dedup_near.collapse_and_pairs(ds, "minhash",
+                                                     threshold=0.9)
+    fast = (dedup_near.cluster_assignments(ds, rep_pairs, multi)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    dist = (dedup_near.cluster_assignments(ds, rep_pairs, multi,
+                                           broadcast_limit=0)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        fast, dist[["doc_id", "rep_id"]].astype(fast.dtypes.to_dict()))
+    # multi as a DATASET (the no-driver-materialization form) too
+    import ray.data as rd_
+    dist2 = (dedup_near.cluster_assignments(ds, rep_pairs,
+                                            rd_.from_pandas(multi),
+                                            broadcast_limit=0)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        fast, dist2[["doc_id", "rep_id"]].astype(fast.dtypes.to_dict()))
