@@ -705,7 +705,11 @@ def test_cluster_assignments_distributed_equals_broadcast(docs_ds):
     dup-heavy path: no driver-held doc->root map); output must be
     IDENTICAL to the broadcast fast path on a corpus mixing exact-dup
     groups, near-dup pairs, and singletons."""
-    ds, df = docs_ds
+    _, df = docs_ds
+    # fresh Dataset: Ray Data's eager GC can free the module fixture's
+    # materialized blocks after earlier consumers, and stale block refs
+    # fail arg-prep with "owner is unknown"
+    ds = rd.from_pandas(df)
     rep_pairs, multi = dedup_near.collapse_and_pairs(ds, "minhash",
                                                      threshold=0.9)
     fast = (dedup_near.cluster_assignments(ds, rep_pairs, multi)
