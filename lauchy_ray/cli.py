@@ -106,6 +106,8 @@ def main(argv: list[str] | None = None) -> int:
     ss.add_argument("--lateness-min", type=int, default=5)
     ss.add_argument("--shards", type=int, default=8)
     ss.add_argument("--checkpoint-dir", default=None)
+    ss.add_argument("--tail", action="store_true")
+    ss.add_argument("--idle-timeout-s", type=float, default=30.0)
 
     sd = sub.add_parser("stream-dedup", parents=[common],
                         help="streaming exactly-once dedup by key with "
@@ -116,6 +118,8 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument("--lateness-min", type=int, default=5)
     sd.add_argument("--shards", type=int, default=8)
     sd.add_argument("--checkpoint-dir", default=None)
+    sd.add_argument("--tail", action="store_true")
+    sd.add_argument("--idle-timeout-s", type=float, default=30.0)
 
     sp = sub.add_parser("stream-patterns", parents=[common],
                         help="streaming row-pattern CEP matcher "
@@ -364,7 +368,8 @@ def main(argv: list[str] | None = None) -> int:
             sess, late, wms = run_streaming_sessions(
                 args.input, args.gap_min * 60 * 1_000_000,
                 args.lateness_min * 60 * 1_000_000, n_shards=args.shards,
-                checkpoint_dir=args.checkpoint_dir)
+                checkpoint_dir=args.checkpoint_dir,
+                tail=args.tail, idle_timeout_s=args.idle_timeout_s)
             os.makedirs(args.out, exist_ok=True)
             pq.write_table(pa.Table.from_pandas(sess),
                            os.path.join(args.out, "sessions.parquet"))
@@ -527,7 +532,8 @@ def main(argv: list[str] | None = None) -> int:
                 args.input, args.out,
                 retention_us=args.retention_min * 60 * 1_000_000,
                 lateness_us=args.lateness_min * 60 * 1_000_000,
-                n_shards=args.shards, checkpoint_dir=args.checkpoint_dir)
+                n_shards=args.shards, checkpoint_dir=args.checkpoint_dir,
+                tail=args.tail, idle_timeout_s=args.idle_timeout_s)
             print(json.dumps({"out": args.out,
                               "rows_out": summary["rows_out"],
                               "state_keys": summary["state_keys"]}))

@@ -743,17 +743,23 @@ def run_streaming_sessions(input_path: str, gap_us: int, lateness_us: int,
                            n_shards: int = 8,
                            validate_kwargs: dict | None = None,
                            max_pending: int = 4,
-                           checkpoint_dir: str | None = None):
+                           checkpoint_dir: str | None = None,
+                           tail: bool = False,
+                           poll_interval_s: float = 0.25,
+                           idle_timeout_s: float = 10.0,
+                           stop_file: str = "_EOS"):
     """Stream fragments through validator + session shard actors.
 
     → (sessions DataFrame (conv_id, start_us, end_us, n_turns),
        late DataFrame, per-shard watermarks). With lateness → ∞ no row is
     ever late and every session flushes at finalize, so the result equals
-    batch sessionization of the same rows exactly (tested invariant)."""
-    fragments = list_fragments(input_path)
+    batch sessionization of the same rows exactly (tested invariant).
+    ``tail=True``: live directory-watch ingest (see
+    run_streaming_window_counts)."""
     meta = {"kind": "sessions", "gap_us": gap_us, "lateness_us": lateness_us,
             "n_shards": n_shards}
-    _guard_checkpoint_dir(checkpoint_dir, meta, fragments)
+    fragments = _fragment_source(input_path, meta, checkpoint_dir, tail,
+                                 poll_interval_s, idle_timeout_s, stop_file)
     actors = [SessionShardActor.remote(
         gap_us, lateness_us,
         os.path.join(checkpoint_dir, f"shard-{s}.ckpt") if checkpoint_dir else None)
@@ -933,14 +939,18 @@ def run_streaming_dedup(input_path: str, out_dir: str,
                         n_shards: int = 8,
                         validate_kwargs: dict | None = None,
                         max_pending: int = 4,
-                        checkpoint_dir: str | None = None) -> dict:
+                        checkpoint_dir: str | None = None,
+                        tail: bool = False,
+                        poll_interval_s: float = 0.25,
+                        idle_timeout_s: float = 10.0,
+                        stop_file: str = "_EOS") -> dict:
     """Streaming dedup-by-key over the fragment stream, writing the
     deduplicated stream as per-shard parquet parts (exactly-once: output
     part names are (shard, seq)-deterministic, replay skips applied seqs).
-    → summary dict {rows_out, state_keys, watermarks}."""
+    → summary dict {rows_out, state_keys, watermarks}. ``tail=True``:
+    live directory-watch ingest (see run_streaming_window_counts)."""
     import glob as _glob
     key_cols = key_cols or ["conv_id", "turn_idx"]
-    fragments = list_fragments(input_path)
     # a run only legitimately APPENDS to a dirty out_dir when it resumes
     # from the checkpoint that wrote those parts — i.e. checkpoint_dir
     # holds PRIOR STATE (_meta.json, or shard ckpts from a crash that
@@ -962,7 +972,8 @@ def run_streaming_dedup(input_path: str, out_dir: str,
     meta = {"kind": "dedup", "key_cols": key_cols,
             "retention_us": retention_us, "lateness_us": lateness_us,
             "n_shards": n_shards, "out_dir": out_dir}
-    _guard_checkpoint_dir(checkpoint_dir, meta, fragments)
+    fragments = _fragment_source(input_path, meta, checkpoint_dir, tail,
+                                 poll_interval_s, idle_timeout_s, stop_file)
     actors = [DedupShardActor.remote(
         key_cols, retention_us, lateness_us,
         os.path.join(out_dir, f"shard-{s:03d}"),
@@ -1875,6 +1886,25 @@ def _tail_fragment_source(input_path: str, checkpoint_dir: str | None,
             log_f.close()
 
 
+def _fragment_source(input_path: str, meta: dict,
+                     checkpoint_dir: str | None, tail: bool,
+                     poll_interval_s: float, idle_timeout_s: float,
+                     stop_file: str):
+    """Resolve a runner's fragment feed and guard its checkpoint dir:
+    the static sorted listing, or (tail=True) the directory watch with
+    the _fragments.log exactly-once replay protocol."""
+    if tail:
+        meta = dict(meta)
+        meta["tail"] = True
+        _guard_checkpoint_dir(checkpoint_dir, meta, None)
+        return _tail_fragment_source(input_path, checkpoint_dir,
+                                     poll_interval_s, idle_timeout_s,
+                                     stop_file)
+    fragments = list_fragments(input_path)
+    _guard_checkpoint_dir(checkpoint_dir, meta, fragments)
+    return fragments
+
+
 def _guard_out_dir(out_dir: str | None, checkpoint_dir: str | None,
                    pattern: str) -> None:
     """Refuse to write into an out_dir that already holds parts unless
@@ -2028,15 +2058,8 @@ def run_streaming_window_counts(input_path: str, width_us: int,
     meta = {"width_us": width_us, "slide_us": slide_us,
             "lateness_us": lateness_us, "n_shards": n_shards,
             "late_policy": late_policy}
-    if tail:
-        meta["tail"] = True
-        _guard_checkpoint_dir(checkpoint_dir, meta, None)
-        fragments = _tail_fragment_source(input_path, checkpoint_dir,
-                                          poll_interval_s, idle_timeout_s,
-                                          stop_file)
-    else:
-        fragments = list_fragments(input_path)
-        _guard_checkpoint_dir(checkpoint_dir, meta, fragments)
+    fragments = _fragment_source(input_path, meta, checkpoint_dir, tail,
+                                 poll_interval_s, idle_timeout_s, stop_file)
     actors = [WindowShardActor.remote(
         width_us, lateness_us, slide_us,
         os.path.join(checkpoint_dir, f"shard-{s}.ckpt") if checkpoint_dir else None,

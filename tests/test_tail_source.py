@@ -154,3 +154,54 @@ def test_tail_run_equals_static_run(ray_session, fixture_dir, tmp_path):
         run_streaming_window_counts(
             live, HOUR_US, LATENESS_US, n_shards=4, validate_kwargs=vk,
             checkpoint_dir=ckpt)
+
+
+def test_tail_sessions_and_dedup_equal_static(ray_session, fixture_dir,
+                                              tmp_path):
+    """Tail mode on the sessions and dedup runners: mid-run appends must
+    equal the static run (sessions bit-for-bit; dedup same kept rows)."""
+    import pyarrow.parquet as pq2
+
+    from lauchy_ray.state.streaming import (run_streaming_dedup,
+                                            run_streaming_sessions)
+    GAP = 30 * 60 * 1_000_000
+    entity_codes = sorted(set(
+        pq.read_table(fixture_dir["entities"])["code"].to_pylist()))
+    vk = {"entity_codes": entity_codes}
+
+    s_sess, s_late, _ = run_streaming_sessions(
+        fixture_dir["turns"], GAP, LATENESS_US, n_shards=4,
+        validate_kwargs=vk)
+
+    live = str(tmp_path / "live")
+    rest = _split_fragments(fixture_dir["turns"], live, n_first=2)
+
+    def producer():
+        time.sleep(0.8)
+        for p in rest:
+            shutil.copy(p, live)
+            time.sleep(0.2)
+        open(os.path.join(live, "_EOS"), "w").close()
+
+    t = threading.Thread(target=producer)
+    t.start()
+    t_sess, t_late, _ = run_streaming_sessions(
+        live, GAP, LATENESS_US, n_shards=4, validate_kwargs=vk,
+        tail=True, poll_interval_s=0.1, idle_timeout_s=60.0)
+    t.join()
+    key = ["conv_id", "start_us"]
+    pd.testing.assert_frame_equal(
+        t_sess.sort_values(key).reset_index(drop=True),
+        s_sess.sort_values(key).reset_index(drop=True))
+    assert len(t_late) == len(s_late)
+
+    # dedup: static vs tail (fragments all present, EOS pre-placed)
+    out_s = str(tmp_path / "ds")
+    sum_s = run_streaming_dedup(fixture_dir["turns"], out_s,
+                                validate_kwargs=vk, n_shards=4)
+    open(os.path.join(live, "_EOS"), "w").close()
+    out_t = str(tmp_path / "dt")
+    sum_t = run_streaming_dedup(live, out_t, validate_kwargs=vk,
+                                n_shards=4, tail=True,
+                                poll_interval_s=0.1, idle_timeout_s=5.0)
+    assert sum_t["rows_out"] == sum_s["rows_out"]
