@@ -256,6 +256,10 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "supplier_balance_by_nation": Q.q_supplier_balance_by_nation,
         "monthly_returns": Q.q_monthly_returns,
         "response_latency": Q.q_response_latency,
+        # round-5 TPC-H shapes
+        "q7_nation_volume": Q.q_q7_nation_volume,
+        "q17_small_qty_revenue": Q.q_q17_small_qty_revenue,
+        "q8_market_share": Q.q_q8_market_share,
     }
 
 
@@ -1734,4 +1738,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(l) AS BIGINT) AS sum_lat_us,
                    min(l) AS min_lat_us, max(l) AS max_lat_us
             FROM lat WHERE l IS NOT NULL GROUP BY 1""",
+        # TPC-H Q7 shape: exact 1e-4-dollar integers (q6 convention)
+        "q7_nation_volume": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)
+                            * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                          AS BIGINT))) AS BIGINT)
+                       AS revenue_e4
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation sn ON sn.n_nationkey = s_nationkey
+            JOIN nation cn ON cn.n_nationkey = c_nationkey
+            WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+               OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+            GROUP BY 1, 2, 3""",
+        # TPC-H Q17 shape: the 0.2*avg rule as exact integers
+        # (5*qty*cnt < sum_qty), one float division by 700.0 at the end
+        "q17_small_qty_revenue": """
+            WITH bp AS (SELECT p_partkey FROM part
+                        WHERE p_brand = 'Brand#5'),
+            st AS (SELECT l_partkey,
+                          CAST(count(*) AS BIGINT) AS cnt,
+                          CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                               AS BIGINT) AS sq
+                   FROM lineitem JOIN bp ON p_partkey = l_partkey
+                   GROUP BY l_partkey)
+            SELECT CAST(COALESCE(sum(
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)),
+                       0) AS BIGINT) AS sum_price_e2,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(COALESCE(sum(
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)),
+                       0) AS DOUBLE) / 700.0 AS avg_yearly
+            FROM lineitem JOIN st ON st.l_partkey = lineitem.l_partkey
+            WHERE 5 * CAST(floor(l_quantity + 0.5) AS BIGINT) * cnt < sq""",
+        # TPC-H Q8 shape: exact integer numerator/denominator, one float
+        # division per year
+        "q8_market_share": """
+            WITH f AS (
+              SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                     CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                   AS BIGINT)) AS rev,
+                     s_nationkey
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation cn ON cn.n_nationkey = c_nationkey
+              JOIN region ON r_regionkey = cn.n_regionkey
+                         AND r_name = 'EUROPE'
+              JOIN supplier ON s_suppkey = l_suppkey)
+            SELECT l_year,
+                   CAST(sum(CASE WHEN s_nationkey =
+                         (SELECT n_nationkey FROM nation
+                          WHERE n_name = 'NATION_1')
+                       THEN rev ELSE 0 END) AS BIGINT) AS nation_e4,
+                   CAST(sum(rev) AS BIGINT) AS total_e4,
+                   CAST(sum(CASE WHEN s_nationkey =
+                         (SELECT n_nationkey FROM nation
+                          WHERE n_name = 'NATION_1')
+                       THEN rev ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(rev) AS DOUBLE) AS mkt_share
+            FROM f GROUP BY l_year""",
     }

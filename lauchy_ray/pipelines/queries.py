@@ -5243,3 +5243,278 @@ def q_unpivot_lineitem(sf_dir: str):
 
     return _grouped_sums(ds.map_batches(partial, batch_format="pyarrow"),
                          ["measure"], ["total_cents"])
+
+
+# round-5 TPC-H shapes ------------------------------------------------
+
+Q7_NATIONS = ("NATION_1", "NATION_2")
+Q8_REGION, Q8_NATION, Q8_TYPE = "EUROPE", "NATION_1", "PROMO"
+Q17_BRAND = "Brand#5"
+
+
+def _dim_table(path: str, columns: list[str]):
+    """Size-gated dimension read (q19 convention: loud over the gate —
+    the >gate path is hash_inner_join, as q5 demonstrates)."""
+    import os
+
+    import pyarrow.parquet as pq
+    if os.path.getsize(path) > BROADCAST_DIM_BYTES:
+        raise ValueError(f"{path} above the broadcast gate: route via "
+                         "hash_inner_join (see q_q5_region_revenue)")
+    return pq.read_table(path, columns=columns)
+
+
+def _year_of_us(ts_us: np.ndarray) -> np.ndarray:
+    """Calendar year from int64 microsecond timestamps (vectorized)."""
+    return (ts_us.astype("datetime64[us]").astype("datetime64[Y]")
+            .astype(np.int64) + 1970)
+
+
+def q_q7_nation_volume(sf_dir: str):
+    """TPC-H Q7 shape (volume shipping between two nations): revenue of
+    lineitems whose SUPPLIER sits in one of two nations and whose
+    ordering CUSTOMER in the other, per (supp_nation, cust_nation, ship
+    year). supplier / customer / order-custkey maps are size-gated
+    broadcasts (sorted numpy, one ray.put each); the fact table streams
+    through ONE vectorized pass; revenue in exact 1e-4-dollar integers
+    (q6 convention); bounded (2 × years) grouped-sum merge."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pydict()
+    key_of = dict(zip(nat["n_name"], nat["n_nationkey"]))
+    n1, n2 = (key_of[Q7_NATIONS[0]], key_of[Q7_NATIONS[1]])
+
+    sup = _dim_table(f"{sf_dir}/supplier.parquet",
+                     ["s_suppkey", "s_nationkey"]).sort_by("s_suppkey")
+    cus = _dim_table(f"{sf_dir}/customer.parquet",
+                     ["c_custkey", "c_nationkey"]).sort_by("c_custkey")
+    orders = _dim_table(f"{sf_dir}/orders.parquet",
+                        ["o_orderkey", "o_custkey"]).sort_by("o_orderkey")
+    ref = ray.put((sup["s_suppkey"].to_numpy(),
+                   sup["s_nationkey"].to_numpy().astype(np.int64),
+                   cus["c_custkey"].to_numpy(),
+                   cus["c_nationkey"].to_numpy().astype(np.int64),
+                   orders["o_orderkey"].to_numpy(),
+                   orders["o_custkey"].to_numpy()))
+    names = {n1: Q7_NATIONS[0], n2: Q7_NATIONS[1]}
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table):
+        sk, snat, ck, cnat, ok, oc = ray.get(ref)
+        # typed ARROW empty: an all-empty OBJECT pandas column loses its
+        # type through the block conversion, and a fully-empty result
+        # dataset then has no schema at all (sf0.001 has no volume
+        # between the two nations)
+        empty = pa.table({"supp_nation": pa.array([], pa.string()),
+                          "cust_nation": pa.array([], pa.string()),
+                          "l_year": pa.array([], pa.int64()),
+                          "revenue_e4": pa.array([], pa.int64())})
+        s_nat = _np_lookup(sk, snat, t["l_suppkey"].to_numpy(), default=-1)
+        pre = (s_nat == n1) | (s_nat == n2)
+        if not pre.any():
+            return empty
+        cust = _np_lookup(ok, oc, t["l_orderkey"].to_numpy()[pre],
+                          default=-1)
+        c_nat = _np_lookup(ck, cnat, cust, default=-1)
+        sn = s_nat[pre]
+        m = ((sn == n1) & (c_nat == n2)) | ((sn == n2) & (c_nat == n1))
+        if not m.any():
+            return empty
+        ship = t["l_shipdate"].cast(pa.int64()).to_numpy()[pre][m]
+        pc_ = np.floor(t["l_extendedprice"].to_numpy()[pre][m] * 100.0
+                       + 0.5).astype(np.int64)
+        dp = np.floor(t["l_discount"].to_numpy()[pre][m] * 100.0
+                      + 0.5).astype(np.int64)
+        df = pd.DataFrame({"sn": sn[m], "l_year": _year_of_us(ship),
+                           "revenue_e4": pc_ * (100 - dp)})
+        g = (df.groupby(["sn", "l_year"], sort=False)["revenue_e4"]
+             .sum().reset_index())
+        g["supp_nation"] = g["sn"].map(names)
+        g["cust_nation"] = np.where(g["sn"].to_numpy() == n1,
+                                    Q7_NATIONS[1], Q7_NATIONS[0])
+        return g[["supp_nation", "cust_nation", "l_year", "revenue_e4"]] \
+            .astype({"l_year": "int64", "revenue_e4": "int64"})
+
+    sums = _grouped_sums(li.map_batches(partial, batch_format="pyarrow"),
+                         ["supp_nation", "cust_nation", "l_year"],
+                         ["revenue_e4"]).to_pandas()
+    # bounded output (≤ 2 × ship years); materializing guarantees the
+    # schema even when NO lineitem connects the two nations (Ray drops
+    # fully-empty blocks, leaving a schemaless dataset)
+    cols = ["supp_nation", "cust_nation", "l_year", "revenue_e4"]
+    if sums.empty:
+        sums = pd.DataFrame({"supp_nation": pd.Series(dtype="string"),
+                             "cust_nation": pd.Series(dtype="string"),
+                             "l_year": pd.Series(dtype="int64"),
+                             "revenue_e4": pd.Series(dtype="int64")})
+    return sums[cols]
+
+
+def q_q17_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape (correlated per-group AVG subquery): yearly-avg
+    revenue of one brand's lineitems whose quantity is under 20% of that
+    part's average lineitem quantity. Pass 1 folds per-part (count,
+    sum_qty) partials — dimension-scale output, never fact-scale; pass 2
+    re-streams the fact with the per-part stats broadcast, keeping rows
+    with 5·qty·cnt < sum_qty (the 0.2·avg rule in EXACT integers,
+    quantities being integral). The final division by 7.0 is the only
+    float op, applied identically in the SQL oracle."""
+    import pyarrow.parquet as pq
+
+    part = _dim_table(f"{sf_dir}/part.parquet", ["p_partkey", "p_brand"])
+    bkeys = np.sort(part["p_partkey"].to_numpy()[
+        part["p_brand"].to_numpy(zero_copy_only=False) == Q17_BRAND])
+    bref = ray.put(bkeys)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice"])
+
+    def stats_partial(t: pa.Table) -> pd.DataFrame:
+        bk = ray.get(bref)
+        key = t["l_partkey"].to_numpy()
+        if len(bk):
+            pos = np.clip(np.searchsorted(bk, key), 0, len(bk) - 1)
+            m = bk[pos] == key
+        else:
+            m = np.zeros(len(key), bool)
+        if not m.any():
+            return pd.DataFrame({"l_partkey": pd.Series(dtype="int64"),
+                                 "cnt": pd.Series(dtype="int64"),
+                                 "sum_qty": pd.Series(dtype="int64")})
+        q = np.floor(t["l_quantity"].to_numpy()[m] + 0.5).astype(np.int64)
+        df = pd.DataFrame({"l_partkey": key[m], "sum_qty": q})
+        g = df.groupby("l_partkey", sort=False)["sum_qty"] \
+            .agg(cnt="size", sum_qty="sum").reset_index()
+        return g.astype({"l_partkey": "int64", "cnt": "int64",
+                         "sum_qty": "int64"})
+
+    stats = _grouped_sums(li.map_batches(stats_partial,
+                                         batch_format="pyarrow"),
+                          ["l_partkey"], ["cnt", "sum_qty"]).to_pandas()
+    # dimension-scale (≤ brand part count); ship sorted for searchsorted
+    stats = stats.sort_values("l_partkey")
+    sref = ray.put((stats["l_partkey"].to_numpy().astype(np.int64),
+                    stats["cnt"].to_numpy().astype(np.int64),
+                    stats["sum_qty"].to_numpy().astype(np.int64)))
+
+    def rev_partial(t: pa.Table) -> pd.DataFrame:
+        k, cnt, sq = ray.get(sref)
+        key = t["l_partkey"].to_numpy()
+        if len(k):
+            pos = np.clip(np.searchsorted(k, key), 0, len(k) - 1)
+            hit = k[pos] == key
+        else:
+            hit = np.zeros(len(key), bool)
+        if not hit.any():
+            return pd.DataFrame({"sum_price_e2": pd.array([0], "int64"),
+                                 "n_items": pd.array([0], "int64")})
+        q = np.floor(t["l_quantity"].to_numpy()[hit] + 0.5).astype(np.int64)
+        p = pos[hit]
+        keep = 5 * q * cnt[p] < sq[p]
+        pc_ = np.floor(t["l_extendedprice"].to_numpy()[hit][keep] * 100.0
+                       + 0.5).astype(np.int64)
+        return pd.DataFrame({"sum_price_e2": pd.array([int(pc_.sum())],
+                                                      "int64"),
+                             "n_items": pd.array([int(keep.sum())],
+                                                 "int64")})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        s = np.int64(df["sum_price_e2"].sum())
+        return pd.DataFrame({"sum_price_e2": [s],
+                             "n_items": [np.int64(df["n_items"].sum())],
+                             "avg_yearly": [float(s) / 700.0]})
+
+    return (li.map_batches(rev_partial, batch_format="pyarrow")
+            .repartition(1).map_batches(final, batch_format="pandas",
+                                        batch_size=None))
+
+
+def q_q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape (two-level conditional aggregate / market share):
+    per ship year, the share of one supplier nation's revenue within one
+    region's customers' purchases of one part type. Both the nation
+    numerator and the total are EXACT 1e-4-dollar integer sums over one
+    fact pass (part-type set, region-customer set, order map, supplier
+    nation map — four gated broadcasts); the share is one float division
+    per year, identical in the SQL oracle."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pydict()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pydict()
+    rk = dict(zip(reg["r_name"], reg["r_regionkey"]))[Q8_REGION]
+    region_nk = {nk for nk, nrk in zip(nat["n_nationkey"],
+                                       nat["n_regionkey"]) if nrk == rk}
+    n8 = dict(zip(nat["n_name"], nat["n_nationkey"]))[Q8_NATION]
+
+    part = _dim_table(f"{sf_dir}/part.parquet", ["p_partkey", "p_type"])
+    pkeys = np.sort(part["p_partkey"].to_numpy()[
+        part["p_type"].to_numpy(zero_copy_only=False) == Q8_TYPE])
+    sup = _dim_table(f"{sf_dir}/supplier.parquet",
+                     ["s_suppkey", "s_nationkey"]).sort_by("s_suppkey")
+    cus = _dim_table(f"{sf_dir}/customer.parquet",
+                     ["c_custkey", "c_nationkey"]).sort_by("c_custkey")
+    orders = _dim_table(f"{sf_dir}/orders.parquet",
+                        ["o_orderkey", "o_custkey"]).sort_by("o_orderkey")
+    cin = np.isin(cus["c_nationkey"].to_numpy(),
+                  np.fromiter(region_nk, np.int64)).astype(np.int64)
+    ref = ray.put((pkeys,
+                   sup["s_suppkey"].to_numpy(),
+                   sup["s_nationkey"].to_numpy().astype(np.int64),
+                   cus["c_custkey"].to_numpy(), cin,
+                   orders["o_orderkey"].to_numpy(),
+                   orders["o_custkey"].to_numpy()))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                  "l_shipdate", "l_extendedprice",
+                                  "l_discount"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        pk, sk, snat, ck, creg, ok, oc = ray.get(ref)
+        empty = pd.DataFrame({"l_year": pd.Series(dtype="int64"),
+                              "nation_e4": pd.Series(dtype="int64"),
+                              "total_e4": pd.Series(dtype="int64")})
+        key = t["l_partkey"].to_numpy()
+        if len(pk):
+            pos = np.clip(np.searchsorted(pk, key), 0, len(pk) - 1)
+            m = pk[pos] == key
+        else:
+            m = np.zeros(len(key), bool)
+        if not m.any():
+            return empty
+        cust = _np_lookup(ok, oc, t["l_orderkey"].to_numpy()[m], default=-1)
+        inreg = _np_lookup(ck, creg, cust, default=0) == 1
+        if not inreg.any():
+            return empty
+        ship = t["l_shipdate"].cast(pa.int64()).to_numpy()[m][inreg]
+        pc_ = np.floor(t["l_extendedprice"].to_numpy()[m][inreg] * 100.0
+                       + 0.5).astype(np.int64)
+        dp = np.floor(t["l_discount"].to_numpy()[m][inreg] * 100.0
+                      + 0.5).astype(np.int64)
+        s_nat = _np_lookup(sk, snat, t["l_suppkey"].to_numpy()[m][inreg],
+                           default=-1)
+        rev = pc_ * (100 - dp)
+        df = pd.DataFrame({"l_year": _year_of_us(ship),
+                           "nation_e4": np.where(s_nat == n8, rev, 0),
+                           "total_e4": rev})
+        return (df.groupby("l_year", sort=False)[["nation_e4", "total_e4"]]
+                .sum().reset_index()
+                .astype({"l_year": "int64", "nation_e4": "int64",
+                         "total_e4": "int64"}))
+
+    sums = _grouped_sums(li.map_batches(partial, batch_format="pyarrow"),
+                         ["l_year"], ["nation_e4", "total_e4"]).to_pandas()
+    # bounded output (one row per ship year); same empty-schema guard
+    # as q_q7_nation_volume
+    if sums.empty:
+        sums = pd.DataFrame({"l_year": pd.Series(dtype="int64"),
+                             "nation_e4": pd.Series(dtype="int64"),
+                             "total_e4": pd.Series(dtype="int64")})
+    sums = sums.sort_values("l_year").reset_index(drop=True)
+    sums["mkt_share"] = (sums["nation_e4"].astype("float64")
+                         / sums["total_e4"].astype("float64"))
+    return sums
