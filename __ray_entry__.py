@@ -66,7 +66,7 @@ _DRIVER_WINDOW = [
     # relational (TPC-H shapes, round-4-new)
     "q3_shipping_priority", "q5_region_revenue", "q6_revenue",
     "q10_returned_customers", "q19_brand_revenue", "late_ship_orders",
-    "promo_revenue", "inactive_rich_customers", "orders_backlog",
+    "q7_nation_volume", "q8_market_share", "q17_small_qty_revenue",
     # event analytics
     "user_rfm", "spike_days", "conv_scorecard", "hourly_seasonality",
     "cohort_retention", "user_activity_span", "response_latency",
