@@ -260,6 +260,7 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "q7_nation_volume": Q.q_q7_nation_volume,
         "q17_small_qty_revenue": Q.q_q17_small_qty_revenue,
         "q8_market_share": Q.q_q8_market_share,
+        "semantic_dedup": Q.q_semantic_dedup,
     }
 
 
@@ -1805,4 +1806,28 @@ def oracle_sql() -> dict[str, str]:
                        THEN rev ELSE 0 END) AS DOUBLE)
                    / CAST(sum(rev) AS DOUBLE) AS mkt_share
             FROM f GROUP BY l_year""",
+        # SemDeDup shape: components of the cosine>=tau relation, keep
+        # the min-id representative (same recursive-closure contract as
+        # minhash_clusters, MATERIALIZED pair/edge CTEs)
+        "semantic_dedup": """
+            WITH RECURSIVE pairs AS MATERIALIZED (
+              SELECT x.vec_id AS a, y.vec_id AS b
+              FROM embeddings x, embeddings y
+              WHERE x.vec_id < y.vec_id
+                AND list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                           CAST(y.embedding AS DOUBLE[]))
+                    >= 0.5),
+            edges AS MATERIALIZED (
+              SELECT a AS u, b AS v FROM pairs
+              UNION SELECT b AS u, a AS v FROM pairs),
+            reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+            comp AS (
+              SELECT u AS vec_id, least(u, min(v)) AS rep_id
+              FROM reach GROUP BY u)
+            SELECT e.vec_id, COALESCE(c.rep_id, e.vec_id) AS rep_id,
+                   (e.vec_id = COALESCE(c.rep_id, e.vec_id)) AS kept
+            FROM embeddings e LEFT JOIN comp c USING (vec_id)""",
     }

@@ -5518,3 +5518,45 @@ def q_q8_market_share(sf_dir: str):
     sums["mkt_share"] = (sums["nation_e4"].astype("float64")
                          / sums["total_e4"].astype("float64"))
     return sums
+
+
+SEM_TAU = 0.5  # matches embed_near_dups: the synthetic corpus' pair scale
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-shape semantic dedup (public reference: Abbas et al.
+    2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): connected components of the embedding-
+    cosine ≥ τ relation with rep = min vec_id; kept = (vec_id ==
+    rep_id), i.e. one representative survives per semantic cluster.
+    Pairs come from the broadcast-matmul near-dup stage (the IVF-bucket
+    variant is the 10^9-vector path); the (vec → rep) assignment reuses
+    cluster_assignments' gated broadcast / distributed bucketed join
+    (stages/dedup_near.py), so driver state is bounded by the verified
+    pair components, never the corpus."""
+    import pyarrow.parquet as pq
+
+    from ..stages.dedup_near import cluster_assignments, embedding_near_dups
+    corpus = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    ids = corpus["vec_id"].to_numpy()
+    mat = emb_matrix(corpus)
+    pairs = embedding_near_dups(_emb_ds(sf_dir), ids, mat,
+                                threshold=SEM_TAU).to_pandas()
+    if len(pairs) == 0:
+        pairs = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64")})
+    multi = pd.DataFrame({"rep": pd.Series(dtype="int64"),
+                          "doc_id": pd.Series(dtype="int64")})
+    vids = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id"])
+    assigned = cluster_assignments(vids, pairs[["a", "b"]], multi,
+                                   id_col="vec_id")
+
+    def with_kept(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].to_numpy()
+        r = t["rep_id"].to_numpy()
+        return pa.table({"vec_id": pa.array(v), "rep_id": pa.array(r),
+                         "kept": pa.array(v == r)})
+
+    return assigned.map_batches(with_kept, batch_format="pyarrow")
