@@ -1420,15 +1420,19 @@ def run_streaming_window_hll(input_path: str, width_us: int,
                              n_shards: int = 8,
                              validate_kwargs: dict | None = None,
                              max_pending: int = 4,
-                             checkpoint_dir: str | None = None):
+                             checkpoint_dir: str | None = None,
+                  tail: bool = False,
+                  poll_interval_s: float = 0.25,
+                  idle_timeout_s: float = 10.0,
+                  stop_file: str = "_EOS"):
     """Streaming windowed HLL distinct-conversation estimates.
     → (estimates DataFrame (window_id, est_users), late DataFrame,
     watermarks)."""
     from ..stages.sketches import hll_merge_registers
-    fragments = list_fragments(input_path)
     meta = {"kind": "hll", "width_us": width_us,
             "lateness_us": lateness_us, "n_shards": n_shards}
-    _guard_checkpoint_dir(checkpoint_dir, meta, fragments)
+    fragments = _fragment_source(input_path, meta, checkpoint_dir, tail,
+                                 poll_interval_s, idle_timeout_s, stop_file)
     actors = [HllShardActor.remote(
         width_us, lateness_us,
         os.path.join(checkpoint_dir, f"shard-{s}.ckpt") if checkpoint_dir
@@ -1613,7 +1617,11 @@ def run_streaming_upsert(input_path: str,
                          validate_kwargs: dict | None = None,
                          max_pending: int = 4,
                          checkpoint_dir: str | None = None,
-                         out_dir: str | None = None):
+                         out_dir: str | None = None,
+                  tail: bool = False,
+                  poll_interval_s: float = 0.25,
+                  idle_timeout_s: float = 10.0,
+                  stop_file: str = "_EOS"):
     """Streaming upsert / compacted materialized view over the fragment
     stream. → (latest-version view (conv_id, turn_idx, ts, valid),
     late DataFrame, watermarks).
@@ -1624,13 +1632,13 @@ def run_streaming_upsert(input_path: str,
     lazy ``ray.data.Dataset``, so the O(keys) table never lands on the
     driver."""
     import glob as _glob
-    fragments = list_fragments(input_path)
     meta = {"kind": "upsert", "lateness_us": lateness_us,
             "n_shards": n_shards}
     if out_dir is not None:
         meta["out_dir"] = out_dir
         _guard_out_dir(out_dir, checkpoint_dir, "shard-*/latest.parquet")
-    _guard_checkpoint_dir(checkpoint_dir, meta, fragments)
+    fragments = _fragment_source(input_path, meta, checkpoint_dir, tail,
+                                 poll_interval_s, idle_timeout_s, stop_file)
     actors = [UpsertShardActor.remote(
         lateness_us,
         os.path.join(checkpoint_dir, f"shard-{s}.ckpt") if checkpoint_dir
@@ -1669,14 +1677,18 @@ def run_streaming_sample(input_path: str, width_us: int, k: int = 5,
                          n_shards: int = 8,
                          validate_kwargs: dict | None = None,
                          max_pending: int = 4,
-                         checkpoint_dir: str | None = None):
+                         checkpoint_dir: str | None = None,
+                  tail: bool = False,
+                  poll_interval_s: float = 0.25,
+                  idle_timeout_s: float = 10.0,
+                  stop_file: str = "_EOS"):
     """Streaming per-window deterministic bottom-k sample.
     → (sample DataFrame (window_id, pos, conv_id, turn_idx, h),
        late DataFrame, watermarks)."""
-    fragments = list_fragments(input_path)
     meta = {"kind": "sample", "width_us": width_us, "k": k,
             "lateness_us": lateness_us, "n_shards": n_shards}
-    _guard_checkpoint_dir(checkpoint_dir, meta, fragments)
+    fragments = _fragment_source(input_path, meta, checkpoint_dir, tail,
+                                 poll_interval_s, idle_timeout_s, stop_file)
     actors = [SampleShardActor.remote(
         width_us, k, lateness_us,
         os.path.join(checkpoint_dir, f"shard-{s}.ckpt") if checkpoint_dir
@@ -1712,16 +1724,20 @@ def run_streaming_quantiles(input_path: str, width_us: int,
                             n_shards: int = 8,
                             validate_kwargs: dict | None = None,
                             max_pending: int = 4,
-                            checkpoint_dir: str | None = None):
+                            checkpoint_dir: str | None = None,
+                  tail: bool = False,
+                  poll_interval_s: float = 0.25,
+                  idle_timeout_s: float = 10.0,
+                  stop_file: str = "_EOS"):
     """Streaming exact windowed length-quantiles over the fragment
     stream. Shard cells merge by SUMMING their histograms; the global
     disc-quantile is computed from the merged cumulative counts.
     → (quantiles DataFrame, late DataFrame, watermarks)."""
     from ..stages.windows import quantiles_from_hist
-    fragments = list_fragments(input_path)
     meta = {"kind": "quantile", "width_us": width_us,
             "lateness_us": lateness_us, "n_shards": n_shards}
-    _guard_checkpoint_dir(checkpoint_dir, meta, fragments)
+    fragments = _fragment_source(input_path, meta, checkpoint_dir, tail,
+                                 poll_interval_s, idle_timeout_s, stop_file)
     actors = [QuantileShardActor.remote(
         width_us, lateness_us,
         os.path.join(checkpoint_dir, f"shard-{s}.ckpt") if checkpoint_dir
@@ -2343,18 +2359,22 @@ def run_streaming_approx_topk(input_path: str, width_us: int, k: int,
                               n_shards: int = 8,
                               validate_kwargs: dict | None = None,
                               max_pending: int = 4,
-                              checkpoint_dir: str | None = None):
+                              checkpoint_dir: str | None = None,
+                  tail: bool = False,
+                  poll_interval_s: float = 0.25,
+                  idle_timeout_s: float = 10.0,
+                  stop_file: str = "_EOS"):
     """Bounded-memory streaming heavy hitters (Misra-Gries summaries per
     open window). → (topk DataFrame [window_id, conv_id, n_est,
     err_bound, rk], late DataFrame, per-shard watermarks). Shard
     summaries are disjoint by conv (conv→shard partition), so the merge
     ranks the union by estimate; each row's true count lies in
     [n_est, n_est + err_bound]."""
-    fragments = list_fragments(input_path)
     meta = {"kind": "approx_topk", "width_us": width_us, "k": k,
             "capacity": capacity, "lateness_us": lateness_us,
             "n_shards": n_shards}
-    _guard_checkpoint_dir(checkpoint_dir, meta, fragments)
+    fragments = _fragment_source(input_path, meta, checkpoint_dir, tail,
+                                 poll_interval_s, idle_timeout_s, stop_file)
     actors = [ApproxTopKShardActor.remote(
         width_us, k, capacity, lateness_us,
         os.path.join(checkpoint_dir, f"shard-{s}.ckpt")
@@ -2390,15 +2410,19 @@ def run_streaming_topk(input_path: str, width_us: int, k: int,
                        lateness_us: int, n_shards: int = 8,
                        validate_kwargs: dict | None = None,
                        max_pending: int = 4,
-                       checkpoint_dir: str | None = None):
+                       checkpoint_dir: str | None = None,
+                  tail: bool = False,
+                  poll_interval_s: float = 0.25,
+                  idle_timeout_s: float = 10.0,
+                  stop_file: str = "_EOS"):
     """Streaming exact windowed top-k heavy hitters over the fragment
     stream (same prepare/pump/checkpoint discipline as the other
     runners). → (topk DataFrame [window_id, conv_id, n, rk], late
     DataFrame, per-shard watermarks)."""
-    fragments = list_fragments(input_path)
     meta = {"kind": "topk", "width_us": width_us, "k": k,
             "lateness_us": lateness_us, "n_shards": n_shards}
-    _guard_checkpoint_dir(checkpoint_dir, meta, fragments)
+    fragments = _fragment_source(input_path, meta, checkpoint_dir, tail,
+                                 poll_interval_s, idle_timeout_s, stop_file)
     actors = [TopKShardActor.remote(
         width_us, k, lateness_us,
         os.path.join(checkpoint_dir, f"shard-{s}.ckpt")
@@ -2418,15 +2442,19 @@ def run_streaming_distinct(input_path: str, width_us: int, lateness_us: int,
                            n_shards: int = 8,
                            validate_kwargs: dict | None = None,
                            max_pending: int = 4,
-                           checkpoint_dir: str | None = None):
+                           checkpoint_dir: str | None = None,
+                  tail: bool = False,
+                  poll_interval_s: float = 0.25,
+                  idle_timeout_s: float = 10.0,
+                  stop_file: str = "_EOS"):
     """Streaming windowed COUNT(DISTINCT conv_id) over the fragment
     stream (same prepare/pump/checkpoint discipline as the window-count
     runner). Shard counts sum exactly because conv→shard is a partition.
     → (counts DataFrame, late DataFrame, per-shard watermarks)."""
-    fragments = list_fragments(input_path)
     meta = {"kind": "distinct", "width_us": width_us,
             "lateness_us": lateness_us, "n_shards": n_shards}
-    _guard_checkpoint_dir(checkpoint_dir, meta, fragments)
+    fragments = _fragment_source(input_path, meta, checkpoint_dir, tail,
+                                 poll_interval_s, idle_timeout_s, stop_file)
     actors = [DistinctShardActor.remote(
         width_us, lateness_us,
         os.path.join(checkpoint_dir, f"shard-{s}.ckpt")
@@ -2706,14 +2734,18 @@ def run_streaming_patterns(input_path: str,
                            n_shards: int = 8,
                            validate_kwargs: dict | None = None,
                            max_pending: int = 4,
-                           checkpoint_dir: str | None = None):
+                           checkpoint_dir: str | None = None,
+                  tail: bool = False,
+                  poll_interval_s: float = 0.25,
+                  idle_timeout_s: float = 10.0,
+                  stop_file: str = "_EOS"):
     """Streaming (A B+ C) row-pattern matching over the fragment stream
     (validated, null-text-dropped — the same stream every other CEP
     engine consumes). → (matches DataFrame, late DataFrame, watermarks)."""
-    fragments = list_fragments(input_path)
     meta = {"kind": "pattern", "lateness_us": lateness_us,
             "n_shards": n_shards}
-    _guard_checkpoint_dir(checkpoint_dir, meta, fragments)
+    fragments = _fragment_source(input_path, meta, checkpoint_dir, tail,
+                                 poll_interval_s, idle_timeout_s, stop_file)
     actors = [PatternShardActor.remote(
         lateness_us,
         os.path.join(checkpoint_dir, f"shard-{s}.ckpt") if checkpoint_dir
@@ -3319,7 +3351,11 @@ def run_streaming_join(input_path: str, window_us: int,
                        validate_kwargs: dict | None = None,
                        max_pending: int = 4,
                        checkpoint_dir: str | None = None,
-                       out_dir: str | None = None):
+                       out_dir: str | None = None,
+                  tail: bool = False,
+                  poll_interval_s: float = 0.25,
+                  idle_timeout_s: float = 10.0,
+                  stop_file: str = "_EOS"):
     """Streaming user→assistant interval join over the fragment stream
     (validated, null-text-dropped — the same stream every other CEP
     engine consumes). → (pairs, late DataFrame, watermarks).
@@ -3330,13 +3366,13 @@ def run_streaming_join(input_path: str, window_us: int,
     returned as a lazy ``ray.data.Dataset`` over them, so neither the
     actors nor the driver ever hold the O(pairs) output."""
     import glob as _glob
-    fragments = list_fragments(input_path)
     meta = {"kind": "sjoin", "window_us": window_us,
             "lateness_us": lateness_us, "n_shards": n_shards}
     if out_dir is not None:
         meta["out_dir"] = out_dir
         _guard_out_dir(out_dir, checkpoint_dir, "shard-*/part-*.parquet")
-    _guard_checkpoint_dir(checkpoint_dir, meta, fragments)
+    fragments = _fragment_source(input_path, meta, checkpoint_dir, tail,
+                                 poll_interval_s, idle_timeout_s, stop_file)
     actors = [JoinShardActor.remote(
         window_us, lateness_us,
         os.path.join(checkpoint_dir, f"shard-{s}.ckpt") if checkpoint_dir
@@ -3370,15 +3406,19 @@ def run_streaming_absence(input_path: str, window_us: int,
                           n_shards: int = 8,
                           validate_kwargs: dict | None = None,
                           max_pending: int = 4,
-                          checkpoint_dir: str | None = None):
+                          checkpoint_dir: str | None = None,
+                  tail: bool = False,
+                  poll_interval_s: float = 0.25,
+                  idle_timeout_s: float = 10.0,
+                  stop_file: str = "_EOS"):
     """Streaming unanswered-turn (absence) detection over the fragment
     stream (validated, null-text-dropped — the same stream every other
     CEP engine consumes). → (absences DataFrame, late DataFrame,
     watermarks)."""
-    fragments = list_fragments(input_path)
     meta = {"kind": "absence", "window_us": window_us,
             "lateness_us": lateness_us, "n_shards": n_shards}
-    _guard_checkpoint_dir(checkpoint_dir, meta, fragments)
+    fragments = _fragment_source(input_path, meta, checkpoint_dir, tail,
+                                 poll_interval_s, idle_timeout_s, stop_file)
     actors = [AbsenceShardActor.remote(
         window_us, lateness_us,
         os.path.join(checkpoint_dir, f"shard-{s}.ckpt") if checkpoint_dir

@@ -205,3 +205,33 @@ def test_tail_sessions_and_dedup_equal_static(ray_session, fixture_dir,
                                 n_shards=4, tail=True,
                                 poll_interval_s=0.1, idle_timeout_s=5.0)
     assert sum_t["rows_out"] == sum_s["rows_out"]
+
+
+def test_tail_param_on_all_runners(ray_session, fixture_dir, tmp_path):
+    """Every streaming runner accepts tail= (uniform API): drive one of
+    the mechanically-converted ones (topk) with _EOS pre-placed and an
+    all-present directory — must equal its static run."""
+    import inspect
+
+    from lauchy_ray.state import streaming as S
+    runners = [getattr(S, n) for n in dir(S)
+               if n.startswith("run_streaming_")]
+    for r in runners:
+        assert "tail" in inspect.signature(r).parameters, r.__name__
+
+    entity_codes = sorted(set(
+        pq.read_table(fixture_dir["entities"])["code"].to_pylist()))
+    vk = {"entity_codes": entity_codes}
+    static_tk, _, _ = S.run_streaming_topk(
+        fixture_dir["turns"], HOUR_US, 3, LATENESS_US, n_shards=4,
+        validate_kwargs=vk)
+    live = str(tmp_path / "live")
+    _split_fragments(fixture_dir["turns"], live, n_first=10**6)  # all
+    open(os.path.join(live, "_EOS"), "w").close()
+    tail_tk, _, _ = S.run_streaming_topk(
+        live, HOUR_US, 3, LATENESS_US, n_shards=4, validate_kwargs=vk,
+        tail=True, poll_interval_s=0.1, idle_timeout_s=5.0)
+    key = list(static_tk.columns)
+    pd.testing.assert_frame_equal(
+        tail_tk.sort_values(key).reset_index(drop=True),
+        static_tk.sort_values(key).reset_index(drop=True))
