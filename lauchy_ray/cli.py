@@ -61,6 +61,10 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--no-resume", action="store_true")
     v.add_argument("--no-blacklist", action="store_true")
     v.add_argument("--max-in-flight", type=int, default=32)
+    v.add_argument("--tail", action="store_true",
+                   help="run as a service: watch --input for new "
+                        "fragments; ends on _EOS or --idle-timeout-s")
+    v.add_argument("--idle-timeout-s", type=float, default=30.0)
 
     s = sub.add_parser("sessions", parents=[common],
                        help="sessionize a turns table")
@@ -269,7 +273,8 @@ def main(argv: list[str] | None = None) -> int:
             summary = run_checkpointed_validate(
                 args.input, args.out, entity_codes=entity_codes,
                 enable_blacklist=not args.no_blacklist,
-                resume=not args.no_resume, max_in_flight=args.max_in_flight)
+                resume=not args.no_resume, max_in_flight=args.max_in_flight,
+                tail=args.tail, idle_timeout_s=args.idle_timeout_s)
             print(json.dumps(summary))
         elif args.cmd == "dedup-docs":
             import pyarrow as pa

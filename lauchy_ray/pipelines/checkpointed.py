@@ -75,8 +75,15 @@ class ValidateTransform:
 
 def run_checkpointed_validate(input_path: str, out_dir: str,
                               entity_codes=None, enable_blacklist: bool = True,
-                              resume: bool = True, max_in_flight: int = 32) -> dict:
+                              resume: bool = True, max_in_flight: int = 32,
+                              tail: bool = False,
+                              poll_interval_s: float = 0.25,
+                              idle_timeout_s: float = 10.0,
+                              stop_file: str = "_EOS") -> dict:
     transform = ValidateTransform(entity_codes=entity_codes,
                                   enable_blacklist=enable_blacklist)
     return run_exactly_once(input_path, out_dir, transform, SINKS,
-                            resume=resume, max_in_flight=max_in_flight)
+                            resume=resume, max_in_flight=max_in_flight,
+                            tail=tail, poll_interval_s=poll_interval_s,
+                            idle_timeout_s=idle_timeout_s,
+                            stop_file=stop_file)

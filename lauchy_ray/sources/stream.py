@@ -35,7 +35,8 @@ def list_fragments(path: str) -> list[str]:
 
 def tail_fragments(path: str, poll_interval_s: float = 0.25,
                    idle_timeout_s: float = 10.0, stop_file: str = "_EOS",
-                   skip: set[str] | None = None):
+                   skip: set[str] | None = None,
+                   enforce_order: bool = True):
     """Directory-watch fragment source (≙ consuming a LIVE Kafka topic,
     TopologyProducer.java:131): yields ``*.parquet`` paths in name order
     as they appear, including fragments landing mid-run.
@@ -49,7 +50,11 @@ def tail_fragments(path: str, poll_interval_s: float = 0.25,
     fragments drain and the stream ends (producer-signaled EOS); without
     it the stream ends after ``idle_timeout_s`` with no new fragment.
     ``skip``: basenames already processed (checkpoint log replay) — they
-    are not re-yielded but still count for the order contract."""
+    are not re-yielded but still count for the order contract.
+    ``enforce_order=False`` relaxes the monotone-name contract for
+    consumers whose fragments are independent units of work (the
+    exactly-once validate sink: its manifest is per-fragment, no
+    cross-fragment watermark state)."""
     import time
     if not os.path.isdir(path):
         raise FileNotFoundError(f"stream input not found: {path}")
@@ -60,7 +65,7 @@ def tail_fragments(path: str, poll_interval_s: float = 0.25,
         names = sorted(os.path.basename(p)
                        for p in glob.glob(os.path.join(path, "*.parquet")))
         fresh = [n for n in names if n not in seen]
-        stale = [n for n in fresh if n < last]
+        stale = [n for n in fresh if n < last] if enforce_order else []
         if stale:
             raise ValueError(
                 f"tail source: fragment(s) {stale} appeared AFTER "

@@ -115,30 +115,55 @@ def _process_fragment(frag_path: str, frag_name: str, out_dir: str,
 
 def run_exactly_once(input_path: str, out_dir: str, transform,
                      sinks: list[str], resume: bool = True,
-                     max_in_flight: int = 32) -> dict:
+                     max_in_flight: int = 32, tail: bool = False,
+                     poll_interval_s: float = 0.25,
+                     idle_timeout_s: float = 10.0,
+                     stop_file: str = "_EOS") -> dict:
     """Process every input fragment exactly once into ``sinks``.
 
     transform: pure fn ``pa.Table -> dict[sink_name, pa.Table]`` (must be
     deterministic — re-execution after a crash must produce identical
     bytes). Returns a summary {fragments_total, fragments_processed,
     fragments_skipped, rows}.
-    """
-    fragments = list_fragments(input_path)
+
+    ``tail=True`` (≙ running the reference validator as a SERVICE on a
+    live topic): watch the input directory and keep committing fragments
+    as they land, until ``stop_file`` appears or ``idle_timeout_s``
+    passes with nothing new. The manifest is per-fragment and fragments
+    are independent units of work, so arrival order is free
+    (enforce_order=False) and exactly-once needs no extra protocol —
+    committed fragments are skipped on any resume, tailing or static."""
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
     for sink in sinks:
         os.makedirs(os.path.join(out_dir, sink), exist_ok=True)
     done = committed_fragments(out_dir) if resume else set()
 
-    pending = []
-    for path in fragments:
-        name = os.path.splitext(os.path.basename(path))[0]
-        if name not in done:
-            pending.append((path, name))
+    n_total = 0
+    n_skipped = 0
+
+    def pending_iter():
+        nonlocal n_total, n_skipped
+        if tail:
+            from ..sources.stream import tail_fragments
+            source = tail_fragments(input_path,
+                                    poll_interval_s=poll_interval_s,
+                                    idle_timeout_s=idle_timeout_s,
+                                    stop_file=stop_file,
+                                    enforce_order=False)
+        else:
+            source = list_fragments(input_path)
+        for path in source:
+            n_total += 1
+            name = os.path.splitext(os.path.basename(path))[0]
+            if name in done:
+                n_skipped += 1
+            else:
+                yield path, name
 
     # bounded-in-flight scheduling: never more than max_in_flight tasks live
     in_flight: list = []
     results = []
-    it = iter(pending)
+    it = pending_iter()
     exhausted = False
     while in_flight or not exhausted:
         while not exhausted and len(in_flight) < max_in_flight:
@@ -154,9 +179,9 @@ def run_exactly_once(input_path: str, out_dir: str, transform,
             results.extend(ray.get(ready))
 
     return {
-        "fragments_total": len(fragments),
+        "fragments_total": n_total,
         "fragments_processed": len(results),
-        "fragments_skipped": len(fragments) - len(pending),
+        "fragments_skipped": n_skipped,
         "rows": sum(r["rows_in"] for r in results),
     }
 

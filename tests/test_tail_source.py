@@ -235,3 +235,54 @@ def test_tail_param_on_all_runners(ray_session, fixture_dir, tmp_path):
     pd.testing.assert_frame_equal(
         tail_tk.sort_values(key).reset_index(drop=True),
         static_tk.sort_values(key).reset_index(drop=True))
+
+
+def test_tail_validate_service_mode(ray_session, fixture_dir, tmp_path):
+    """The flagship exactly-once validate as a SERVICE: fragments landing
+    mid-run commit through the same manifest; sinks equal the static
+    run's, out-of-order arrival tolerated (fragments are independent)."""
+    import pyarrow.compute as pc2
+
+    from lauchy_ray.pipelines.checkpointed import run_checkpointed_validate
+    from lauchy_ray.state.sink import read_sink
+    entity_codes = pq.read_table(
+        fixture_dir["entities"], columns=["code"])["code"].to_pylist()
+
+    out_s = str(tmp_path / "static")
+    sum_s = run_checkpointed_validate(fixture_dir["turns"], out_s,
+                                      entity_codes=entity_codes)
+
+    live = str(tmp_path / "live")
+    frags = list_fragments(fixture_dir["turns"])
+    os.makedirs(live)
+    shutil.copy(frags[1], live)  # out-of-order start: 2nd fragment first
+
+    def producer():
+        time.sleep(0.8)
+        shutil.copy(frags[0], live)   # arrives AFTER a later-sorting one
+        for p in frags[2:]:
+            shutil.copy(p, live)
+            time.sleep(0.2)
+        open(os.path.join(live, "_EOS"), "w").close()
+
+    t = threading.Thread(target=producer)
+    t.start()
+    out_t = str(tmp_path / "tailed")
+    sum_t = run_checkpointed_validate(live, out_t,
+                                      entity_codes=entity_codes,
+                                      tail=True, poll_interval_s=0.1,
+                                      idle_timeout_s=60.0)
+    t.join()
+    assert sum_t["fragments_processed"] == sum_s["fragments_processed"]
+    assert sum_t["rows"] == sum_s["rows"]
+    for sink in ("valid", "rejected", "side"):
+        a = read_sink(out_s, sink)
+        b = read_sink(out_t, sink)
+        assert a.num_rows == b.num_rows, sink
+    # resume on the drained dir: everything skipped, nothing reprocessed
+    sum_r = run_checkpointed_validate(live, out_t,
+                                      entity_codes=entity_codes,
+                                      tail=True, poll_interval_s=0.1,
+                                      idle_timeout_s=2.0)
+    assert sum_r["fragments_processed"] == 0
+    assert sum_r["fragments_skipped"] == sum_s["fragments_processed"]
