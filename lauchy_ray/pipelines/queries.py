@@ -232,7 +232,12 @@ def _ts_to_us(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def q_sessionize(sf_dir: str):
-    return sessionize(_turns(sf_dir), GAP_US).map_batches(
+    # size_hint: the derived-turns lineage carries no size estimate, but
+    # the RAW events bytes are known — lets the hot-conversation
+    # pre-split detection (stages/sessionize) trigger on big inputs
+    hint = _path_bytes(f"{sf_dir}/events.parquet", 1 << 50)
+    return sessionize(_turns(sf_dir), GAP_US,
+                      size_hint=hint).map_batches(
         _ts_to_us, batch_format="pandas")
 
 

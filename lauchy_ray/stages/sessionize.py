@@ -159,15 +159,19 @@ def _presplit_sessions(ds: rd.Dataset, gap_us: int,
 
 def sessionize(ds: rd.Dataset, gap_us: int = DEFAULT_GAP_US,
                hot_rows: int | None = HOT_CONV_ROWS,
-               hot_convs: list[dict] | None = None) -> rd.Dataset:
+               hot_convs: list[dict] | None = None,
+               size_hint: int | None = None) -> rd.Dataset:
     """turns → (conv_id, session_id, start_ts, end_ts, n_turns).
 
     ``hot_rows``: pre-split threshold (None disables detection);
-    ``hot_convs``: explicit find_hot_convs output, skipping detection."""
+    ``hot_convs``: explicit find_hot_convs output, skipping detection;
+    ``size_hint``: input bytes for callers whose dataset is transformed
+    lineage (safe_size_bytes None) but whose RAW input size is known —
+    enables detection on big derived streams."""
     from .bucketing import SINGLE_TASK_BYTES, group_map_by_key, \
         safe_size_bytes
     if hot_convs is None and hot_rows:
-        size = safe_size_bytes(ds)
+        size = size_hint if size_hint is not None else safe_size_bytes(ds)
         if size is not None and size > SINGLE_TASK_BYTES:
             hot_convs = find_hot_convs(ds, hot_rows)
     if hot_convs:
