@@ -261,6 +261,7 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "q17_small_qty_revenue": Q.q_q17_small_qty_revenue,
         "q8_market_share": Q.q_q8_market_share,
         "semantic_dedup": Q.q_semantic_dedup,
+        "ppl_buckets": Q.q_ppl_buckets,
     }
 
 
@@ -1830,4 +1831,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id, COALESCE(c.rep_id, e.vec_id) AS rep_id,
                    (e.vec_id = COALESCE(c.rep_id, e.vec_id)) AS kept
             FROM embeddings e LEFT JOIN comp c USING (vec_id)""",
+        # CCNet-shape ppl buckets: same LM fold, same cell coarsening,
+        # quantile_disc thresholds (ceil-rank), bucket 1 = lowest LL
+        "ppl_buckets": f"""
+            WITH s AS ({lm_doc_scores_sql()}),
+            sc AS (SELECT s.doc_id, d.lang,
+                          CAST(floor(CAST(lp_scaled AS DOUBLE)
+                                     / n_big / 1e9) AS BIGINT)
+                              AS score_cell
+                   FROM s JOIN documents d USING (doc_id)),
+            q AS (SELECT lang,
+                         quantile_disc(score_cell, 0.25) AS t1,
+                         quantile_disc(score_cell, 0.5) AS t2,
+                         quantile_disc(score_cell, 0.75) AS t3
+                  FROM sc GROUP BY lang)
+            SELECT doc_id, sc.lang, score_cell,
+                   CAST(1 + (score_cell > t1)::INT + (score_cell > t2)::INT
+                        + (score_cell > t3)::INT AS BIGINT) AS bucket
+            FROM sc JOIN q USING (lang)""",
     }

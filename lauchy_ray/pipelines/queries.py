@@ -5565,3 +5565,70 @@ def q_semantic_dedup(sf_dir: str):
                          "kept": pa.array(v == r)})
 
     return assigned.map_batches(with_kept, batch_format="pyarrow")
+
+
+def q_ppl_buckets(sf_dir: str):
+    """CCNet-style perplexity-bucketed corpus split (public reference:
+    Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+    Datasets from Web Crawl Data"): each scored doc assigned a per-LANG
+    quality quartile by its per-token bigram-LM log-likelihood
+    (lm_doc_scores' exact integer fold, coarsened to a bounded ~1e-3-ln
+    cell grid so the histogram stays O(langs × cells), never O(docs)).
+    Thresholds are exact disc-quantiles (ceil-rank — the quantile_disc
+    rule the repo's other quantile oracles pin); bucket 1 = lowest
+    likelihood (head/tail split of the quality gate). One doc-keyed
+    shuffle (the lang join), a bounded histogram, a stateless assign —
+    no global sort."""
+    from ..stages.join import hash_inner_join
+    from ..stages.terms import lm_doc_scores
+    dbytes = _path_bytes(f"{sf_dir}/documents.parquet", 1 << 50) or 0
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    langs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+    scores = lm_doc_scores(docs)
+    j = hash_inner_join(scores, langs, "doc_id",
+                        {"n_big": "Int64", "lp_scaled": "Int64"},
+                        {"lang": "string"}, size_bytes=2 * dbytes)
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        lp = df["lp_scaled"].astype("float64").to_numpy()
+        nb = df["n_big"].astype("float64").to_numpy()
+        cell = np.floor(lp / nb / 1e9).astype(np.int64)
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "lang": df["lang"].astype(object),
+                             "score_cell": cell})
+
+    sc = j.map_batches(cells, batch_format="pandas").materialize()
+
+    hist = (sc.map_batches(
+        lambda df: df.groupby(["lang", "score_cell"], sort=False)
+        .size().reset_index(name="c"), batch_format="pandas")
+        .to_pandas()
+        .groupby(["lang", "score_cell"], sort=True)["c"].sum()
+        .reset_index())
+    thr: dict = {}
+    for lang, g in hist.groupby("lang", sort=False):
+        vals = g["score_cell"].to_numpy(np.int64)
+        cum = g["c"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        thr[lang] = tuple(
+            int(vals[np.searchsorted(cum, (p * n + 99) // 100)])
+            for p in (25, 50, 75))
+    tref = ray.put(thr)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(tref)
+        cell = df["score_cell"].to_numpy(np.int64)
+        lang = df["lang"].to_numpy(dtype=object)
+        bucket = np.ones(len(df), np.int64)
+        for lg, (t1, t2, t3) in t.items():    # O(langs): bounded dict
+            m = lang == lg
+            if m.any():
+                bucket[m] = (1 + (cell[m] > t1).astype(np.int64)
+                             + (cell[m] > t2) + (cell[m] > t3))
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "lang": df["lang"],
+                             "score_cell": cell, "bucket": bucket})
+
+    return sc.map_batches(assign, batch_format="pandas")

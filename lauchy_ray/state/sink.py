@@ -39,7 +39,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 
-from ..sources.stream import list_fragments
+from ..sources.stream import list_fragments, tail_fragments
 
 MANIFEST_DIR = "_manifest"
 
@@ -144,7 +144,6 @@ def run_exactly_once(input_path: str, out_dir: str, transform,
     def pending_iter():
         nonlocal n_total, n_skipped
         if tail:
-            from ..sources.stream import tail_fragments
             source = tail_fragments(input_path,
                                     poll_interval_s=poll_interval_s,
                                     idle_timeout_s=idle_timeout_s,
