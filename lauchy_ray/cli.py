@@ -133,6 +133,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--lateness-min", type=int, default=5)
     sp.add_argument("--shards", type=int, default=8)
     sp.add_argument("--checkpoint-dir", default=None)
+    sp.add_argument("--tail", action="store_true")
+    sp.add_argument("--idle-timeout-s", type=float, default=30.0)
 
     sa = sub.add_parser("stream-absence", parents=[common],
                         help="streaming unanswered-turn timeout detector "
@@ -144,6 +146,8 @@ def main(argv: list[str] | None = None) -> int:
     sa.add_argument("--lateness-min", type=int, default=5)
     sa.add_argument("--shards", type=int, default=8)
     sa.add_argument("--checkpoint-dir", default=None)
+    sa.add_argument("--tail", action="store_true")
+    sa.add_argument("--idle-timeout-s", type=float, default=30.0)
 
     sj = sub.add_parser("stream-join", parents=[common],
                         help="streaming user→assistant interval join "
@@ -155,6 +159,8 @@ def main(argv: list[str] | None = None) -> int:
     sj.add_argument("--lateness-min", type=int, default=5)
     sj.add_argument("--shards", type=int, default=8)
     sj.add_argument("--checkpoint-dir", default=None)
+    sj.add_argument("--tail", action="store_true")
+    sj.add_argument("--idle-timeout-s", type=float, default=30.0)
 
     tk = sub.add_parser("stream-topk", parents=[common],
                         help="streaming windowed top-k heavy hitters "
@@ -170,6 +176,8 @@ def main(argv: list[str] | None = None) -> int:
     tk.add_argument("--lateness-min", type=int, default=5)
     tk.add_argument("--shards", type=int, default=8)
     tk.add_argument("--checkpoint-dir", default=None)
+    tk.add_argument("--tail", action="store_true")
+    tk.add_argument("--idle-timeout-s", type=float, default=30.0)
 
     sq = sub.add_parser("stream-quantiles", parents=[common],
                         help="streaming exact windowed text-length "
@@ -181,6 +189,8 @@ def main(argv: list[str] | None = None) -> int:
     sq.add_argument("--lateness-min", type=int, default=5)
     sq.add_argument("--shards", type=int, default=8)
     sq.add_argument("--checkpoint-dir", default=None)
+    sq.add_argument("--tail", action="store_true")
+    sq.add_argument("--idle-timeout-s", type=float, default=30.0)
 
     sm = sub.add_parser("stream-sample", parents=[common],
                         help="streaming per-window deterministic bottom-k "
@@ -192,6 +202,8 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--lateness-min", type=int, default=5)
     sm.add_argument("--shards", type=int, default=8)
     sm.add_argument("--checkpoint-dir", default=None)
+    sm.add_argument("--tail", action="store_true")
+    sm.add_argument("--idle-timeout-s", type=float, default=30.0)
 
     su = sub.add_parser("stream-upsert", parents=[common],
                         help="streaming upsert / KTable compaction: latest "
@@ -202,6 +214,8 @@ def main(argv: list[str] | None = None) -> int:
     su.add_argument("--lateness-min", type=int, default=5)
     su.add_argument("--shards", type=int, default=8)
     su.add_argument("--checkpoint-dir", default=None)
+    su.add_argument("--tail", action="store_true")
+    su.add_argument("--idle-timeout-s", type=float, default=30.0)
 
     sh = sub.add_parser("stream-hll", parents=[common],
                         help="streaming windowed HLL distinct-conversation "
@@ -213,6 +227,8 @@ def main(argv: list[str] | None = None) -> int:
     sh.add_argument("--lateness-min", type=int, default=5)
     sh.add_argument("--shards", type=int, default=8)
     sh.add_argument("--checkpoint-dir", default=None)
+    sh.add_argument("--tail", action="store_true")
+    sh.add_argument("--idle-timeout-s", type=float, default=30.0)
 
     nd = sub.add_parser("dedup-docs", parents=[common],
                         help="near-dup cluster assignment (doc_id, rep_id, "
@@ -390,7 +406,8 @@ def main(argv: list[str] | None = None) -> int:
             from .state.streaming import run_streaming_patterns
             matches, late, wms = run_streaming_patterns(
                 args.input, lateness_us=args.lateness_min * 60 * 1_000_000,
-                n_shards=args.shards, checkpoint_dir=args.checkpoint_dir)
+                n_shards=args.shards, checkpoint_dir=args.checkpoint_dir,
+                tail=args.tail, idle_timeout_s=args.idle_timeout_s)
             os.makedirs(args.out, exist_ok=True)
             pq.write_table(pa.Table.from_pandas(matches),
                            os.path.join(args.out, "matches.parquet"))
@@ -407,7 +424,8 @@ def main(argv: list[str] | None = None) -> int:
             absences, late, wms = run_streaming_absence(
                 args.input, args.window_min * 60 * 1_000_000,
                 lateness_us=args.lateness_min * 60 * 1_000_000,
-                n_shards=args.shards, checkpoint_dir=args.checkpoint_dir)
+                n_shards=args.shards, checkpoint_dir=args.checkpoint_dir,
+                tail=args.tail, idle_timeout_s=args.idle_timeout_s)
             os.makedirs(args.out, exist_ok=True)
             pq.write_table(pa.Table.from_pandas(absences),
                            os.path.join(args.out, "absences.parquet"))
@@ -428,7 +446,8 @@ def main(argv: list[str] | None = None) -> int:
                 args.input, args.window_min * 60 * 1_000_000,
                 lateness_us=args.lateness_min * 60 * 1_000_000,
                 n_shards=args.shards, checkpoint_dir=args.checkpoint_dir,
-                out_dir=os.path.join(args.out, "pairs"))
+                out_dir=os.path.join(args.out, "pairs"),
+                tail=args.tail, idle_timeout_s=args.idle_timeout_s)
             os.makedirs(args.out, exist_ok=True)
             pq.write_table(pa.Table.from_pandas(late),
                            os.path.join(args.out, "late.parquet"))
@@ -444,7 +463,8 @@ def main(argv: list[str] | None = None) -> int:
             qdf, late, wms = run_streaming_quantiles(
                 args.input, args.width_min * 60 * 1_000_000,
                 lateness_us=args.lateness_min * 60 * 1_000_000,
-                n_shards=args.shards, checkpoint_dir=args.checkpoint_dir)
+                n_shards=args.shards, checkpoint_dir=args.checkpoint_dir,
+                tail=args.tail, idle_timeout_s=args.idle_timeout_s)
             os.makedirs(args.out, exist_ok=True)
             pq.write_table(pa.Table.from_pandas(qdf),
                            os.path.join(args.out, "quantiles.parquet"))
@@ -461,7 +481,8 @@ def main(argv: list[str] | None = None) -> int:
             smp, late, wms = run_streaming_sample(
                 args.input, args.width_min * 60 * 1_000_000, args.k,
                 lateness_us=args.lateness_min * 60 * 1_000_000,
-                n_shards=args.shards, checkpoint_dir=args.checkpoint_dir)
+                n_shards=args.shards, checkpoint_dir=args.checkpoint_dir,
+                tail=args.tail, idle_timeout_s=args.idle_timeout_s)
             os.makedirs(args.out, exist_ok=True)
             pq.write_table(pa.Table.from_pandas(smp),
                            os.path.join(args.out, "sample.parquet"))
@@ -481,7 +502,8 @@ def main(argv: list[str] | None = None) -> int:
                 args.input,
                 lateness_us=args.lateness_min * 60 * 1_000_000,
                 n_shards=args.shards, checkpoint_dir=args.checkpoint_dir,
-                out_dir=os.path.join(args.out, "latest"))
+                out_dir=os.path.join(args.out, "latest"),
+                tail=args.tail, idle_timeout_s=args.idle_timeout_s)
             os.makedirs(args.out, exist_ok=True)
             pq.write_table(pa.Table.from_pandas(late),
                            os.path.join(args.out, "late.parquet"))
@@ -496,7 +518,8 @@ def main(argv: list[str] | None = None) -> int:
             est, late, wms = run_streaming_window_hll(
                 args.input, args.width_min * 60 * 1_000_000,
                 lateness_us=args.lateness_min * 60 * 1_000_000,
-                n_shards=args.shards, checkpoint_dir=args.checkpoint_dir)
+                n_shards=args.shards, checkpoint_dir=args.checkpoint_dir,
+                tail=args.tail, idle_timeout_s=args.idle_timeout_s)
             os.makedirs(args.out, exist_ok=True)
             pq.write_table(pa.Table.from_pandas(est),
                            os.path.join(args.out, "estimates.parquet"))
@@ -517,12 +540,14 @@ def main(argv: list[str] | None = None) -> int:
                 tk, late, wms = run_streaming_topk(
                     args.input, width, args.k, late_us,
                     n_shards=args.shards,
-                    checkpoint_dir=args.checkpoint_dir)
+                    checkpoint_dir=args.checkpoint_dir,
+                tail=args.tail, idle_timeout_s=args.idle_timeout_s)
             else:
                 tk, late, wms = run_streaming_approx_topk(
                     args.input, width, args.k, args.capacity, late_us,
                     n_shards=args.shards,
-                    checkpoint_dir=args.checkpoint_dir)
+                    checkpoint_dir=args.checkpoint_dir,
+                tail=args.tail, idle_timeout_s=args.idle_timeout_s)
             os.makedirs(args.out, exist_ok=True)
             pq.write_table(pa.Table.from_pandas(tk),
                            os.path.join(args.out, "topk.parquet"))
