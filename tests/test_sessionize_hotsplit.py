@@ -133,3 +133,49 @@ def test_presplit_conv_stats_exact(ray_session):
 
 def test_hot_chunk_rows_constant_sane():
     assert 0 < HOT_CHUNK_ROWS <= 2_000_000
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.data())
+def test_presplit_property_random_streams(ray_session, data):
+    """Random conversation mixes (skew, gap patterns, chunk sizes): the
+    pre-split path must equal the scalar oracle exactly."""
+    rng_seed = data.draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(rng_seed)
+    n_cold = int(data.draw(st.integers(1, 6)))
+    hot_n = int(data.draw(st.integers(40, 200)))
+    chunk = int(data.draw(st.integers(7, 64)))
+    base = 1_700_000_000_000_000
+    rows = []
+    for c in range(n_cold):
+        t = base + c * 5_000_000_000
+        for i in range(int(rng.integers(1, 30))):
+            t += int(rng.integers(1, 3 * GAP_US))
+            rows.append(("c%02d" % c, i, t))
+    t = base
+    for i in range(hot_n):
+        step = int(rng.integers(1, GAP_US // 3)) if rng.random() < 0.9 \
+            else int(rng.integers(GAP_US + 1, 3 * GAP_US))
+        t += step
+        rows.append(("hot", i, t))
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts_us"])
+    df = df.sample(frac=1.0, random_state=rng_seed).reset_index(drop=True)
+    df["ts"] = pd.to_datetime(df["ts_us"], unit="us").astype("datetime64[us]")
+    ds = rd.from_pandas(df[["conv_id", "turn_idx", "ts"]])
+    sub = df[df["conv_id"] == "hot"]
+    hot = [{"conv_id": "hot", "n": len(sub),
+            "lo": int(sub["ts_us"].min()), "hi": int(sub["ts_us"].max())}]
+    import lauchy_ray.stages.sessionize as S
+    old = S.HOT_CHUNK_ROWS
+    S.HOT_CHUNK_ROWS = chunk
+    try:
+        got = _norm(sessionize(ds, GAP_US, hot_convs=hot).to_pandas())
+    finally:
+        S.HOT_CHUNK_ROWS = old
+    exp = _oracle(df)
+    pd.testing.assert_frame_equal(
+        got, exp.astype(got.dtypes.to_dict()), check_dtype=False)
