@@ -262,6 +262,8 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": Q.q_q8_market_share,
         "semantic_dedup": Q.q_semantic_dedup,
         "ppl_buckets": Q.q_ppl_buckets,
+        "q15_top_suppliers": Q.q_q15_top_suppliers,
+        "q12_priority_by_status": Q.q_q12_priority_by_status,
     }
 
 
@@ -1849,4 +1851,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 + (score_cell > t1)::INT + (score_cell > t2)::INT
                         + (score_cell > t3)::INT AS BIGINT) AS bucket
             FROM sc JOIN q USING (lang)""",
+        # TPC-H Q15 shape: exact integer revenue makes the MAX tie exact
+        "q15_top_suppliers": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                   AS BIGINT)
+                              * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                            AS BIGINT))) AS BIGINT)
+                         AS total_revenue_e4
+              FROM lineitem
+              WHERE l_shipdate >= DATE '1996-01-01'
+                AND l_shipdate < DATE '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue_e4
+            FROM rev JOIN supplier ON s_suppkey = l_suppkey
+            WHERE total_revenue_e4 = (SELECT max(total_revenue_e4)
+                                      FROM rev)""",
+        # TPC-H Q12 shape adapted (l_linestatus as the class axis)
+        "q12_priority_by_status": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            GROUP BY l_linestatus""",
     }

@@ -5632,3 +5632,96 @@ def q_ppl_buckets(sf_dir: str):
                              "score_cell": cell, "bucket": bucket})
 
     return sc.map_batches(assign, batch_format="pandas")
+
+
+Q15_Q_LO, Q15_Q_HI = "1996-01-01", "1996-04-01"  # one quarter
+
+
+def q_q15_top_suppliers(sf_dir: str):
+    """TPC-H Q15 shape (revenue view + correlated MAX): suppliers whose
+    quarterly lineitem revenue equals the maximum over all suppliers.
+    One projection-pruned fact pass folds exact 1e-4-dollar integers per
+    l_suppkey (dimension-scale result); the max + equality filter runs
+    on the bounded supplier aggregate. Integer revenue makes the MAX tie
+    semantics exact (the float version of Q15 is famously
+    nondeterministic across plans)."""
+    import pyarrow.parquet as pq
+
+    lo = int(np.datetime64(Q15_Q_LO).astype("datetime64[us]")
+             .astype(np.int64))
+    hi = int(np.datetime64(Q15_Q_HI).astype("datetime64[us]")
+             .astype(np.int64))
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ship = t["l_shipdate"].cast(pa.int64()).to_numpy()
+        m = (ship >= lo) & (ship < hi)
+        if not m.any():
+            return pd.DataFrame({"l_suppkey": pd.Series(dtype="int64"),
+                                 "revenue_e4": pd.Series(dtype="int64")})
+        pc_ = np.floor(t["l_extendedprice"].to_numpy()[m] * 100.0
+                       + 0.5).astype(np.int64)
+        dp = np.floor(t["l_discount"].to_numpy()[m] * 100.0
+                      + 0.5).astype(np.int64)
+        df = pd.DataFrame({"l_suppkey": t["l_suppkey"].to_numpy()[m],
+                           "revenue_e4": pc_ * (100 - dp)})
+        return (df.groupby("l_suppkey", sort=False)["revenue_e4"].sum()
+                .reset_index().astype({"l_suppkey": "int64",
+                                       "revenue_e4": "int64"}))
+
+    rev = _grouped_sums(li.map_batches(partial, batch_format="pyarrow"),
+                        ["l_suppkey"], ["revenue_e4"]).to_pandas()
+    # dimension-scale (one row per active supplier); empty-quarter guard
+    if rev.empty:
+        return pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                             "s_name": pd.Series(dtype="string"),
+                             "total_revenue_e4": pd.Series(dtype="int64")})
+    top = rev[rev["revenue_e4"] == rev["revenue_e4"].max()]
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"]).to_pandas()
+    out = (top.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+           [["s_suppkey", "s_name", "revenue_e4"]]
+           .rename(columns={"revenue_e4": "total_revenue_e4"})
+           .sort_values("s_suppkey").reset_index(drop=True))
+    return out.astype({"s_suppkey": "int64",
+                       "total_revenue_e4": "int64"})
+
+
+def q_q12_priority_by_status(sf_dir: str):
+    """TPC-H Q12 shape (join + conditional two-class counts), adapted to
+    this schema (no l_shipmode column — l_linestatus plays the class
+    axis): per linestatus, how many lineitems belong to HIGH-priority
+    orders (1-URGENT / 2-HIGH) vs lower. Order priority is a size-gated
+    broadcast (sorted keys + a priority bit); one fact pass, bounded
+    two-row merge."""
+    orders = _dim_table(f"{sf_dir}/orders.parquet",
+                        ["o_orderkey", "o_orderpriority"]) \
+        .sort_by("o_orderkey")
+    ok = orders["o_orderkey"].to_numpy()
+    pri = orders["o_orderpriority"].to_numpy(zero_copy_only=False)
+    high = np.isin(pri, ("1-URGENT", "2-HIGH")).astype(np.int64)
+    ref = ray.put((ok, high))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linestatus"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        k, hb = ray.get(ref)
+        h = _np_lookup(k, hb, t["l_orderkey"].to_numpy(), default=-1)
+        m = h >= 0  # orphan lineitems (no order row) drop, like the join
+        st = t["l_linestatus"].to_numpy(zero_copy_only=False)[m]
+        hm = h[m]
+        df = pd.DataFrame({"l_linestatus": st,
+                           "high_line_count": hm,
+                           "low_line_count": 1 - hm})
+        return (df.groupby("l_linestatus", sort=False)
+                [["high_line_count", "low_line_count"]].sum()
+                .reset_index()
+                .astype({"high_line_count": "int64",
+                         "low_line_count": "int64"}))
+
+    return _grouped_sums(li.map_batches(partial, batch_format="pyarrow"),
+                         ["l_linestatus"],
+                         ["high_line_count", "low_line_count"])
