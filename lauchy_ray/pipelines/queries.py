@@ -5289,23 +5289,34 @@ def q_q7_nation_volume(sf_dir: str):
     key_of = dict(zip(nat["n_name"], nat["n_nationkey"]))
     n1, n2 = (key_of[Q7_NATIONS[0]], key_of[Q7_NATIONS[1]])
 
-    sup = _dim_table(f"{sf_dir}/supplier.parquet",
-                     ["s_suppkey", "s_nationkey"]).sort_by("s_suppkey")
-    cus = _dim_table(f"{sf_dir}/customer.parquet",
-                     ["c_custkey", "c_nationkey"]).sort_by("c_custkey")
-    orders = _dim_table(f"{sf_dir}/orders.parquet",
-                        ["o_orderkey", "o_custkey"]).sort_by("o_orderkey")
+    names = {n1: Q7_NATIONS[0], n2: Q7_NATIONS[1]}
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"])
+    import os
+    paths = {t: f"{sf_dir}/{t}.parquet"
+             for t in ("supplier", "customer", "orders")}
+    if any(os.path.getsize(p) > BROADCAST_DIM_BYTES
+           for p in paths.values()):
+        # a side above the broadcast gate: the q5 discipline — composable
+        # bucketed hash joins, then the same nation-pair partial
+        return _q7_fallback(sf_dir, li, paths, n1, n2, names)
+    sup = pq.read_table(paths["supplier"],
+                        columns=["s_suppkey", "s_nationkey"]) \
+        .sort_by("s_suppkey")
+    cus = pq.read_table(paths["customer"],
+                        columns=["c_custkey", "c_nationkey"]) \
+        .sort_by("c_custkey")
+    orders = pq.read_table(paths["orders"],
+                           columns=["o_orderkey", "o_custkey"]) \
+        .sort_by("o_orderkey")
     ref = ray.put((sup["s_suppkey"].to_numpy(),
                    sup["s_nationkey"].to_numpy().astype(np.int64),
                    cus["c_custkey"].to_numpy(),
                    cus["c_nationkey"].to_numpy().astype(np.int64),
                    orders["o_orderkey"].to_numpy(),
                    orders["o_custkey"].to_numpy()))
-    names = {n1: Q7_NATIONS[0], n2: Q7_NATIONS[1]}
-
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                         columns=["l_orderkey", "l_suppkey", "l_shipdate",
-                                  "l_extendedprice", "l_discount"])
 
     def partial(t: pa.Table):
         sk, snat, ck, cnat, ok, oc = ray.get(ref)
@@ -5349,6 +5360,93 @@ def q_q7_nation_volume(sf_dir: str):
     # bounded output (≤ 2 × ship years); materializing guarantees the
     # schema even when NO lineitem connects the two nations (Ray drops
     # fully-empty blocks, leaving a schemaless dataset)
+    cols = ["supp_nation", "cust_nation", "l_year", "revenue_e4"]
+    if sums.empty:
+        sums = pd.DataFrame({"supp_nation": pd.Series(dtype="string"),
+                             "cust_nation": pd.Series(dtype="string"),
+                             "l_year": pd.Series(dtype="int64"),
+                             "revenue_e4": pd.Series(dtype="int64")})
+    return sums[cols]
+
+
+def _q7_fallback(sf_dir: str, li, paths: dict, n1: int, n2: int,
+                 names: dict):
+    """Over-gate Q7 plan: lineitem ⋈ orders ⋈ supplier ⋈ customer as
+    bucketed hash joins (q5's fallback chain), then the identical
+    nation-pair/year exact-integer partial."""
+    import os
+
+    from ..stages.join import hash_inner_join
+    li_bytes = _path_bytes(f"{sf_dir}/lineitem.parquet", 1 << 50) or 0
+    sizes = {t: os.path.getsize(p) for t, p in paths.items()}
+    orders_ds = rd.read_parquet(paths["orders"],
+                                columns=["o_orderkey", "o_custkey"])
+    sup_ds = rd.read_parquet(paths["supplier"],
+                             columns=["s_suppkey", "s_nationkey"])
+    cus_ds = rd.read_parquet(paths["customer"],
+                             columns=["c_custkey", "c_nationkey"])
+
+    def li_prep(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_numpy(),
+            "l_suppkey": t["l_suppkey"].to_numpy(),
+            "ship_us": t["l_shipdate"].cast(pa.int64()).to_numpy(),
+            "l_extendedprice": t["l_extendedprice"].to_numpy(),
+            "l_discount": t["l_discount"].to_numpy()})
+
+    j = hash_inner_join(
+        li.map_batches(li_prep, batch_format="pyarrow"), orders_ds,
+        "l_orderkey",
+        {"l_suppkey": "Int64", "ship_us": "Int64",
+         "l_extendedprice": "Float64", "l_discount": "Float64"},
+        {"o_custkey": "Int64"}, right_key="o_orderkey",
+        size_bytes=li_bytes + sizes["orders"])
+    j = hash_inner_join(
+        j, sup_ds, "l_suppkey",
+        {"o_custkey": "Int64", "ship_us": "Int64",
+         "l_extendedprice": "Float64", "l_discount": "Float64"},
+        {"s_nationkey": "Int64"}, right_key="s_suppkey",
+        size_bytes=li_bytes + sizes["supplier"])
+    j = hash_inner_join(
+        j, cus_ds, "o_custkey",
+        {"s_nationkey": "Int64", "ship_us": "Int64",
+         "l_extendedprice": "Float64", "l_discount": "Float64"},
+        {"c_nationkey": "Int64"}, right_key="c_custkey",
+        size_bytes=li_bytes + sizes["customer"])
+
+    def partial_joined(df: pd.DataFrame) -> pd.DataFrame:
+        sn = df["s_nationkey"].astype("int64").to_numpy()
+        cn = df["c_nationkey"].astype("int64").to_numpy()
+        m = ((sn == n1) & (cn == n2)) | ((sn == n2) & (cn == n1))
+        if not m.any():
+            return pd.DataFrame({
+                "supp_nation": pd.Series(dtype="string"),
+                "cust_nation": pd.Series(dtype="string"),
+                "l_year": pd.Series(dtype="int64"),
+                "revenue_e4": pd.Series(dtype="int64")})
+        pc_ = np.floor(df["l_extendedprice"].astype("float64")
+                       .to_numpy()[m] * 100.0 + 0.5).astype(np.int64)
+        dp = np.floor(df["l_discount"].astype("float64")
+                      .to_numpy()[m] * 100.0 + 0.5).astype(np.int64)
+        snm = sn[m]
+        g = pd.DataFrame({
+            "sn": snm,
+            "l_year": _year_of_us(df["ship_us"].astype("int64")
+                                  .to_numpy()[m]),
+            "revenue_e4": pc_ * (100 - dp)}) \
+            .groupby(["sn", "l_year"], sort=False)["revenue_e4"] \
+            .sum().reset_index()
+        g["supp_nation"] = g["sn"].map(names)
+        g["cust_nation"] = np.where(g["sn"].to_numpy() == n1,
+                                    names[n2], names[n1])
+        return g[["supp_nation", "cust_nation", "l_year",
+                  "revenue_e4"]].astype({"l_year": "int64",
+                                         "revenue_e4": "int64"})
+
+    sums = _grouped_sums(j.map_batches(partial_joined,
+                                       batch_format="pandas"),
+                         ["supp_nation", "cust_nation", "l_year"],
+                         ["revenue_e4"]).to_pandas()
     cols = ["supp_nation", "cust_nation", "l_year", "revenue_e4"]
     if sums.empty:
         sums = pd.DataFrame({"supp_nation": pd.Series(dtype="string"),
@@ -5695,24 +5793,17 @@ def q_q12_priority_by_status(sf_dir: str):
     axis): per linestatus, how many lineitems belong to HIGH-priority
     orders (1-URGENT / 2-HIGH) vs lower. Order priority is a size-gated
     broadcast (sorted keys + a priority bit); one fact pass, bounded
-    two-row merge."""
-    orders = _dim_table(f"{sf_dir}/orders.parquet",
-                        ["o_orderkey", "o_orderpriority"]) \
-        .sort_by("o_orderkey")
-    ok = orders["o_orderkey"].to_numpy()
-    pri = orders["o_orderpriority"].to_numpy(zero_copy_only=False)
-    high = np.isin(pri, ("1-URGENT", "2-HIGH")).astype(np.int64)
-    ref = ray.put((ok, high))
+    two-row merge. Over the gate: one bucketed hash join instead of the
+    broadcast (q5 discipline)."""
+    import os
+
+    import pyarrow.parquet as pq
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_linestatus"])
+    opath = f"{sf_dir}/orders.parquet"
 
-    def partial(t: pa.Table) -> pd.DataFrame:
-        k, hb = ray.get(ref)
-        h = _np_lookup(k, hb, t["l_orderkey"].to_numpy(), default=-1)
-        m = h >= 0  # orphan lineitems (no order row) drop, like the join
-        st = t["l_linestatus"].to_numpy(zero_copy_only=False)[m]
-        hm = h[m]
+    def counts(st: np.ndarray, hm: np.ndarray) -> pd.DataFrame:
         df = pd.DataFrame({"l_linestatus": st,
                            "high_line_count": hm,
                            "low_line_count": 1 - hm})
@@ -5722,6 +5813,40 @@ def q_q12_priority_by_status(sf_dir: str):
                 .astype({"high_line_count": "int64",
                          "low_line_count": "int64"}))
 
-    return _grouped_sums(li.map_batches(partial, batch_format="pyarrow"),
-                         ["l_linestatus"],
+    if os.path.getsize(opath) <= BROADCAST_DIM_BYTES:
+        orders = pq.read_table(opath, columns=["o_orderkey",
+                                               "o_orderpriority"]) \
+            .sort_by("o_orderkey")
+        ok = orders["o_orderkey"].to_numpy()
+        pri = orders["o_orderpriority"].to_numpy(zero_copy_only=False)
+        high = np.isin(pri, ("1-URGENT", "2-HIGH")).astype(np.int64)
+        ref = ray.put((ok, high))
+
+        def partial(t: pa.Table) -> pd.DataFrame:
+            k, hb = ray.get(ref)
+            h = _np_lookup(k, hb, t["l_orderkey"].to_numpy(), default=-1)
+            m = h >= 0   # orphan lineitems drop, like the inner join
+            return counts(t["l_linestatus"]
+                          .to_numpy(zero_copy_only=False)[m], h[m])
+
+        parts = li.map_batches(partial, batch_format="pyarrow")
+    else:   # orders above the broadcast gate: bucketed hash join
+        from ..stages.join import hash_inner_join
+        li_bytes = _path_bytes(f"{sf_dir}/lineitem.parquet", 1 << 50) or 0
+        orders_ds = rd.read_parquet(opath, columns=["o_orderkey",
+                                                    "o_orderpriority"])
+        j = hash_inner_join(
+            li, orders_ds, "l_orderkey",
+            {"l_linestatus": "string"}, {"o_orderpriority": "string"},
+            right_key="o_orderkey",
+            size_bytes=li_bytes + os.path.getsize(opath))
+
+        def partial_joined(df: pd.DataFrame) -> pd.DataFrame:
+            hm = df["o_orderpriority"].isin(("1-URGENT", "2-HIGH")) \
+                .to_numpy().astype(np.int64)
+            return counts(df["l_linestatus"].to_numpy(dtype=object), hm)
+
+        parts = j.map_batches(partial_joined, batch_format="pandas")
+
+    return _grouped_sums(parts, ["l_linestatus"],
                          ["high_line_count", "low_line_count"])

@@ -127,3 +127,27 @@ def test_hash_inner_join_null_keys_match_nothing(ray_session):
     assert len(out) == 1
     assert int(out["k"].iloc[0]) == 1
     assert int(out["lv"].iloc[0]) == 10 and int(out["rv"].iloc[0]) == 100
+
+
+def test_q7_q12_fallback_join_path_matches_broadcast(ray_session,
+                                                     monkeypatch):
+    """Over the broadcast gate, the round-5 Q7/Q12 shapes degrade to
+    bucketed hash joins — same rows as the broadcast plan."""
+    import lauchy_ray.pipelines.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+
+    def run(fn, keys):
+        res = fn(sf)
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        return df.sort_values(keys).reset_index(drop=True)
+
+    k7 = ["supp_nation", "cust_nation", "l_year"]
+    fast7 = run(Q.q_q7_nation_volume, k7)
+    fast12 = run(Q.q_q12_priority_by_status, ["l_linestatus"])
+    monkeypatch.setattr(Q, "BROADCAST_DIM_BYTES", 0)
+    slow7 = run(Q.q_q7_nation_volume, k7)
+    slow12 = run(Q.q_q12_priority_by_status, ["l_linestatus"])
+    pd.testing.assert_frame_equal(fast7, slow7.astype(fast7.dtypes.to_dict()))
+    pd.testing.assert_frame_equal(
+        fast12, slow12.astype(fast12.dtypes.to_dict()))
