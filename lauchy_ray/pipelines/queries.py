@@ -5465,16 +5465,20 @@ def q_q17_small_qty_revenue(sf_dir: str):
     with 5·qty·cnt < sum_qty (the 0.2·avg rule in EXACT integers,
     quantities being integral). The final division by 7.0 is the only
     float op, applied identically in the SQL oracle."""
-    import pyarrow.parquet as pq
+    import os
 
-    part = _dim_table(f"{sf_dir}/part.parquet", ["p_partkey", "p_brand"])
-    bkeys = np.sort(part["p_partkey"].to_numpy()[
-        part["p_brand"].to_numpy(zero_copy_only=False) == Q17_BRAND])
-    bref = ray.put(bkeys)
+    import pyarrow.parquet as pq
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_partkey", "l_quantity",
                                   "l_extendedprice"])
+    ppath = f"{sf_dir}/part.parquet"
+    if os.path.getsize(ppath) > BROADCAST_DIM_BYTES:
+        return _q17_fallback(sf_dir, li)
+    part = pq.read_table(ppath, columns=["p_partkey", "p_brand"])
+    bkeys = np.sort(part["p_partkey"].to_numpy()[
+        part["p_brand"].to_numpy(zero_copy_only=False) == Q17_BRAND])
+    bref = ray.put(bkeys)
 
     def stats_partial(t: pa.Table) -> pd.DataFrame:
         bk = ray.get(bref)
@@ -5536,6 +5540,70 @@ def q_q17_small_qty_revenue(sf_dir: str):
                                         batch_size=None))
 
 
+def _q17_fallback(sf_dir: str, li):
+    """Over-gate Q17 plan: brand semi-join and per-part stats attach as
+    bucketed hash joins; quantities/prices go integer-exact BEFORE the
+    joins so the 0.2·avg rule and the final sums stay exact."""
+    import os
+
+    from ..stages.join import hash_inner_join
+    li_bytes = _path_bytes(f"{sf_dir}/lineitem.parquet", 1 << 50) or 0
+    p_bytes = os.path.getsize(f"{sf_dir}/part.parquet")
+    part_ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_brand"]) \
+        .map_batches(lambda df: df.loc[df["p_brand"] == Q17_BRAND,
+                                       ["p_partkey"]],
+                     batch_format="pandas")
+
+    def li_prep(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_partkey": t["l_partkey"].to_numpy(),
+            "q_int": np.floor(t["l_quantity"].to_numpy()
+                              + 0.5).astype(np.int64),
+            "price_e2": np.floor(t["l_extendedprice"].to_numpy() * 100.0
+                                 + 0.5).astype(np.int64)})
+
+    j = hash_inner_join(
+        li.map_batches(li_prep, batch_format="pyarrow"), part_ds,
+        "l_partkey", {"q_int": "Int64", "price_e2": "Int64"}, {},
+        right_key="p_partkey", size_bytes=li_bytes + p_bytes) \
+        .materialize()   # reused by the stats pass AND the filter pass
+
+    stats = _grouped_sums(
+        j.map_batches(lambda df: pd.DataFrame({
+            "l_partkey": df["l_partkey"].astype("int64"),
+            "cnt": np.int64(1),
+            "sum_qty": df["q_int"].astype("int64")}),
+            batch_format="pandas"),
+        ["l_partkey"], ["cnt", "sum_qty"])
+    j2 = hash_inner_join(
+        j, stats, "l_partkey",
+        {"q_int": "Int64", "price_e2": "Int64"},
+        {"cnt": "Int64", "sum_qty": "Int64"},
+        size_bytes=li_bytes + p_bytes)
+
+    def keep_partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = df["q_int"].astype("int64").to_numpy()
+        cnt = df["cnt"].astype("int64").to_numpy()
+        sq = df["sum_qty"].astype("int64").to_numpy()
+        keep = 5 * q * cnt < sq
+        pe2 = df["price_e2"].astype("int64").to_numpy()[keep]
+        return pd.DataFrame({"sum_price_e2": pd.array([int(pe2.sum())],
+                                                      "int64"),
+                             "n_items": pd.array([int(keep.sum())],
+                                                 "int64")})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        t = np.int64(df["sum_price_e2"].sum())
+        return pd.DataFrame({"sum_price_e2": [t],
+                             "n_items": [np.int64(df["n_items"].sum())],
+                             "avg_yearly": [float(t) / 700.0]})
+
+    return (j2.map_batches(keep_partial, batch_format="pandas")
+            .repartition(1).map_batches(final, batch_format="pandas",
+                                        batch_size=None))
+
+
 def q_q8_market_share(sf_dir: str):
     """TPC-H Q8 shape (two-level conditional aggregate / market share):
     per ship year, the share of one supplier nation's revenue within one
@@ -5553,15 +5621,26 @@ def q_q8_market_share(sf_dir: str):
                                        nat["n_regionkey"]) if nrk == rk}
     n8 = dict(zip(nat["n_name"], nat["n_nationkey"]))[Q8_NATION]
 
-    part = _dim_table(f"{sf_dir}/part.parquet", ["p_partkey", "p_type"])
+    import os
+    paths = {t: f"{sf_dir}/{t}.parquet"
+             for t in ("part", "supplier", "customer", "orders")}
+    li_cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_shipdate",
+               "l_extendedprice", "l_discount"]
+    if any(os.path.getsize(p) > BROADCAST_DIM_BYTES
+           for p in paths.values()):
+        return _q8_fallback(sf_dir, paths, li_cols, n8, region_nk)
+    part = pq.read_table(paths["part"], columns=["p_partkey", "p_type"])
     pkeys = np.sort(part["p_partkey"].to_numpy()[
         part["p_type"].to_numpy(zero_copy_only=False) == Q8_TYPE])
-    sup = _dim_table(f"{sf_dir}/supplier.parquet",
-                     ["s_suppkey", "s_nationkey"]).sort_by("s_suppkey")
-    cus = _dim_table(f"{sf_dir}/customer.parquet",
-                     ["c_custkey", "c_nationkey"]).sort_by("c_custkey")
-    orders = _dim_table(f"{sf_dir}/orders.parquet",
-                        ["o_orderkey", "o_custkey"]).sort_by("o_orderkey")
+    sup = pq.read_table(paths["supplier"],
+                        columns=["s_suppkey", "s_nationkey"]) \
+        .sort_by("s_suppkey")
+    cus = pq.read_table(paths["customer"],
+                        columns=["c_custkey", "c_nationkey"]) \
+        .sort_by("c_custkey")
+    orders = pq.read_table(paths["orders"],
+                           columns=["o_orderkey", "o_custkey"]) \
+        .sort_by("o_orderkey")
     cin = np.isin(cus["c_nationkey"].to_numpy(),
                   np.fromiter(region_nk, np.int64)).astype(np.int64)
     ref = ray.put((pkeys,
@@ -5611,16 +5690,8 @@ def q_q8_market_share(sf_dir: str):
 
     sums = _grouped_sums(li.map_batches(partial, batch_format="pyarrow"),
                          ["l_year"], ["nation_e4", "total_e4"]).to_pandas()
-    # bounded output (one row per ship year); same empty-schema guard
-    # as q_q7_nation_volume
-    if sums.empty:
-        sums = pd.DataFrame({"l_year": pd.Series(dtype="int64"),
-                             "nation_e4": pd.Series(dtype="int64"),
-                             "total_e4": pd.Series(dtype="int64")})
-    sums = sums.sort_values("l_year").reset_index(drop=True)
-    sums["mkt_share"] = (sums["nation_e4"].astype("float64")
-                         / sums["total_e4"].astype("float64"))
-    return sums
+    # bounded output (one row per ship year); shared empty-schema guard
+    return _q8_share_rows(sums)
 
 
 SEM_TAU = 0.5  # matches embed_near_dups: the synthetic corpus' pair scale
@@ -5663,6 +5734,100 @@ def q_semantic_dedup(sf_dir: str):
                          "kept": pa.array(v == r)})
 
     return assigned.map_batches(with_kept, batch_format="pyarrow")
+
+
+def _q8_share_rows(sums: pd.DataFrame) -> pd.DataFrame:
+    if sums.empty:
+        sums = pd.DataFrame({"l_year": pd.Series(dtype="int64"),
+                             "nation_e4": pd.Series(dtype="int64"),
+                             "total_e4": pd.Series(dtype="int64")})
+    sums = sums.sort_values("l_year").reset_index(drop=True)
+    sums["mkt_share"] = (sums["nation_e4"].astype("float64")
+                         / sums["total_e4"].astype("float64"))
+    return sums
+
+
+def _q8_fallback(sf_dir: str, paths: dict, li_cols: list, n8: int,
+                 region_nk: set):
+    """Over-gate Q8 plan: part-type semi-join, then orders / customer /
+    supplier as composable bucketed hash joins; the region filter and
+    the exact-integer year fold run in the final partial."""
+    import os
+
+    from ..stages.join import hash_inner_join
+    li_bytes = _path_bytes(f"{sf_dir}/lineitem.parquet", 1 << 50) or 0
+    sizes = {t: os.path.getsize(p) for t, p in paths.items()}
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=li_cols)
+    part_ds = rd.read_parquet(paths["part"],
+                              columns=["p_partkey", "p_type"]) \
+        .map_batches(lambda df: df.loc[df["p_type"] == Q8_TYPE,
+                                       ["p_partkey"]],
+                     batch_format="pandas")
+
+    def li_prep(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_partkey": t["l_partkey"].to_numpy(),
+            "l_orderkey": t["l_orderkey"].to_numpy(),
+            "l_suppkey": t["l_suppkey"].to_numpy(),
+            "ship_us": t["l_shipdate"].cast(pa.int64()).to_numpy(),
+            "rev_e4": (np.floor(t["l_extendedprice"].to_numpy() * 100.0
+                                + 0.5).astype(np.int64)
+                       * (100 - np.floor(t["l_discount"].to_numpy()
+                                         * 100.0 + 0.5)
+                          .astype(np.int64)))})
+
+    carry = {"l_orderkey": "Int64", "l_suppkey": "Int64",
+             "ship_us": "Int64", "rev_e4": "Int64"}
+    j = hash_inner_join(
+        li.map_batches(li_prep, batch_format="pyarrow"), part_ds,
+        "l_partkey", carry, {}, right_key="p_partkey",
+        size_bytes=li_bytes + sizes["part"])
+    j = hash_inner_join(
+        j, rd.read_parquet(paths["orders"],
+                           columns=["o_orderkey", "o_custkey"]),
+        "l_orderkey",
+        {k: v for k, v in carry.items() if k != "l_orderkey"},
+        {"o_custkey": "Int64"}, right_key="o_orderkey",
+        size_bytes=li_bytes + sizes["orders"])
+    j = hash_inner_join(
+        j, rd.read_parquet(paths["customer"],
+                           columns=["c_custkey", "c_nationkey"]),
+        "o_custkey",
+        {"l_suppkey": "Int64", "ship_us": "Int64", "rev_e4": "Int64"},
+        {"c_nationkey": "Int64"}, right_key="c_custkey",
+        size_bytes=li_bytes + sizes["customer"])
+    j = hash_inner_join(
+        j, rd.read_parquet(paths["supplier"],
+                           columns=["s_suppkey", "s_nationkey"]),
+        "l_suppkey",
+        {"ship_us": "Int64", "rev_e4": "Int64", "c_nationkey": "Int64"},
+        {"s_nationkey": "Int64"}, right_key="s_suppkey",
+        size_bytes=li_bytes + sizes["supplier"])
+    reg = np.fromiter(region_nk, np.int64)
+
+    def partial_joined(df: pd.DataFrame) -> pd.DataFrame:
+        cn = df["c_nationkey"].astype("int64").to_numpy()
+        m = np.isin(cn, reg)
+        if not m.any():
+            return pd.DataFrame({"l_year": pd.Series(dtype="int64"),
+                                 "nation_e4": pd.Series(dtype="int64"),
+                                 "total_e4": pd.Series(dtype="int64")})
+        rev = df["rev_e4"].astype("int64").to_numpy()[m]
+        sn = df["s_nationkey"].astype("int64").to_numpy()[m]
+        return (pd.DataFrame({
+            "l_year": _year_of_us(df["ship_us"].astype("int64")
+                                  .to_numpy()[m]),
+            "nation_e4": np.where(sn == n8, rev, 0),
+            "total_e4": rev})
+            .groupby("l_year", sort=False)[["nation_e4", "total_e4"]]
+            .sum().reset_index()
+            .astype({"l_year": "int64", "nation_e4": "int64",
+                     "total_e4": "int64"}))
+
+    sums = _grouped_sums(j.map_batches(partial_joined,
+                                       batch_format="pandas"),
+                         ["l_year"], ["nation_e4", "total_e4"]).to_pandas()
+    return _q8_share_rows(sums)
 
 
 def q_ppl_buckets(sf_dir: str):
@@ -5777,8 +5942,13 @@ def q_q15_top_suppliers(sf_dir: str):
                              "s_name": pd.Series(dtype="string"),
                              "total_revenue_e4": pd.Series(dtype="int64")})
     top = rev[rev["revenue_e4"] == rev["revenue_e4"].max()]
-    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
-                        columns=["s_suppkey", "s_name"]).to_pandas()
+    # name lookup reads ONLY the tied top suppliers (row-group pushdown)
+    # — never the whole supplier dimension onto the driver
+    import pyarrow.dataset as pds
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"],
+        filters=pds.field("s_suppkey").isin(
+            top["l_suppkey"].tolist())).to_pandas()
     out = (top.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
            [["s_suppkey", "s_name", "revenue_e4"]]
            .rename(columns={"revenue_e4": "total_revenue_e4"})

@@ -151,3 +151,26 @@ def test_q7_q12_fallback_join_path_matches_broadcast(ray_session,
     pd.testing.assert_frame_equal(fast7, slow7.astype(fast7.dtypes.to_dict()))
     pd.testing.assert_frame_equal(
         fast12, slow12.astype(fast12.dtypes.to_dict()))
+
+
+def test_q8_q17_fallback_join_path_matches_broadcast(ray_session,
+                                                     monkeypatch):
+    """Over the broadcast gate, Q8/Q17 degrade to bucketed hash joins —
+    same values as the broadcast plans (exact integers either way)."""
+    import lauchy_ray.pipelines.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+
+    def run(fn, keys):
+        res = fn(sf)
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        return df.sort_values(keys).reset_index(drop=True)
+
+    fast8 = run(Q.q_q8_market_share, ["l_year"])
+    fast17 = run(Q.q_q17_small_qty_revenue, ["sum_price_e2"])
+    monkeypatch.setattr(Q, "BROADCAST_DIM_BYTES", 0)
+    slow8 = run(Q.q_q8_market_share, ["l_year"])
+    slow17 = run(Q.q_q17_small_qty_revenue, ["sum_price_e2"])
+    pd.testing.assert_frame_equal(fast8, slow8.astype(fast8.dtypes.to_dict()))
+    pd.testing.assert_frame_equal(
+        fast17, slow17.astype(fast17.dtypes.to_dict()))
