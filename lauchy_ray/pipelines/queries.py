@@ -5257,18 +5257,6 @@ Q8_REGION, Q8_NATION, Q8_TYPE = "EUROPE", "NATION_1", "PROMO"
 Q17_BRAND = "Brand#5"
 
 
-def _dim_table(path: str, columns: list[str]):
-    """Size-gated dimension read (q19 convention: loud over the gate —
-    the >gate path is hash_inner_join, as q5 demonstrates)."""
-    import os
-
-    import pyarrow.parquet as pq
-    if os.path.getsize(path) > BROADCAST_DIM_BYTES:
-        raise ValueError(f"{path} above the broadcast gate: route via "
-                         "hash_inner_join (see q_q5_region_revenue)")
-    return pq.read_table(path, columns=columns)
-
-
 def _year_of_us(ts_us: np.ndarray) -> np.ndarray:
     """Calendar year from int64 microsecond timestamps (vectorized)."""
     return (ts_us.astype("datetime64[us]").astype("datetime64[Y]")
