@@ -3833,10 +3833,12 @@ def q_q19_brand_revenue(sf_dir: str):
 
     import pyarrow.parquet as pq
 
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
     ppath = f"{sf_dir}/part.parquet"
     if os.path.getsize(ppath) > BROADCAST_DIM_BYTES:
-        raise ValueError("part map above the broadcast gate: route via "
-                         "hash_inner_join")
+        return _q19_fallback(sf_dir, li, ppath)
     part = pq.read_table(ppath, columns=["p_partkey", "p_brand", "p_size"]) \
         .sort_by("p_partkey")
     pk = part["p_partkey"].to_numpy()
@@ -3846,10 +3848,6 @@ def q_q19_brand_revenue(sf_dir: str):
     for i, (b, slo, shi, _, _) in enumerate(Q19_ARMS):
         bits |= ((brand == b) & (size >= slo) & (size <= shi)) << i
     ref = ray.put((pk, bits))
-
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                         columns=["l_partkey", "l_quantity",
-                                  "l_extendedprice", "l_discount"])
 
     def partial(t: pa.Table) -> pd.DataFrame:
         keys, pbits = ray.get(ref)
@@ -3873,6 +3871,67 @@ def q_q19_brand_revenue(sf_dir: str):
             "n_items": [int(df["n_items"].sum())]}).astype("int64")
 
     return (li.map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(merge, batch_format="pandas", batch_size=None))
+
+
+def _q19_fallback(sf_dir: str, li, ppath: str):
+    """Over-gate Q19 plan: the arm-eligibility bitmask becomes a column
+    on the (filtered) part side and rides one bucketed hash join; the
+    quantity arms and exact integer fold run in the joined partial."""
+    import os
+
+    from ..stages.join import hash_inner_join
+    li_bytes = _path_bytes(f"{sf_dir}/lineitem.parquet", 1 << 50) or 0
+
+    def part_bits(df: pd.DataFrame) -> pd.DataFrame:
+        brand = df["p_brand"].to_numpy(dtype=object)
+        size = df["p_size"].to_numpy()
+        bits = np.zeros(len(df), np.int64)
+        for i, (b, slo, shi, _, _) in enumerate(Q19_ARMS):
+            bits |= (((brand == b) & (size >= slo) & (size <= shi))
+                     .astype(np.int64) << i)
+        out = pd.DataFrame({"p_partkey": df["p_partkey"].to_numpy(),
+                            "bits": bits})
+        return out[out["bits"] > 0]   # ineligible parts never ship
+
+    part_ds = rd.read_parquet(ppath, columns=["p_partkey", "p_brand",
+                                              "p_size"]) \
+        .map_batches(part_bits, batch_format="pandas")
+
+    def li_prep(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_partkey": t["l_partkey"].to_numpy(),
+            "l_quantity": t["l_quantity"].to_numpy(),
+            "price_e2": np.floor(t["l_extendedprice"].to_numpy() * 100.0
+                                 + 0.5).astype(np.int64),
+            "disc_p": np.floor(t["l_discount"].to_numpy() * 100.0
+                               + 0.5).astype(np.int64)})
+
+    j = hash_inner_join(
+        li.map_batches(li_prep, batch_format="pyarrow"), part_ds,
+        "l_partkey",
+        {"l_quantity": "Float64", "price_e2": "Int64", "disc_p": "Int64"},
+        {"bits": "Int64"}, right_key="p_partkey",
+        size_bytes=li_bytes + os.path.getsize(ppath))
+
+    def partial_joined(df: pd.DataFrame) -> pd.DataFrame:
+        lb = df["bits"].astype("int64").to_numpy()
+        qty = df["l_quantity"].astype("float64").to_numpy()
+        m = np.zeros(len(lb), bool)
+        for i, (_, _, _, qlo, qhi) in enumerate(Q19_ARMS):
+            m |= ((lb & (1 << i)) > 0) & (qty >= qlo) & (qty <= qhi)
+        pe2 = df["price_e2"].astype("int64").to_numpy()[m]
+        dp = df["disc_p"].astype("int64").to_numpy()[m]
+        return pd.DataFrame({"revenue_e4": [int((pe2 * (100 - dp)).sum())],
+                             "n_items": [int(m.sum())]})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "revenue_e4": [int(df["revenue_e4"].sum())],
+            "n_items": [int(df["n_items"].sum())]}).astype("int64")
+
+    return (j.map_batches(partial_joined, batch_format="pandas")
             .repartition(1)
             .map_batches(merge, batch_format="pandas", batch_size=None))
 

@@ -174,3 +174,13 @@ def test_q8_q17_fallback_join_path_matches_broadcast(ray_session,
     pd.testing.assert_frame_equal(fast8, slow8.astype(fast8.dtypes.to_dict()))
     pd.testing.assert_frame_equal(
         fast17, slow17.astype(fast17.dtypes.to_dict()))
+
+
+def test_q19_fallback_join_path_matches_broadcast(ray_session, monkeypatch):
+    import lauchy_ray.pipelines.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    fast = Q.q_q19_brand_revenue(sf).to_pandas()
+    monkeypatch.setattr(Q, "BROADCAST_DIM_BYTES", 0)
+    slow = Q.q_q19_brand_revenue(sf).to_pandas()
+    pd.testing.assert_frame_equal(fast, slow.astype(fast.dtypes.to_dict()))
