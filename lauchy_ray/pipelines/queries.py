@@ -1409,8 +1409,7 @@ def q_orders_backlog(sf_dir: str):
     # gate BEFORE reading/broadcasting (asserts vanish under -O and the
     # old order read the whole table into driver memory first)
     if os.path.getsize(opath) > BROADCAST_DIM_BYTES:
-        raise ValueError(
-            "orders map above the broadcast gate: route via hash_inner_join")
+        return _orders_backlog_fallback(sf_dir, li, opath)
     orders = pq.read_table(opath, columns=["o_orderkey", "o_orderdate"])
     ok = orders["o_orderkey"].to_numpy()
     order = np.argsort(ok, kind="stable")
@@ -1456,6 +1455,65 @@ def q_orders_backlog(sf_dir: str):
 
     return parts.repartition(1).map_batches(cum, batch_format="pandas",
                                             batch_size=None)
+
+
+def _orders_backlog_fallback(sf_dir: str, li, opath: str):
+    """Over-gate backlog plan: per-order close days (bucketed max fold)
+    hash-join the orders table for open days; the per-batch ±1 day
+    deltas and the single bounded cumsum are unchanged."""
+    import os
+
+    from ..stages.bucketing import group_map_by_key
+    from ..stages.join import hash_inner_join
+    li_bytes = _path_bytes(f"{sf_dir}/lineitem.parquet", 1 << 50) or 0
+
+    def close_partial(t: pa.Table) -> pd.DataFrame:
+        g = (pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_numpy(),
+            "close_day": t["l_shipdate"].cast(pa.int64()).to_numpy()
+            // DAY_US})
+            .groupby("l_orderkey")["close_day"].max().reset_index())
+        return g.astype({"l_orderkey": "int64", "close_day": "int64"})
+
+    close = group_map_by_key(
+        li.map_batches(close_partial, batch_format="pyarrow"),
+        "l_orderkey",
+        lambda df: (df.groupby("l_orderkey")["close_day"].max()
+                    .reset_index()
+                    .astype({"l_orderkey": "int64", "close_day": "int64"})),
+        size_ds=li)
+    orders_ds = rd.read_parquet(opath, columns=["o_orderkey",
+                                                "o_orderdate"]) \
+        .map_batches(lambda df: pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "open_day": df["o_orderdate"].astype("datetime64[us]")
+            .astype("int64") // DAY_US}), batch_format="pandas")
+    j = hash_inner_join(close, orders_ds, "l_orderkey",
+                        {"close_day": "Int64"}, {"open_day": "Int64"},
+                        right_key="o_orderkey",
+                        size_bytes=li_bytes + os.path.getsize(opath))
+
+    def deltas_joined(df: pd.DataFrame) -> pd.DataFrame:
+        open_day = df["open_day"].astype("int64").to_numpy()
+        close_day = df["close_day"].astype("int64").to_numpy()
+        b = pd.DataFrame({
+            "day_id": np.concatenate([open_day, close_day + 1]),
+            "delta": np.concatenate([
+                np.ones(len(open_day), np.int64),
+                -np.ones(len(close_day), np.int64)])})
+        return (b.groupby("day_id")["delta"].sum().reset_index()
+                .astype({"day_id": "int64", "delta": "int64"}))
+
+    def cum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("day_id", sort=True)["delta"].sum().reset_index()
+        g = g[g["delta"] != 0]
+        g["open_orders"] = g["delta"].cumsum().astype("int64")
+        return g[["day_id", "open_orders"]].astype(
+            {"day_id": "int64"}).reset_index(drop=True)
+
+    return (j.map_batches(deltas_joined, batch_format="pandas")
+            .repartition(1).map_batches(cum, batch_format="pandas",
+                                        batch_size=None))
 
 
 def q_events_weekly(sf_dir: str):
@@ -4026,19 +4084,16 @@ def q_q10_returned_customers(sf_dir: str):
 
     opath = f"{sf_dir}/orders.parquet"
     cpath = f"{sf_dir}/customer.parquet"
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_returnflag",
+                                  "l_extendedprice", "l_discount"])
     if (os.path.getsize(opath) > BROADCAST_DIM_BYTES
             or os.path.getsize(cpath) > BROADCAST_DIM_BYTES):
-        raise ValueError(
-            "order/customer maps above the broadcast gate: route via "
-            "hash_inner_join (q5's over-gate plan)")
+        return _q10_fallback(sf_dir, li, opath, cpath)
     orders = pq.read_table(opath, columns=["o_orderkey", "o_custkey"]) \
         .sort_by("o_orderkey")
     ref = ray.put((orders["o_orderkey"].to_numpy(),
                    orders["o_custkey"].to_numpy()))
-
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                         columns=["l_orderkey", "l_returnflag",
-                                  "l_extendedprice", "l_discount"])
 
     def partial(t: pa.Table) -> pd.DataFrame:
         ok, oc = ray.get(ref)
@@ -4064,8 +4119,13 @@ def q_q10_returned_customers(sf_dir: str):
              .sum().reset_index())
         g = g.sort_values(["rev", "c_custkey"], ascending=[False, True],
                           kind="stable").head(Q10_K)
-        cus = pq.read_table(cpath, columns=["c_custkey", "c_name",
-                                            "c_nationkey"]).to_pandas()
+        import pyarrow.dataset as pds
+        # read ONLY the top-K customers (row-group pushdown), never the
+        # whole dimension into the merge task
+        cus = pq.read_table(
+            cpath, columns=["c_custkey", "c_name", "c_nationkey"],
+            filters=pds.field("c_custkey").isin(
+                g["c_custkey"].tolist())).to_pandas()
         nat = pq.read_table(f"{sf_dir}/nation.parquet",
                             columns=["n_nationkey", "n_name"]).to_pandas()
         g = g.merge(cus, on="c_custkey").merge(
@@ -4082,6 +4142,62 @@ def q_q10_returned_customers(sf_dir: str):
     return (li.map_batches(partial, batch_format="pyarrow")
             .repartition(1)
             .map_batches(merge, batch_format="pandas", batch_size=None))
+
+
+def _q10_fallback(sf_dir: str, li, opath: str, cpath: str):
+    """Over-gate Q10 plan: R-filtered integer-prepped lineitems hash-join
+    orders for the customer key; customer partial sums fold distributed
+    (_grouped_sums merge is O(customers)); the top-K name lookup reads
+    only the winners via row-group pushdown."""
+    import os
+
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    from ..stages.join import hash_inner_join
+    li_bytes = _path_bytes(f"{sf_dir}/lineitem.parquet", 1 << 50) or 0
+
+    def li_prep(t: pa.Table) -> pd.DataFrame:
+        m = pc.equal(t["l_returnflag"], "R").to_numpy(zero_copy_only=False)
+        pc_ = np.floor(t["l_extendedprice"].to_numpy()[m] * 100.0
+                       + 0.5).astype(np.int64)
+        du = np.floor(t["l_discount"].to_numpy()[m] * 100.0
+                      + 0.5).astype(np.int64)
+        return pd.DataFrame({"l_orderkey": t["l_orderkey"].to_numpy()[m],
+                             "rev": pc_ * (100 - du),
+                             "n_items": np.int64(1)})
+
+    j = hash_inner_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        rd.read_parquet(opath, columns=["o_orderkey", "o_custkey"]),
+        "l_orderkey", {"rev": "Int64", "n_items": "Int64"},
+        {"o_custkey": "Int64"}, right_key="o_orderkey",
+        size_bytes=li_bytes + os.path.getsize(opath))
+    sums = _grouped_sums(
+        j.map_batches(lambda df: pd.DataFrame({
+            "c_custkey": df["o_custkey"].astype("int64"),
+            "rev": df["rev"].astype("int64"),
+            "n_items": df["n_items"].astype("int64")}),
+            batch_format="pandas"),
+        ["c_custkey"], ["rev", "n_items"]).to_pandas()
+    g = sums.sort_values(["rev", "c_custkey"], ascending=[False, True],
+                         kind="stable").head(Q10_K)
+    cus = pq.read_table(
+        cpath, columns=["c_custkey", "c_name", "c_nationkey"],
+        filters=pds.field("c_custkey").isin(
+            g["c_custkey"].tolist())).to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    g = g.merge(cus, on="c_custkey").merge(
+        nat, left_on="c_nationkey", right_on="n_nationkey")
+    g = g.sort_values(["rev", "c_custkey"], ascending=[False, True],
+                      kind="stable")
+    return pd.DataFrame({
+        "c_custkey": g["c_custkey"].astype("int64"),
+        "c_name": g["c_name"],
+        "n_name": g["n_name"],
+        "revenue_e4": g["rev"].astype("int64"),
+        "n_items": g["n_items"].astype("int64")})
 
 
 def q_q5_region_revenue(sf_dir: str):

@@ -184,3 +184,21 @@ def test_q19_fallback_join_path_matches_broadcast(ray_session, monkeypatch):
     monkeypatch.setattr(Q, "BROADCAST_DIM_BYTES", 0)
     slow = Q.q_q19_brand_revenue(sf).to_pandas()
     pd.testing.assert_frame_equal(fast, slow.astype(fast.dtypes.to_dict()))
+
+
+def test_q10_backlog_fallbacks_match_broadcast(ray_session, monkeypatch):
+    import lauchy_ray.pipelines.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    fast10 = Q.q_q10_returned_customers(sf)
+    fast10 = (fast10.to_pandas() if hasattr(fast10, "to_pandas")
+              else fast10).reset_index(drop=True)
+    fastb = Q.q_orders_backlog(sf).to_pandas().reset_index(drop=True)
+    monkeypatch.setattr(Q, "BROADCAST_DIM_BYTES", 0)
+    slow10 = Q.q_q10_returned_customers(sf)
+    slow10 = (slow10.to_pandas() if hasattr(slow10, "to_pandas")
+              else slow10).reset_index(drop=True)
+    slowb = Q.q_orders_backlog(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        fast10, slow10.astype(fast10.dtypes.to_dict()))
+    pd.testing.assert_frame_equal(fastb, slowb.astype(fastb.dtypes.to_dict()))
