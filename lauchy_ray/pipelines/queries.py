@@ -5312,19 +5312,14 @@ def q_inactive_rich_customers(sf_dir: str):
     opath = f"{sf_dir}/orders.parquet"
 
     # distinct recently-active custkeys — one pruned pass over orders
-    active = (rd.read_parquet(opath, columns=["o_custkey", "o_orderdate"])
-              .map_batches(
-                  lambda t: pd.DataFrame({
-                      "k": np.unique(t["o_custkey"].to_numpy()[
-                          t["o_orderdate"].cast(pa.int64()).to_numpy()
-                          >= cut])}),
-                  batch_format="pyarrow")
-              .to_pandas())
-    active_keys = np.unique(active["k"].to_numpy(np.int64))
-    if os.path.getsize(cpath) > BROADCAST_DIM_BYTES:
-        raise ValueError("customer table above the broadcast gate: "
-                         "route the anti join via bucketed co-location")
-    akeys = ray.put(active_keys)
+    active_ds = rd.read_parquet(opath, columns=["o_custkey",
+                                                "o_orderdate"]) \
+        .map_batches(
+            lambda t: pd.DataFrame({
+                "k": np.unique(t["o_custkey"].to_numpy()[
+                    t["o_orderdate"].cast(pa.int64()).to_numpy()
+                    >= cut])}),
+            batch_format="pyarrow")
 
     cust = rd.read_parquet(cpath, columns=["c_custkey", "c_nationkey",
                                            "c_acctbal"])
@@ -5339,6 +5334,12 @@ def q_inactive_rich_customers(sf_dir: str):
     st = (cust.map_batches(stats_partial, batch_format="pyarrow")
           .to_pandas())
     s_pos, n_pos = int(st["s"].sum()), int(st["n"].sum())
+    if os.path.getsize(cpath) > BROADCAST_DIM_BYTES:
+        # customer above the broadcast gate ⇒ the active set may be too:
+        # bucketed anti join on custkey, never a driver-held key array
+        return _inactive_rich_fallback(cust, active_ds, s_pos, n_pos)
+    active_keys = np.unique(active_ds.to_pandas()["k"].to_numpy(np.int64))
+    akeys = ray.put(active_keys)
 
     def pick(t: pa.Table) -> pd.DataFrame:
         bal = t["c_acctbal"].to_numpy()
@@ -5358,6 +5359,55 @@ def q_inactive_rich_customers(sf_dir: str):
             .astype("int64"))
 
     return _grouped_sums(cust.map_batches(pick, batch_format="pyarrow"),
+                         ["c_nationkey"], ["numcust", "totacctbal_cents"])
+
+
+def _inactive_rich_fallback(cust, active_ds, s_pos: int, n_pos: int):
+    """Over-gate Q22 plan: the NOT-EXISTS becomes a bucketed anti join —
+    customers and active keys co-locate by custkey hash, each bucket
+    drops matched keys vectorized, then the same exact-integer
+    rich-filter partial and bounded nation merge."""
+    from ..stages.bucketing import group_map_by_key
+
+    def tag_c(t: pa.Table) -> pd.DataFrame:
+        cents = np.floor(t["c_acctbal"].to_numpy() * 100.0
+                         + 0.5).astype(np.int64)
+        return pd.DataFrame({"__id": t["c_custkey"].to_numpy()
+                             .astype(np.int64),
+                             "c_nationkey": t["c_nationkey"].to_numpy()
+                             .astype(np.int64),
+                             "cents": cents, "__src": np.int64(0)})
+
+    def tag_a(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["k"].to_numpy(np.int64)
+        return pd.DataFrame({"__id": k,
+                             "c_nationkey": np.zeros(len(k), np.int64),
+                             "cents": np.zeros(len(k), np.int64),
+                             "__src": np.int64(1)})
+
+    both = cust.map_batches(tag_c, batch_format="pyarrow").union(
+        active_ds.map_batches(tag_a, batch_format="pandas"))
+
+    def anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        src = g["__src"].to_numpy()
+        act = np.unique(g.loc[src == 1, "__id"].to_numpy(np.int64))
+        c = g[src == 0]
+        keys = c["__id"].to_numpy(np.int64)
+        if len(act):
+            p = np.minimum(np.searchsorted(act, keys), len(act) - 1)
+            inactive = act[p] != keys
+        else:
+            inactive = np.ones(len(keys), bool)
+        cents = c["cents"].to_numpy(np.int64)
+        m = inactive & (cents * n_pos > s_pos)
+        return (pd.DataFrame({
+            "c_nationkey": c["c_nationkey"].to_numpy(np.int64)[m],
+            "numcust": np.ones(int(m.sum()), np.int64),
+            "totacctbal_cents": cents[m]})
+            .groupby("c_nationkey", sort=False).sum().reset_index()
+            .astype("int64"))
+
+    return _grouped_sums(group_map_by_key(both, "__id", anti_bucket),
                          ["c_nationkey"], ["numcust", "totacctbal_cents"])
 
 

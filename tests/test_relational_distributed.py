@@ -202,3 +202,18 @@ def test_q10_backlog_fallbacks_match_broadcast(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(
         fast10, slow10.astype(fast10.dtypes.to_dict()))
     pd.testing.assert_frame_equal(fastb, slowb.astype(fastb.dtypes.to_dict()))
+
+
+def test_inactive_rich_fallback_matches_broadcast(ray_session, monkeypatch):
+    import lauchy_ray.pipelines.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+
+    def run():
+        return (Q.q_inactive_rich_customers(sf).to_pandas()
+                .sort_values("c_nationkey").reset_index(drop=True))
+
+    fast = run()
+    monkeypatch.setattr(Q, "BROADCAST_DIM_BYTES", 0)
+    slow = run()
+    pd.testing.assert_frame_equal(fast, slow.astype(fast.dtypes.to_dict()))
