@@ -6075,7 +6075,12 @@ def q_ppl_buckets(sf_dir: str):
                              "lang": df["lang"].astype(object),
                              "score_cell": cell})
 
-    sc = j.map_batches(cells, batch_format="pandas").materialize()
+    sc = j.map_batches(cells, batch_format="pandas")
+    if dbytes <= MATERIALIZE_INPUT_BYTES:
+        # two consumers (histogram + assign): cache below the gate,
+        # recompute lineage above it (the _turns convention) rather than
+        # pinning a corpus-scale dataset
+        sc = sc.materialize()
 
     hist = (sc.map_batches(
         lambda df: df.groupby(["lang", "score_cell"], sort=False)
