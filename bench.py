@@ -142,8 +142,8 @@ def run_streaming(paths: dict[str, str]) -> dict:
         run_streaming_absence, run_streaming_approx_topk,
         run_streaming_dedup, run_streaming_distinct, run_streaming_join,
         run_streaming_patterns, run_streaming_quantiles,
-        run_streaming_sample, run_streaming_sessions,
-        run_streaming_topk, run_streaming_upsert,
+        run_streaming_funnel, run_streaming_sample,
+        run_streaming_sessions, run_streaming_topk, run_streaming_upsert,
         run_streaming_window_counts, run_streaming_window_hll)
 
     codes = sorted(pq.read_table(paths["entities"], columns=["code"])
@@ -173,6 +173,8 @@ def run_streaming(paths: dict[str, str]) -> dict:
     timed("cep_sessions", lambda: run_streaming_sessions(
         paths["turns"], gap, late, n_shards=8, validate_kwargs=vk))
     timed("cep_patterns", lambda: run_streaming_patterns(
+        paths["turns"], late, n_shards=8, validate_kwargs=vk))
+    timed("cep_funnel", lambda: run_streaming_funnel(
         paths["turns"], late, n_shards=8, validate_kwargs=vk))
     timed("cep_distinct", lambda: run_streaming_distinct(
         paths["turns"], hour, late, n_shards=8, validate_kwargs=vk))

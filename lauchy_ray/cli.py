@@ -136,6 +136,18 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--tail", action="store_true")
     sp.add_argument("--idle-timeout-s", type=float, default=30.0)
 
+    sf = sub.add_parser("stream-funnel", parents=[common],
+                        help="streaming ordered-stage conversation "
+                             "funnel (user -> tool-after -> "
+                             "assistant-after), exactly-once")
+    sf.add_argument("--input", required=True)
+    sf.add_argument("--out", required=True)
+    sf.add_argument("--lateness-min", type=int, default=5)
+    sf.add_argument("--shards", type=int, default=8)
+    sf.add_argument("--checkpoint-dir", default=None)
+    sf.add_argument("--tail", action="store_true")
+    sf.add_argument("--idle-timeout-s", type=float, default=30.0)
+
     sa = sub.add_parser("stream-absence", parents=[common],
                         help="streaming unanswered-turn timeout detector "
                              "(user turn with no assistant reply within "
@@ -414,6 +426,24 @@ def main(argv: list[str] | None = None) -> int:
             pq.write_table(pa.Table.from_pandas(late),
                            os.path.join(args.out, "late.parquet"))
             print(json.dumps({"out": args.out, "matches": len(matches),
+                              "late_rows": len(late),
+                              "watermarks": [int(w) for w in wms]}))
+        elif args.cmd == "stream-funnel":
+            import os
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from .state.streaming import run_streaming_funnel
+            fn, late, wms = run_streaming_funnel(
+                args.input, args.lateness_min * 60 * 1_000_000,
+                n_shards=args.shards, checkpoint_dir=args.checkpoint_dir,
+                tail=args.tail, idle_timeout_s=args.idle_timeout_s)
+            os.makedirs(args.out, exist_ok=True)
+            pq.write_table(pa.Table.from_pandas(fn),
+                           os.path.join(args.out, "funnel.parquet"))
+            pq.write_table(pa.Table.from_pandas(late),
+                           os.path.join(args.out, "late.parquet"))
+            print(json.dumps({"out": args.out,
+                              "stages": fn["n_convs"].astype(int).tolist(),
                               "late_rows": len(late),
                               "watermarks": [int(w) for w in wms]}))
         elif args.cmd == "stream-absence":

@@ -2761,6 +2761,210 @@ def run_streaming_patterns(input_path: str,
     return out, late_df, [f["watermark"] for f in finals]
 
 
+class FunnelShardCore(ShardActorBase):
+    """Streaming ordered-stage conversation FUNNEL (14th engine): per
+    conversation, has a user turn; has a tool turn AFTER the first user
+    turn; has an assistant turn AFTER that first qualifying tool turn —
+    the streaming face of stages/patterns.funnel_bucket_partial,
+    exactly-once over the fragment stream.
+
+    Same discipline as PatternShardCore: row-level prefix-watermark
+    lateness, shard-global pending buffer, per-ingest consumption of the
+    ts ≤ wm subset in (conv, turn_idx, arrival) order, duplicate /
+    stale (idx ≤ consumed frontier) drops routed ts = -1. The cascade is
+    MONOTONE over idx-ordered consumption, so per-conv carry is just
+    (last consumed idx, stage ∈ 0..3): once a stage is attained every
+    later row has idx above the attaining turn, so thresholds never
+    need re-checking. One vectorized three-reduceat pass per consume —
+    no per-conv Python.
+
+    Emission: funnel attainment is a running property, so counts emit at
+    finalize only (bounded: 3 rows per shard; convs never split across
+    shards ⇒ driver SUMs are exact). State is O(active convs + pending
+    rows in the lateness horizon)."""
+
+    def __init__(self, lateness_us: int, checkpoint_path: str | None = None):
+        self.lateness = lateness_us
+        self.frontier: dict = {}   # conv → [last_idx, stage]
+        self._pend = []
+        self._arr = 0
+        self._init_shard_state(checkpoint_path, ("funnel", lateness_us))
+
+    def _core_state(self):
+        return (self.frontier, self._pend, self._arr)
+
+    def _restore_core(self, core) -> None:
+        self.frontier, self._pend, self._arr = core
+
+    def ingest(self, table: pa.Table, seq: int | None = None) -> int:
+        if seq is not None and seq <= self.seq:
+            return 0
+        n = table.num_rows
+        if n:
+            ts = table["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            idx = table["turn_idx"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            enc = pc.dictionary_encode(table["conv_id"].combine_chunks())
+            names = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+            conv = names[enc.indices.to_numpy(zero_copy_only=False)]
+            role = table["role"]
+            code = np.full(n, _PAT_X, np.int8)
+            for r, pat in _PAT_CODE_OF.items():
+                code[pc.equal(role, r).to_numpy(zero_copy_only=False)] = pat
+
+            cand = ts - self.lateness
+            cm = np.maximum.accumulate(cand)
+            prefix_wm = np.empty(n, dtype=np.int64)
+            prefix_wm[0] = self.wm
+            if n > 1:
+                np.maximum(self.wm, cm[:-1], out=prefix_wm[1:])
+            late_m = ts <= prefix_wm
+            lsel = np.flatnonzero(late_m)
+            if len(lsel):
+                self._append_late(
+                    conv_id=np.asarray(conv, dtype=object)[lsel],
+                    turn_idx=idx[lsel].astype(np.int64),
+                    ts=ts[lsel].astype(np.int64))
+            keep = ~late_m
+            if keep.any():
+                arr = np.arange(self._arr, self._arr + int(keep.sum()),
+                                dtype=np.int64)
+                self._arr += int(keep.sum())
+                self._pend.append((conv[keep], idx[keep], code[keep],
+                                   ts[keep], arr))
+            if int(cm[-1]) > self.wm:
+                self.wm = int(cm[-1])
+            self._consume(self.wm)
+        if seq is not None:
+            self.seq = seq
+            self._checkpoint()
+        return n
+
+    def _consume(self, bound: int) -> None:
+        if not self._pend:
+            return
+        conv = np.concatenate([p[0] for p in self._pend])
+        idx = np.concatenate([p[1] for p in self._pend])
+        code = np.concatenate([p[2] for p in self._pend])
+        ts = np.concatenate([p[3] for p in self._pend])
+        arr = np.concatenate([p[4] for p in self._pend])
+        take = ts <= bound
+        if not take.any():
+            self._pend = [(conv, idx, code, ts, arr)]
+            return
+        rest = ~take
+        self._pend = ([(conv[rest], idx[rest], code[rest], ts[rest],
+                        arr[rest])] if rest.any() else [])
+        conv, idx, code, tss, arr = (conv[take], idx[take], code[take],
+                                     ts[take], arr[take])
+        uconv, cid = np.unique(conv, return_inverse=True)
+        order = np.lexsort((arr, tss, idx, cid))
+        cid, idx, code = cid[order], idx[order], code[order]
+        dup = np.zeros(len(cid), dtype=bool)
+        if len(cid) > 1:
+            dup[1:] = (cid[1:] == cid[:-1]) & (idx[1:] == idx[:-1])
+        last = np.full(len(uconv), NEG_INF, dtype=np.int64)
+        s0 = np.zeros(len(uconv), dtype=np.int64)
+        for u, c in enumerate(uconv):
+            st = self.frontier.get(c)
+            if st is not None:
+                last[u] = st[0]
+                s0[u] = st[1]
+        drop = dup | (idx <= last[cid])
+        if drop.any():
+            dsel = np.flatnonzero(drop)
+            self._append_late(
+                conv_id=np.asarray(uconv, dtype=object)[cid[dsel]],
+                turn_idx=idx[dsel].astype(np.int64),
+                ts=np.full(len(dsel), -1, dtype=np.int64))
+            cid, idx, code = cid[~drop], idx[~drop], code[~drop]
+        m = len(cid)
+        if m == 0:
+            return
+        seg_first = np.ones(m, dtype=bool)
+        seg_first[1:] = cid[1:] != cid[:-1]
+        seg_starts = np.flatnonzero(seg_first)
+        seg_id = np.cumsum(seg_first) - 1
+        seg_conv = cid[seg_starts]          # uconv index per segment
+        s0_seg = s0[seg_conv]
+        pos = np.arange(m, dtype=np.int64)
+
+        def first_pos(mask: np.ndarray) -> np.ndarray:
+            return np.minimum.reduceat(np.where(mask, pos, m), seg_starts)
+
+        # stage thresholds: attained-before ⇒ threshold -1 (all rows in
+        # this consume are above the frontier, hence above the attaining
+        # turn); not-attained ⇒ sentinel m (pos > m never true)
+        u = first_pos(code == _PAT_A)
+        u_eff = np.where(s0_seg >= 1, np.int64(-1), u)
+        t = first_pos((code == _PAT_B) & (pos > u_eff[seg_id]))
+        t_eff = np.where(s0_seg >= 2, np.int64(-1), t)
+        a = first_pos((code == _PAT_C) & (pos > t_eff[seg_id]))
+        new_stage = np.where(
+            (s0_seg >= 3) | (a < m), 3,
+            np.where((s0_seg >= 2) | (t < m), 2,
+                     np.where((s0_seg >= 1) | (u < m), 1, 0)))
+        # per-segment last consumed idx
+        seg_end = np.r_[seg_starts[1:], m] - 1
+        last_idx = idx[seg_end]
+        for k in range(len(seg_starts)):
+            self.frontier[uconv[seg_conv[k]]] = [int(last_idx[k]),
+                                                 int(new_stage[k])]
+
+    def finalize(self) -> dict:
+        """Drain all pending rows (wm → ∞), then emit the bounded funnel
+        counts: n_convs whose final stage ≥ s for s in 1..3."""
+        self._consume(1 << 62)
+        self._pend = []
+        stages = np.fromiter((st[1] for st in self.frontier.values()),
+                             dtype=np.int64, count=len(self.frontier))
+        self.emitted.append({"stage": np.array([1, 2, 3], np.int64),
+                             "n_convs": np.array(
+                                 [(stages >= s).sum() for s in (1, 2, 3)],
+                                 np.int64)})
+        hist_emitted, hist_late = self._read_deltas()
+        return {"emitted": hist_emitted + self.emitted,
+                "late": hist_late + self.late, "watermark": self.wm,
+                "state_convs": len(self.frontier)}
+
+
+FunnelShardActor = ray.remote(FunnelShardCore)
+
+
+def run_streaming_funnel(input_path: str,
+                         lateness_us: int = 5 * 60 * 1_000_000,
+                         n_shards: int = 8,
+                         validate_kwargs: dict | None = None,
+                         max_pending: int = 4,
+                         checkpoint_dir: str | None = None,
+                         tail: bool = False,
+                         poll_interval_s: float = 0.25,
+                         idle_timeout_s: float = 10.0,
+                         stop_file: str = "_EOS"):
+    """Streaming ordered-stage funnel over the fragment stream (the same
+    validated stream every CEP engine consumes). → (funnel DataFrame
+    (stage, n_convs), late DataFrame, watermarks). Conversations never
+    split across shards, so summing shard counts is exact."""
+    meta = {"kind": "funnel", "lateness_us": lateness_us,
+            "n_shards": n_shards}
+    fragments = _fragment_source(input_path, meta, checkpoint_dir, tail,
+                                 poll_interval_s, idle_timeout_s, stop_file)
+    actors = [FunnelShardActor.remote(
+        lateness_us,
+        os.path.join(checkpoint_dir, f"shard-{s}.ckpt") if checkpoint_dir
+        else None)
+        for s in range(n_shards)]
+    finals = _pump_fragments(actors, fragments, n_shards,
+                             validate_kwargs, max_pending)
+    emitted = _mixed_rows_df([b for f in finals for b in f["emitted"]],
+                             ["stage", "n_convs"])
+    out = (emitted.groupby("stage", sort=True)["n_convs"].sum()
+           .reset_index().astype({"stage": "int64", "n_convs": "int64"}))
+    late_df = _mixed_rows_df([b for f in finals for b in f["late"]],
+                             ["conv_id", "turn_idx", "ts"])
+    return out, late_df, [f["watermark"] for f in finals]
+
+
 def _range_exists(d_code: np.ndarray, d_ts: np.ndarray,
                   q_code: np.ndarray, q_t: np.ndarray,
                   window: int) -> np.ndarray:
