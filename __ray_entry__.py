@@ -264,6 +264,7 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "ppl_buckets": Q.q_ppl_buckets,
         "q15_top_suppliers": Q.q_q15_top_suppliers,
         "q12_priority_by_status": Q.q_q12_priority_by_status,
+        "ann_recall": Q.q_ann_recall,
     }
 
 
@@ -1881,4 +1882,22 @@ def oracle_sql() -> dict[str, str]:
                        AS low_line_count
             FROM lineitem JOIN orders ON o_orderkey = l_orderkey
             GROUP BY l_linestatus""",
+        # ANN evaluation: recall@5 of the IVF path vs brute force — both
+        # sides fully re-derived (the same two oracles), one float
+        # division
+        "ann_recall": f"""
+            WITH b AS (WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id < 3),
+            sims AS (
+              SELECT q.qid, e.vec_id,
+                     list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS s
+              FROM q, embeddings e WHERE e.vec_id <> q.qid)
+            SELECT qid, vec_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
+              FROM sims) WHERE rn <= 5),
+            v AS ({ann_ivf_sql()})
+            SELECT b.qid, CAST(count(v.vec_id) AS BIGINT) AS n_hits,
+                   CAST(count(v.vec_id) AS DOUBLE) / 5.0 AS recall
+            FROM b LEFT JOIN v ON v.qid = b.qid AND v.vec_id = b.vec_id
+            GROUP BY b.qid""",
     }

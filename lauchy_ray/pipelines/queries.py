@@ -6238,3 +6238,23 @@ def q_q12_priority_by_status(sf_dir: str):
 
     return _grouped_sums(parts, ["l_linestatus"],
                          ["high_line_count", "low_line_count"])
+
+
+def q_ann_recall(sf_dir: str, k: int = 5):
+    """ANN quality evaluation — recall@k of the IVF path against the
+    brute-force ground truth, per query: |IVF top-k ∩ brute top-k| / k,
+    the standard ANN acceptance metric. Pure composition of the two
+    existing distributed paths; both inputs are bounded (n_queries × k)
+    so the overlap join is driver-trivial. The single float division is
+    applied identically in the SQL oracle."""
+    brute = q_ann_topk(sf_dir, k=k)
+    brute = brute.to_pandas() if hasattr(brute, "to_pandas") else brute
+    ivf = q_ann_ivf(sf_dir)
+    ivf = ivf.to_pandas() if hasattr(ivf, "to_pandas") else ivf
+    hits = brute.merge(ivf, on=["qid", "vec_id"])
+    out = (brute.groupby("qid", sort=True).size().reset_index(name="_n")
+           [["qid"]])
+    nh = hits.groupby("qid", sort=True).size()
+    out["n_hits"] = out["qid"].map(nh).fillna(0).astype("int64")
+    out["recall"] = out["n_hits"].astype("float64") / float(k)
+    return out.astype({"qid": "int64"})
