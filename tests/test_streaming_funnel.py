@@ -128,3 +128,100 @@ def test_runner_shard_count_invariance(ray_session, fixture_dir):
     # funnel monotone: later stages never exceed earlier ones
     n = f1.sort_values("stage")["n_convs"].to_numpy()
     assert n[0] >= n[1] >= n[2]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _funnel_oracle(rows, lateness):
+    """Scalar mirror of FunnelShardCore on ONE shard: arrival-order scan
+    with the row-level prefix-watermark rule (late iff ts ≤ wm computed
+    over strictly-prior arrivals), duplicate (conv, idx) resolved to the
+    (min ts, earliest arrival) copy, cascade over the surviving rows in
+    idx order. Input must honor the bridge invariant (ts non-decreasing
+    with idx per conv), under which stale drops only ever hit
+    duplicates."""
+    wm = -(1 << 62)
+    acc = []
+    n_wm_late = 0
+    for a, (c, i, role, ts) in enumerate(rows):
+        if ts <= wm:
+            n_wm_late += 1
+        else:
+            acc.append((c, i, ts, a, role))
+        wm = max(wm, ts - lateness)
+    best = {}
+    for c, i, ts, a, role in acc:
+        k = (c, i)
+        if k not in best or (ts, a) < best[k][:2]:
+            best[k] = (ts, a, role)
+    n_dup = len(acc) - len(best)
+    by_conv: dict = {}
+    for (c, i), (_, _, role) in sorted(best.items()):
+        by_conv.setdefault(c, []).append(role)
+    counts = [0, 0, 0]
+    for roles in by_conv.values():
+        stage = 0
+        for r in roles:
+            if stage == 0 and r == "user":
+                stage = 1
+            elif stage == 1 and r == "tool":
+                stage = 2
+            elif stage == 2 and r == "assistant":
+                stage = 3
+        for s in range(stage):
+            counts[s] += 1
+    return {s + 1: counts[s] for s in range(3)}, n_wm_late, n_dup
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_funnel_property_finite_lateness(data):
+    """Random invariant-honoring streams, random duplication, random
+    micro-batch slicing, FINITE lateness: finalize counts and late/dup
+    routing must equal the scalar oracle exactly."""
+    seed = data.draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    lateness = int(data.draw(st.sampled_from([0, 5, 25, 100])))
+    n_convs = int(data.draw(st.integers(1, 6)))
+    per_conv = []
+    for c in range(n_convs):
+        t = int(rng.integers(0, 40))
+        turns = []
+        for i in range(int(rng.integers(1, 12))):
+            t += int(rng.integers(0, 30))  # ts non-decreasing with idx
+            role = str(rng.choice(["user", "tool", "assistant", "system"]))
+            turns.append((f"c{c}", i, role, t))
+        per_conv.append(turns)
+    # interleave conversations preserving per-conv order (arrival mix)
+    rows = []
+    cursors = [0] * n_convs
+    while any(cursors[c] < len(per_conv[c]) for c in range(n_convs)):
+        c = int(rng.integers(0, n_convs))
+        if cursors[c] < len(per_conv[c]):
+            rows.append(per_conv[c][cursors[c]])
+            cursors[c] += 1
+    # at-least-once duplicates (same conv/idx/role, same or inflated ts)
+    for _ in range(int(rng.integers(0, 4))):
+        r = rows[int(rng.integers(0, len(rows)))]
+        rows.insert(int(rng.integers(0, len(rows) + 1)),
+                    (r[0], r[1], r[2], r[3] + int(rng.integers(0, 10))))
+
+    exp_counts, exp_wm_late, exp_dup = _funnel_oracle(rows, lateness)
+
+    core = FunnelShardCore(lateness_us=lateness)
+    bounds = sorted(rng.integers(0, len(rows) + 1, 3).tolist())
+    bounds = [0] + bounds + [len(rows)]
+    for s, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
+        if hi > lo:
+            core.ingest(_tbl(rows[lo:hi]), seq=s)
+    fin = core.finalize()   # finalize drains pending (can route dups)
+    late_rows = rows_list(fin["late"])
+    got = {}
+    for r in rows_list(fin["emitted"]):
+        got[int(r["stage"])] = got.get(int(r["stage"]), 0) \
+            + int(r["n_convs"])
+    assert got == exp_counts, f"seed={seed}"
+    assert sum(1 for r in late_rows if r["ts"] != -1) == exp_wm_late
+    assert sum(1 for r in late_rows if r["ts"] == -1) == exp_dup
