@@ -65,19 +65,19 @@ _DRIVER_WINDOW = [
     "window_user_distinct", "window_topk_convs", "session_concurrency",
     # relational (TPC-H shapes, round-4-new)
     "q3_shipping_priority", "q5_region_revenue", "q6_revenue",
-    "q10_returned_customers", "q19_brand_revenue", "late_ship_orders",
+    "q10_returned_customers", "q19_brand_revenue", "q15_top_suppliers",
     "q7_nation_volume", "q8_market_share", "q17_small_qty_revenue",
     # event analytics
     "user_rfm", "spike_days", "conv_scorecard", "hourly_seasonality",
     "cohort_retention", "user_activity_span", "response_latency",
     # documents / LLM-data ops
     "decontam", "tf_idf", "dsir_select", "chunk_dedup", "dup_span_stats",
-    "bigram_lm", "lm_doc_scores", "corpus_filter", "cluster_weights",
-    "leakage_safe_split", "cross_source_dups", "norm_dedup",
+    "bigram_lm", "lm_doc_scores", "ppl_buckets", "cluster_weights",
+    "leakage_safe_split", "semantic_dedup", "norm_dedup",
     # graph
     "pagerank", "triangle_counts", "bfs_levels", "user_item_components",
     # embeddings
-    "embed_kmeans", "knn_join", "embed_quantize", "embed_dim_stats",
+    "embed_kmeans", "knn_join", "ann_recall", "embed_dim_stats",
     # sampling
     "stratified_sample", "mixture_sample", "token_weighted_sample",
     # multimodal
